@@ -1,0 +1,140 @@
+"""Charge scatter / deposition kernels.
+
+Reference parity: ``test/gyroScatter.hpp`` —
+- ``accumulateToRings`` (:183-205): every particle deposits into the two gyro
+  rings bracketing its gyro-radius, at each vertex of its parent element
+  (device atomics in the reference).
+- ``scatterToMappedVerts`` (:207-225): per-(vertex, ring, ring-point), the
+  accumulated value (averaged over points-per-ring) is scattered to the three
+  vertices of the element containing the projected ring point, via the
+  precomputed gyro-avg map.
+
+TPU-first: atomics become deterministic ``segment_sum`` scatters (fixed
+reduction order, bit-reproducible — the reference's atomic adds are not).
+Both phases are linear operators with *static* index structure, so the
+framework also exposes a fused path where the ring-point map is applied as a
+single gather/segment-sum pipeline.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pumipic_tpu.utils.types import LID_DTYPE
+
+
+def particles_per_element(
+    elem: jax.Array, active: jax.Array, num_elems: int, weights: jax.Array | None = None
+) -> jax.Array:
+    """Count (or weight-sum) particles per element — deterministic segment_sum."""
+    w = jnp.where(active, 1.0 if weights is None else weights, 0.0)
+    seg = jnp.where(active, elem, num_elems)  # inactive -> overflow bucket
+    out = jax.ops.segment_sum(w, seg, num_segments=num_elems + 1)
+    return out[:num_elems]
+
+
+def accumulate_to_rings(
+    elem: jax.Array,
+    active: jax.Array,
+    elem2verts: jax.Array,
+    num_verts: int,
+    num_rings: int,
+    gyro_rmax: float,
+    ptcl_radius: jax.Array | None = None,
+) -> jax.Array:
+    """Deposit particles into the two rings bracketing their gyro radius at
+    each vertex of their parent element.  Returns (num_verts, num_rings).
+
+    ``ptcl_radius``: per-particle gyro radius; defaults to the reference's
+    placeholder 1.125×ring-width (gyroScatter.hpp:185 'TODO compute the
+    radius').
+    """
+    ring_width = gyro_rmax / num_rings
+    if ptcl_radius is None:
+        r = jnp.full(elem.shape, 1.125 * ring_width)
+    else:
+        r = ptcl_radius
+    # ring below the particle radius (clamped so ring_up stays in range)
+    ring_down = jnp.clip((r / ring_width).astype(jnp.int32) - 1, 0, num_rings - 2)
+    ring_up = ring_down + 1
+
+    # per-element counts for each ring bucket, then scatter to the 3 verts
+    num_elems = elem2verts.shape[0]
+    nvpe = elem2verts.shape[1]
+
+    verts = elem2verts[jnp.maximum(elem, 0)]          # (N, nvpe)
+    ring_accum = jnp.zeros((num_verts * num_rings,), jnp.float32)
+    for ring in (ring_down, ring_up):
+        idx = verts * num_rings + ring[:, None]        # (N, nvpe)
+        idx = jnp.where(active[:, None], idx, num_verts * num_rings)
+        flat = idx.reshape(-1)
+        ones = jnp.ones(flat.shape, jnp.float32)
+        ring_accum = ring_accum + jax.ops.segment_sum(
+            ones, flat, num_segments=num_verts * num_rings + 1
+        )[: num_verts * num_rings]
+    return ring_accum.reshape(num_verts, num_rings)
+
+
+def scatter_to_mapped_verts(
+    ring_accum: jax.Array,
+    gyro_map: jax.Array,
+    num_verts: int,
+    num_rings: int,
+    points_per_ring: int,
+) -> jax.Array:
+    """Apply the gyro-average map: (V, R) ring accumulation -> (V,) weights.
+
+    gyro_map: (V * R * P * 3,) vertex ids (-1 = ring point outside domain),
+    laid out [vertex][ring][point][3 mapped verts] exactly like the
+    reference's ``gyro_avg_map`` (gyroScatter.hpp:70-92).
+    """
+    V, R, P = num_verts, num_rings, points_per_ring
+    vals = ring_accum / P                                # (V, R)
+    # expand to (V, R, P, 3)
+    vals_exp = jnp.broadcast_to(vals[:, :, None, None], (V, R, P, 3)).reshape(-1)
+    idx = gyro_map.astype(jnp.int32)
+    idx = jnp.where(idx >= 0, idx, V)                    # invalid -> overflow
+    out = jax.ops.segment_sum(vals_exp, idx, num_segments=V + 1)
+    return out[:V]
+
+
+def gyro_scatter(
+    elem: jax.Array,
+    active: jax.Array,
+    elem2verts: jax.Array,
+    gyro_map: jax.Array,
+    num_verts: int,
+    num_rings: int,
+    points_per_ring: int,
+    gyro_rmax: float,
+) -> jax.Array:
+    """Full gyroScatter (gyroScatter.hpp:169-232): ring accumulate + mapped
+    scatter, returning the (V,) vertex tag array."""
+    ring_accum = accumulate_to_rings(
+        elem, active, elem2verts, num_verts, num_rings, gyro_rmax
+    )
+    return scatter_to_mapped_verts(
+        ring_accum, gyro_map, num_verts, num_rings, points_per_ring
+    )
+
+
+def scatter_to_verts_bcc(
+    elem: jax.Array,
+    active: jax.Array,
+    bcc: jax.Array,
+    elem2verts: jax.Array,
+    num_verts: int,
+    charge: jax.Array | None = None,
+) -> jax.Array:
+    """Standard PIC charge deposition: barycentric-weighted scatter of
+    particle charge to parent-element vertices.  (N,), (N,k) -> (V,)."""
+    verts = elem2verts[jnp.maximum(elem, 0)]            # (N, k)
+    q = jnp.ones(elem.shape, bcc.dtype) if charge is None else charge
+    w = bcc * q[:, None]
+    idx = jnp.where(active[:, None], verts, num_verts)
+    out = jax.ops.segment_sum(
+        w.reshape(-1), idx.reshape(-1), num_segments=num_verts + 1
+    )
+    return out[:num_verts]
