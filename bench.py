@@ -1,0 +1,80 @@
+"""Benchmark: pseudoXGCm timestep throughput on one chip.
+
+Workload (BASELINE.md north star): push + search + rebuild + gyroScatter at
+10M particles on an XGC-24k-analog annulus mesh, whole step as one jitted
+on-device function.  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline: the reference publishes no in-tree numbers (BASELINE.md);
+the proxy baseline is 2e7 particle-steps/s/GPU for the Kokkos pipeline on a
+V100 (order-of-magnitude from the SCALA'19 particle-structure paper's setup);
+the north-star target is 5x that per chip.
+"""
+import json
+import os
+import sys
+import time
+
+# keep TPU platform as configured by the environment; fall back to whatever
+# jax picks if the axon plugin is absent.
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PROXY_BASELINE_PTCLS_PER_SEC = 2.0e7
+
+
+def main():
+    num_ptcls = int(os.environ.get("BENCH_PTCLS", 10_000_000))
+    mesh_elems = int(os.environ.get("BENCH_ELEMS", 24_000))
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+
+    from pumipic_tpu.models.pseudo_xgcm import (
+        GyroConfig,
+        XGCmConfig,
+        make_default_mesh,
+        make_dp_setup,
+    )
+    from pumipic_tpu.parallel.mesh_axis import make_device_mesh
+
+    mesh = make_default_mesh(mesh_elems)
+    cfg = XGCmConfig(
+        num_ptcls=num_ptcls,
+        mdl_face=max(int(np.asarray(mesh.class_id).max()) // 2, 2),
+        deg_per_push=15.0,
+        max_search_iters=64,
+        gyro=GyroConfig(),
+    )
+    device_mesh = make_device_mesh()
+    state, step = make_dp_setup(mesh, cfg, device_mesh)
+
+    # warmup/compile
+    state, fields = step(state)
+    jax.block_until_ready(fields)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, fields = step(state)
+    jax.block_until_ready(fields)
+    dt = (time.perf_counter() - t0) / iters
+
+    n_chips = len(device_mesh.devices.flat)
+    ptcls_per_sec_per_chip = num_ptcls / dt / n_chips
+    out = {
+        "metric": "pseudoXGCm push+search+rebuild+gyroScatter throughput",
+        "value": round(ptcls_per_sec_per_chip, 1),
+        "unit": "particle-steps/s/chip",
+        "vs_baseline": round(ptcls_per_sec_per_chip / PROXY_BASELINE_PTCLS_PER_SEC, 3),
+        "detail": {
+            "num_ptcls": num_ptcls,
+            "mesh_elems": mesh.nelems,
+            "ms_per_step": round(dt * 1e3, 3),
+            "chips": n_chips,
+            "alive": int(jax.device_get(state["active"]).sum()),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

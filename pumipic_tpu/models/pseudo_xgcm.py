@@ -1,0 +1,337 @@
+"""pseudoXGCm — 2D gyrokinetic proxy mini-app (the flagship workload).
+
+Reference parity: ``test/pseudoXGCm.cpp`` + ``test/ellipticalPush.hpp`` +
+``test/gyroScatter.hpp`` — per step: elliptical push → 2D adjacency search →
+migrate/rebuild → forward/backward gyro-ring charge scatter → buffered-copy
+field sync; with particle/memory imbalance telemetry.
+
+TPU-first: the whole timestep is ONE jitted function over the particle
+structure pytree; mesh and gyro maps are closed-over immutable device arrays.
+The reference's element classification drive (particles seeded on model faces
+``class_id <= mdlFace``, push speed ∝ 1/class_id) is reproduced on generated
+annulus/disk meshes whose class ids are radial bands.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pumipic_tpu.mesh import generate as gen
+from pumipic_tpu.mesh.core import Mesh2D
+from pumipic_tpu.ops import geometry as geo
+from pumipic_tpu.ops import push as push_ops
+from pumipic_tpu.ops import scatter as scatter_ops
+from pumipic_tpu.ops import search as search_ops
+from pumipic_tpu.particles import SellCSigma, SCSInput, CSR, DPS, CabM
+from pumipic_tpu.utils.types import LID_DTYPE
+
+ELEMENT_SEED = 1024 * 1024
+PARTICLE_SEED = 512 * 512
+
+
+@dataclass(frozen=True)
+class GyroConfig:
+    """setGyroConfig analog (gyroScatter.hpp:6-18)."""
+
+    rmax: float = 0.038
+    num_rings: int = 3
+    points_per_ring: int = 8
+    theta: float = 0.0
+
+
+@dataclass(frozen=True)
+class XGCmConfig:
+    num_ptcls: int = 100_000
+    num_iterations: int = 10
+    mdl_face: int = 2            # seed particles where class_id <= mdl_face
+    deg_per_push: float = 30.0
+    structure: str = "scs"       # scs | csr | cabm | dps
+    max_search_iters: int = 128
+    gyro: GyroConfig = GyroConfig()
+    # ellipse geometry (reference reads h,k,d from argv)
+    h: float = 0.0
+    k: float = 0.0
+    d: float = 0.9
+
+
+def seed_particles_per_element(
+    mesh: Mesh2D, cfg: XGCmConfig, rng: np.random.Generator
+) -> np.ndarray:
+    """setSourceElements analog (pseudoXGCm.cpp:167-222): Gaussian-random
+    particle counts on elements classified <= mdl_face, clipped to total."""
+    cls = np.asarray(mesh.class_id)
+    on = cls <= cfg.mdl_face
+    num_marked = int(on.sum())
+    if num_marked == 0:
+        return np.zeros(mesh.nelems, np.int64)
+    nppe = cfg.num_ptcls // num_marked
+    ppe = np.zeros(mesh.nelems, np.int64)
+    total = 0
+    last = -1
+    draws = rng.normal(nppe, max(nppe / 4, 1), size=mesh.nelems)
+    for i in range(mesh.nelems):
+        if on[i] and total < cfg.num_ptcls:
+            last = i
+            c = max(int(round(draws[i])), 0)
+            total += c
+            if total > cfg.num_ptcls:
+                c -= total - cfg.num_ptcls
+                total = cfg.num_ptcls
+            ppe[i] = c
+    if total < cfg.num_ptcls and last >= 0:
+        ppe[last] += cfg.num_ptcls - total
+    return ppe
+
+
+def uniform_points_in_elements(
+    mesh: Mesh2D, ptcl_elems: np.ndarray, rng: np.random.Generator
+) -> np.ndarray:
+    """setInitialPtclCoords analog: uniform position inside each particle's
+    element via folded barycentric sampling."""
+    ev = np.asarray(mesh.elem2verts)[ptcl_elems]
+    cz = np.asarray(mesh.coords)
+    r1 = rng.uniform(size=len(ptcl_elems))
+    r2 = rng.uniform(size=len(ptcl_elems))
+    over = r1 + r2 > 1
+    r1[over] = 1 - r1[over]
+    r2[over] = 1 - r2[over]
+    a, b, c = cz[ev[:, 0]], cz[ev[:, 1]], cz[ev[:, 2]]
+    return a + r1[:, None] * (b - a) + r2[:, None] * (c - a)
+
+
+# ---------------------------------------------------------------------------
+# gyro-ring mapping build (createGyroRingMappings, gyroScatter.hpp:96-166)
+# ---------------------------------------------------------------------------
+
+def build_gyro_mapping(
+    mesh: Mesh2D, gyro: GyroConfig, project=None
+) -> jax.Array:
+    """For every (vertex, ring, point): generate the ring point, project it
+    (identity by default, as the reference's TODO), search for its element
+    starting from the first element adjacent to the vertex, and record the 3
+    vertices of that element (-1 if outside the domain).
+
+    Returns (V * num_rings * points_per_ring * 3,) int32.
+    """
+    V = mesh.nverts
+    R, P = gyro.num_rings, gyro.points_per_ring
+
+    vid = jnp.repeat(jnp.arange(V, dtype=LID_DTYPE), R * P)
+    ring = jnp.tile(jnp.repeat(jnp.arange(R), P), V)
+    pt = jnp.tile(jnp.arange(P), V * R)
+
+    radius = gyro.rmax * (ring + 1) / R
+    deg = gyro.theta + pt / P * 360.0
+    rad = jnp.deg2rad(deg)
+    base = mesh.coords[vid]
+    pts = base + radius[:, None] * jnp.stack([jnp.cos(rad), jnp.sin(rad)], -1)
+    if project is not None:
+        pts = project(pts)
+
+    # starting element: first element adjacent to the vertex
+    start_elem = mesh.vert2elem_vals[mesh.vert2elem_offsets[vid]]
+
+    res = search_ops.search_mesh_2d(
+        mesh, base, pts, start_elem, jnp.ones(vid.shape[0], bool), 100
+    )
+    parent = res.elem_ids
+    verts = mesh.elem2verts[jnp.maximum(parent, 0)]          # (M, 3)
+    verts = jnp.where((parent >= 0)[:, None], verts, -1)
+    return verts.reshape(-1).astype(LID_DTYPE)
+
+
+def build_gyro_mappings(mesh: Mesh2D, gyro: GyroConfig):
+    """Forward and backward maps (projection is identity for both, matching
+    the reference's placeholder field-line projection)."""
+    fwd = build_gyro_mapping(mesh, gyro)
+    bwd = build_gyro_mapping(mesh, gyro)
+    return fwd, bwd
+
+
+# ---------------------------------------------------------------------------
+# the app
+# ---------------------------------------------------------------------------
+
+_BUILDERS = {
+    "scs": lambda E, elems, fields: SellCSigma(
+        E, elems, fields=fields, scs_input=SCSInput(chunk_size=8, sigma=None)
+    ),
+    "csr": lambda E, elems, fields: CSR(E, elems, fields=fields),
+    "cabm": lambda E, elems, fields: CabM(E, elems, fields=fields),
+    "dps": lambda E, elems, fields: DPS(E, elems, fields=fields),
+}
+
+
+class PseudoXGCm:
+    """Single-device pseudoXGCm driver; the distributed version wraps the
+    same step under shard_map (pumipic_tpu.parallel)."""
+
+    def __init__(self, mesh: Mesh2D, cfg: XGCmConfig, seed: int = ELEMENT_SEED):
+        self.mesh = mesh
+        self.cfg = cfg
+
+        rng = np.random.default_rng(seed)
+        ppe = seed_particles_per_element(mesh, cfg, rng)
+        ptcl_elems = np.repeat(np.arange(mesh.nelems), ppe)
+        prng = np.random.default_rng(PARTICLE_SEED)
+        pos = uniform_points_in_elements(mesh, ptcl_elems, prng)
+
+        phi, b = push_ops.elliptical_setup(jnp.asarray(pos), cfg.h, cfg.k, cfg.d)
+        fields = {
+            "x": jnp.asarray(pos, jnp.float32),
+            "xtgt": jnp.zeros((len(ptcl_elems), 2), jnp.float32),
+            "pid": jnp.arange(len(ptcl_elems), dtype=jnp.int32),
+            "b": b.astype(jnp.float32),
+            "phi": phi.astype(jnp.float32),
+        }
+        self.ptcls = _BUILDERS[cfg.structure](mesh.nelems, ptcl_elems, fields)
+
+        self.gyro_fwd, self.gyro_bwd = build_gyro_mappings(mesh, cfg.gyro)
+        self.step_fn = self._make_step()   # unjitted (for compile checks)
+        self._step = jax.jit(self.step_fn)
+
+    def _make_step(self):
+        mesh = self.mesh
+        cfg = self.cfg
+        gyro = cfg.gyro
+
+        def step(ptcls):
+            elem = ptcls.elem
+            active = ptcls.active
+            x = ptcls.get("x")
+            phi = ptcls.get("phi")
+            b = ptcls.get("b")
+
+            # elliptical push (ellipticalPush::push)
+            cid = mesh.class_id[jnp.maximum(elem, 0)]
+            xtgt, phi_new = push_ops.elliptical_push(
+                phi, b, cid, cfg.deg_per_push, cfg.h, cfg.k, cfg.d
+            )
+            xtgt = jnp.where(active[:, None], xtgt, x)
+            phi_new = jnp.where(active, phi_new, phi)
+
+            # search (p::search_mesh_2d)
+            res = search_ops.search_mesh_2d(
+                mesh, x, xtgt, elem, active, cfg.max_search_iters
+            )
+
+            # rebuild/migrate (updatePtclPositions + migrate_lb_ptcls; one
+            # device → pure rebuild)
+            ptcls2 = ptcls.set("x", res.dest).set("phi", phi_new)
+            ptcls2 = ptcls2.rebuild(res.elem_ids)
+
+            # gyro scatter forward/backward + sync (sync is a no-op on one
+            # device; the distributed reduce lives in parallel.reduce)
+            fwd = scatter_ops.gyro_scatter(
+                ptcls2.elem, ptcls2.active, mesh.elem2verts, self.gyro_fwd,
+                mesh.nverts, gyro.num_rings, gyro.points_per_ring, gyro.rmax,
+            )
+            bwd = scatter_ops.gyro_scatter(
+                ptcls2.elem, ptcls2.active, mesh.elem2verts, self.gyro_bwd,
+                mesh.nverts, gyro.num_rings, gyro.points_per_ring, gyro.rmax,
+            )
+            return ptcls2, fwd, bwd, res.iters
+
+        return step
+
+    def run(self, num_iterations: Optional[int] = None, verbose: bool = True):
+        from pumipic_tpu.utils.timing import record_time, timed
+        import time
+
+        iters = num_iterations or self.cfg.num_iterations
+        fwd = bwd = None
+        for i in range(iters):
+            t0 = time.perf_counter()
+            self.ptcls, fwd, bwd, walk_iters = self._step(self.ptcls)
+            jax.block_until_ready(fwd)
+            record_time("xgcm step", time.perf_counter() - t0)
+            if verbose:
+                from pumipic_tpu.utils.plog import print_info
+
+                print_info(
+                    "iter %d: ptcls %d walk_iters %d fwd_sum %.1f",
+                    i, self.ptcls.n_ptcls(), int(walk_iters), float(fwd.sum()),
+                )
+        return fwd, bwd
+
+
+# ---------------------------------------------------------------------------
+# distributed (FULL-buffer particle-DP) variant
+# ---------------------------------------------------------------------------
+
+def make_dp_setup(mesh: Mesh2D, cfg: XGCmConfig, device_mesh, seed: int = ELEMENT_SEED):
+    """Build sharded flat particle state + the SPMD step for Input::FULL mode
+    (mesh replicated, particles sharded, fields psummed — the reference's
+    full-mesh shortcut at src/pumipic_comm.cpp:233-247).
+
+    State is a dict of flat arrays (DPS layout: parent element per particle)
+    because per-shard element sorting buys nothing when deposition is a
+    segment_sum.  Returns (state, step) with step jitted over the device mesh.
+    """
+    from pumipic_tpu.parallel import full_mode
+
+    rng = np.random.default_rng(seed)
+    ppe = seed_particles_per_element(mesh, cfg, rng)
+    ptcl_elems = np.repeat(np.arange(mesh.nelems), ppe)
+    prng = np.random.default_rng(PARTICLE_SEED)
+    pos = uniform_points_in_elements(mesh, ptcl_elems, prng)
+    phi, b = push_ops.elliptical_setup(jnp.asarray(pos), cfg.h, cfg.k, cfg.d)
+
+    state = {
+        "x": jnp.asarray(pos, jnp.float32),
+        "phi": phi.astype(jnp.float32),
+        "b": b.astype(jnp.float32),
+        "elem": jnp.asarray(ptcl_elems, LID_DTYPE),
+        "active": jnp.ones(len(ptcl_elems), bool),
+    }
+    gyro_fwd, gyro_bwd = build_gyro_mappings(mesh, cfg.gyro)
+    gyro = cfg.gyro
+
+    def per_device_step(s):
+        elem, active = s["elem"], s["active"]
+        cid = mesh.class_id[jnp.maximum(elem, 0)]
+        xtgt, phi_new = push_ops.elliptical_push(
+            s["phi"], s["b"], cid, cfg.deg_per_push, cfg.h, cfg.k, cfg.d
+        )
+        xtgt = jnp.where(active[:, None], xtgt, s["x"])
+        res = search_ops.search_mesh_2d(
+            mesh, s["x"], xtgt, elem, active, cfg.max_search_iters
+        )
+        new_active = res.elem_ids >= 0
+        new_state = {
+            "x": res.dest,
+            "phi": jnp.where(active, phi_new, s["phi"]),
+            "b": s["b"],
+            "elem": res.elem_ids,
+            "active": new_active,
+        }
+        fwd = scatter_ops.gyro_scatter(
+            res.elem_ids, new_active, mesh.elem2verts, gyro_fwd,
+            mesh.nverts, gyro.num_rings, gyro.points_per_ring, gyro.rmax,
+        )
+        bwd = scatter_ops.gyro_scatter(
+            res.elem_ids, new_active, mesh.elem2verts, gyro_bwd,
+            mesh.nverts, gyro.num_rings, gyro.points_per_ring, gyro.rmax,
+        )
+        return new_state, {"fwd": fwd, "bwd": bwd}
+
+    state = full_mode.shard_particles(device_mesh, state)
+    # padded slots must be inactive
+    step = full_mode.make_dp_step(device_mesh, per_device_step)
+    return state, step
+
+
+def make_default_mesh(nelems_target: int = 25_000) -> Mesh2D:
+    """Tokamak-cross-section-like annulus sized to ~nelems_target elements
+    (XGC 24k-element mesh analog)."""
+    # annulus elems = 2 * n_rings * n_sectors; keep sectors ≈ 4x rings
+    n_rings = max(int(np.sqrt(nelems_target / 8)), 2)
+    n_sectors = nelems_target // (2 * n_rings)
+    coords, tris, cls = gen.annulus_mesh(n_rings, n_sectors, 0.3, 1.0)
+    return Mesh2D.from_arrays(coords, tris, cls)

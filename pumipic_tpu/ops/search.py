@@ -19,6 +19,13 @@ kernels per step and reads a device-to-host min each iteration
 host.  Cost per step is O(N) gathers + FMAs regardless of how many particles
 are already done — profitable on TPU because the walk usually terminates in a
 few steps and the masked lanes are pure bandwidth.
+
+Termination semantics (same as the reference): the walk greedily crosses the
+most-violated side toward the destination, which reaches any destination on a
+convex domain or for local (few-element) moves.  On a non-convex domain a
+walk aimed across a hole hits the interior boundary and is handed to the
+boundary handler (default: delete) — identical to the reference's exposed-
+side handling in ``checkExposedEdges``.
 """
 from __future__ import annotations
 

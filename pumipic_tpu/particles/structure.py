@@ -1,0 +1,577 @@
+"""Mesh-aware particle containers ("particle structures").
+
+Reference parity (``particle_structs/src/``, SURVEY.md §2 L1): the abstract
+``ParticleStructure<DataTypes>`` (particle_structure.hpp:18-144) and its four
+concrete layouts —
+
+- **SellCSigma** (scs/SellCSigma.h): Sell-C-σ — elements sorted by particle
+  count within σ windows, grouped into chunks of C rows, each chunk padded to
+  its longest row, particles stored transposed within a chunk.
+- **CSR** (csr/CSR.hpp): dense element-sorted layout with per-element offsets.
+- **CabM** (cabm/cabm.hpp): Cabana AoSoA — element-sorted with each element's
+  segment padded to the SoA vector width.
+- **DPS** (dps/dps.hpp): unsorted; parent element stored per particle.
+
+TPU-first redesign: all four are the SAME pytree — a fixed-capacity
+structure-of-arrays with an ``active`` mask, a per-slot parent element, and a
+layout policy that decides *which slot* each particle occupies at rebuild.
+This is exactly what SCS already is minus pointers (SURVEY.md §7); on TPU the
+layout is pure data (slot indices), never a shape, so ``rebuild`` is one
+jitted sort + scatter with zero recompilation, and ``parallel_for`` becomes
+ordinary masked vectorized ops over the flat slot axis.
+
+Capacity management: construction sizes capacity = max(num_ptcls × padding,
+minimum) (the reference's extra-padding inputs); a rebuild whose survivors
+exceed capacity sets ``overflowed`` — callers re-materialize through
+:func:`grow_if_overflowed` (host path, rare, mirrors the reference
+re-allocating its views).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pumipic_tpu.utils.types import LID_DTYPE, REAL_DTYPE, round_up
+
+
+def _static_field(**kw):
+    return dataclasses.field(metadata=dict(static=True), **kw)
+
+
+def create_member_fields(capacity: int, spec: Dict[str, Tuple[tuple, object]]):
+    """``createMemberViews`` analog (MemberTypeLibraries.h:33-41): allocate a
+    zeroed field dict from {name: (inner_shape, dtype)}."""
+    return {
+        name: jnp.zeros((capacity,) + tuple(shape), dtype)
+        for name, (shape, dtype) in spec.items()
+    }
+
+
+@dataclass(frozen=True)
+class SCSInput:
+    """Sell-C-σ tuning (scs/scs_input.hpp:15-64).
+
+    ``chunk_size`` C: rows per chunk (team height in the reference; on TPU it
+    sets the transposed-block stride). ``sigma``: sorting-window width in
+    elements (None/huge → full sort). ``vertical_slice`` V is kept for API
+    parity; it tuned CUDA team shapes and has no TPU meaning.
+    """
+
+    chunk_size: int = 8
+    sigma: Optional[int] = None
+    vertical_slice: int = 64
+    # SCS chunk padding inflates skewed distributions; default capacity
+    # headroom is higher than CSR/DPS for that reason.
+    padding_factor: float = 1.8
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ParticleStructure:
+    """Fixed-capacity SoA particle container (all layouts).
+
+    Slots ``[0, capacity)``; ``active[s]`` marks live particles;
+    ``elem[s]`` is the parent element (undefined where inactive).
+    ``elem_offsets``/``slot_of_rank`` exist for element-sorted layouts.
+    """
+
+    fields: Dict[str, jax.Array]
+    elem: jax.Array            # (C,) int32
+    active: jax.Array          # (C,) bool
+    num_ptcls: jax.Array       # () int32 — traced so rebuilds never recompile
+    elem_offsets: Optional[jax.Array]   # (E+1,) slot offset per element (sorted layouts)
+    row_to_elem: Optional[jax.Array]    # (R,) SCS row order (others: None)
+    elem_to_row: Optional[jax.Array]    # (E,)
+    overflowed: jax.Array      # () bool — rebuild ran out of capacity
+    num_elems: int = _static_field(default=0)
+    capacity: int = _static_field(default=0)
+    layout: str = _static_field(default="dps")   # dps | csr | cabm | scs
+    soa_width: int = _static_field(default=8)    # CabM SoA / TPU sublane width
+    chunk_size: int = _static_field(default=8)   # SCS C
+    sigma: int = _static_field(default=2**30)    # SCS σ
+    name: str = _static_field(default="ptcls")
+
+    # ---------------------------------------------------------------- API
+    def get(self, key) -> jax.Array:
+        """``ps->get<N>()`` analog; accepts field name or index."""
+        if isinstance(key, int):
+            return self.fields[list(self.fields.keys())[key]]
+        return self.fields[key]
+
+    def set(self, key, value) -> "ParticleStructure":
+        name = list(self.fields.keys())[key] if isinstance(key, int) else key
+        f = dict(self.fields)
+        f[name] = value
+        return dataclasses.replace(self, fields=f)
+
+    def n_ptcls(self) -> int:
+        return int(self.num_ptcls)
+
+    @property
+    def n_elems(self) -> int:
+        return self.num_elems
+
+    def num_rows(self) -> int:
+        """numRows: padded row count (SCS pads to chunk multiple)."""
+        if self.layout == "scs":
+            return round_up(self.num_elems, self.chunk_size)
+        return self.num_elems
+
+    def map(self, fn: Callable, *extra) -> "ParticleStructure":
+        """``ps::parallel_for`` analog: ``fn(elem, active, fields, *extra)``
+        returns a dict of updated field arrays (missing keys unchanged)."""
+        updates = fn(self.elem, self.active, self.fields, *extra)
+        f = dict(self.fields)
+        f.update(updates)
+        return dataclasses.replace(self, fields=f)
+
+    def ppe(self) -> jax.Array:
+        """Particles per element (E,)."""
+        seg = jnp.where(self.active, self.elem, self.num_elems)
+        return jax.ops.segment_sum(
+            jnp.ones_like(self.elem), seg, num_segments=self.num_elems + 1
+        )[: self.num_elems]
+
+    def get_pids(self) -> Tuple[jax.Array, jax.Array]:
+        """getPIDs analog (ps_for.hpp:63-85): element-sorted slot ids +
+        per-element offsets (inactive slots sorted to the tail)."""
+        key = jnp.where(self.active, self.elem, self.num_elems)
+        order = jnp.argsort(key, stable=True).astype(LID_DTYPE)
+        counts = self.ppe()
+        offsets = jnp.concatenate(
+            [jnp.zeros(1, counts.dtype), jnp.cumsum(counts)]
+        )
+        return order, offsets
+
+    def copy_to_host(self) -> Dict[str, np.ndarray]:
+        """``copy<HostSpace>()`` analog: materialize to numpy."""
+        out = {k: np.asarray(v) for k, v in self.fields.items()}
+        out["elem"] = np.asarray(self.elem)
+        out["active"] = np.asarray(self.active)
+        return out
+
+    # ------------------------------------------------------------- rebuild
+    def rebuild(
+        self,
+        new_elem: jax.Array,
+        new_ptcl_elems: Optional[jax.Array] = None,
+        new_ptcl_fields: Optional[Dict[str, jax.Array]] = None,
+    ) -> "ParticleStructure":
+        """Reassign particles to elements; negative ``new_elem`` removes.
+
+        Optionally appends a fixed-size batch of new particles (active where
+        ``new_ptcl_elems >= 0``).  Mirrors ``SellCSigma::rebuild`` /
+        ``CSR::rebuild`` semantics; implementation is one fused
+        sort/scatter (csr/CSR_rebuild.hpp count→scan→scatter, minus the
+        reshuffle special case which a single sort already beats on TPU).
+        """
+        return _rebuild(self, new_elem, new_ptcl_elems, new_ptcl_fields)
+
+    def migrate(
+        self,
+        new_elem: jax.Array,
+        new_process: jax.Array,
+        my_rank: int = 0,
+    ) -> "ParticleStructure":
+        """Single-process semantics of ``ps->migrate``: particles assigned to
+        another process are removed; the rest rebuild.  The distributed path
+        lives in :mod:`pumipic_tpu.parallel.migrate` (bucketed all_to_all)."""
+        keep = new_process == my_rank
+        return self.rebuild(jnp.where(keep, new_elem, -1))
+
+    # ------------------------------------------------------------- metrics
+    def metrics(self) -> Dict[str, jax.Array]:
+        """printMetrics analog (SellCSigma.h:465-524): padded-slot fraction
+        and empty rows; layout-specific occupancy."""
+        counts = self.ppe()
+        n = self.num_ptcls
+        cap = jnp.int32(self.capacity)
+        return {
+            "num_ptcls": n,
+            "capacity": cap,
+            "padded_fraction": 1.0 - n / jnp.maximum(cap, 1),
+            "empty_rows": jnp.sum(counts == 0),
+        }
+
+    def print_metrics(self) -> None:
+        m = {k: (float(v) if "fraction" in k else int(v)) for k, v in self.metrics().items()}
+        from pumipic_tpu.utils.plog import print_info
+
+        print_info(
+            "%s (%s): nPtcls %d capacity %d padded %.1f%% emptyRows %d",
+            self.name, self.layout, m["num_ptcls"], m["capacity"],
+            100 * m["padded_fraction"], m["empty_rows"],
+        )
+
+
+# ---------------------------------------------------------------------------
+# layout machinery
+# ---------------------------------------------------------------------------
+
+def _scs_row_order(counts: jax.Array, sigma: int, chunk: int, num_elems: int):
+    """Sigma-sort elements by descending count within windows of σ, pad rows
+    to a chunk multiple.  Returns (row_to_elem (R,), elem_to_row (E,),
+    chunk_width (R/chunk,)) — all data, no shapes (SCS_sort.h:3-49,
+    SCS_buildFns.h:18-100)."""
+    E = num_elems
+    R = round_up(max(E, 1), chunk)
+    sigma = min(sigma, R)
+    # pad counts to R with -1 so padding rows sort last inside each window
+    cpad = jnp.full((R,), -1, counts.dtype).at[:E].set(counts)
+    nwin = R // sigma if R % sigma == 0 else R // sigma + 1
+    Rw = nwin * sigma
+    cpad2 = jnp.full((Rw,), -1, counts.dtype).at[:R].set(cpad)
+    win = cpad2.reshape(nwin, sigma)
+    # stable descending sort per window
+    order = jnp.argsort(-win, axis=1, stable=True)
+    base = (jnp.arange(nwin, dtype=order.dtype) * sigma)[:, None]
+    row_to_elem = (order + base).reshape(-1)[:R].astype(LID_DTYPE)
+    # inverse permutation over the padded range
+    elem_to_row = (
+        jnp.zeros((R,), LID_DTYPE).at[row_to_elem].set(
+            jnp.arange(R, dtype=LID_DTYPE)
+        )
+    )[:E] if E > 0 else jnp.zeros((0,), LID_DTYPE)
+    row_counts = jnp.where(cpad[row_to_elem] > 0, cpad[row_to_elem], 0)
+    chunk_width = jnp.max(row_counts.reshape(R // chunk, chunk), axis=1)
+    return row_to_elem, elem_to_row, chunk_width
+
+
+def _assign_slots(ps: "ParticleStructure", elem: jax.Array, active: jax.Array):
+    """Compute the destination slot of every (combined) particle under the
+    structure's layout.  Returns (slot (M,), elem_offsets or None,
+    row_to_elem, elem_to_row, needed_capacity ())."""
+    E, C = ps.num_elems, ps.capacity
+    M = elem.shape[0]
+    key = jnp.where(active, elem, E)
+
+    if ps.layout == "dps":
+        # keep arrival order; compact actives to the front (hole-free is not
+        # required by DPS, but dense-front packing keeps masked work minimal)
+        order = jnp.argsort(jnp.where(active, 0, 1), stable=True)
+        slot = jnp.zeros((M,), LID_DTYPE).at[order].set(
+            jnp.arange(M, dtype=LID_DTYPE)
+        )
+        n_active = jnp.sum(active.astype(jnp.int32))
+        return slot, None, None, None, n_active
+
+    counts = jax.ops.segment_sum(
+        active.astype(LID_DTYPE), key, num_segments=E + 1
+    )[:E]
+
+    if ps.layout in ("csr", "cabm"):
+        if ps.layout == "cabm":
+            seg = ((counts + ps.soa_width - 1) // ps.soa_width) * ps.soa_width
+        else:
+            seg = counts
+        offsets = jnp.concatenate([jnp.zeros(1, seg.dtype), jnp.cumsum(seg)])
+        order = jnp.argsort(key, stable=True)  # element-sorted particle order
+        # rank within element = position - start of that element's block
+        sorted_elem = key[order]
+        start = jnp.concatenate([jnp.zeros(1, counts.dtype), jnp.cumsum(counts)])
+        rank = jnp.arange(M, dtype=LID_DTYPE) - start[jnp.minimum(sorted_elem, E)].astype(LID_DTYPE)
+        slot_sorted = jnp.where(
+            sorted_elem < E,
+            offsets[jnp.minimum(sorted_elem, E)].astype(LID_DTYPE) + rank,
+            C,  # inactive → dropped
+        )
+        slot = jnp.zeros((M,), LID_DTYPE).at[order].set(slot_sorted)
+        needed = offsets[E]
+        return slot, offsets.astype(LID_DTYPE), None, None, needed
+
+    if ps.layout == "scs":
+        chunk = ps.chunk_size
+        row_to_elem, elem_to_row, chunk_width = _scs_row_order(
+            counts, ps.sigma, chunk, E
+        )
+        nchunks = chunk_width.shape[0]
+        chunk_slots = chunk * chunk_width
+        chunk_off = jnp.concatenate(
+            [jnp.zeros(1, chunk_slots.dtype), jnp.cumsum(chunk_slots)]
+        )
+        row = jnp.where(active, elem_to_row[jnp.minimum(elem, E - 1)], -1)
+        # rank of each particle within its element
+        order = jnp.argsort(key, stable=True)
+        sorted_elem = key[order]
+        start = jnp.concatenate([jnp.zeros(1, counts.dtype), jnp.cumsum(counts)])
+        rank_sorted = jnp.arange(M, dtype=LID_DTYPE) - start[
+            jnp.minimum(sorted_elem, E)
+        ].astype(LID_DTYPE)
+        rank = jnp.zeros((M,), LID_DTYPE).at[order].set(rank_sorted)
+        ch = jnp.maximum(row, 0) // chunk
+        local_row = jnp.maximum(row, 0) % chunk
+        slot = jnp.where(
+            row >= 0,
+            chunk_off[ch].astype(LID_DTYPE) + local_row + rank * chunk,
+            C,
+        ).astype(LID_DTYPE)
+        # element offsets in slot space (for diagnostics): start slot per elem
+        elem_off = (
+            chunk_off[elem_to_row // chunk] + (elem_to_row % chunk)
+            if E > 0
+            else jnp.zeros((0,), LID_DTYPE)
+        )
+        needed = chunk_off[nchunks]
+        return slot, elem_off.astype(LID_DTYPE), row_to_elem, elem_to_row, needed
+
+    raise ValueError(f"unknown layout {ps.layout}")
+
+
+@jax.jit
+def _rebuild(
+    ps: ParticleStructure,
+    new_elem: jax.Array,
+    new_ptcl_elems: Optional[jax.Array],
+    new_ptcl_fields: Optional[Dict[str, jax.Array]],
+) -> ParticleStructure:
+    C = ps.capacity
+    elem = jnp.where(ps.active, new_elem.astype(LID_DTYPE), -1)
+    active = elem >= 0
+    fields = ps.fields
+
+    if new_ptcl_elems is not None:
+        add_active = new_ptcl_elems >= 0
+        elem = jnp.concatenate([elem, new_ptcl_elems.astype(LID_DTYPE)])
+        active = jnp.concatenate([active, add_active])
+        fields = {
+            k: jnp.concatenate([v, new_ptcl_fields[k]]) for k, v in fields.items()
+        }
+
+    slot, elem_offsets, row_to_elem, elem_to_row, needed = _assign_slots(
+        ps, elem, active
+    )
+    slot = jnp.where(active, slot, C)  # inactive → out-of-bounds → dropped
+
+    out_fields = {
+        k: jnp.zeros((C,) + v.shape[1:], v.dtype).at[slot].set(v, mode="drop")
+        for k, v in fields.items()
+    }
+    out_elem = jnp.full((C,), -1, LID_DTYPE).at[slot].set(elem, mode="drop")
+    out_active = jnp.zeros((C,), bool).at[slot].set(active, mode="drop")
+    n = jnp.sum(active.astype(jnp.int32))
+    overflow = needed > C
+
+    return dataclasses.replace(
+        ps,
+        fields=out_fields,
+        elem=out_elem,
+        active=out_active,
+        num_ptcls=n,
+        elem_offsets=elem_offsets,
+        row_to_elem=row_to_elem,
+        elem_to_row=elem_to_row,
+        overflowed=overflow,
+    )
+
+
+# ---------------------------------------------------------------------------
+# constructors
+# ---------------------------------------------------------------------------
+
+def _build(
+    layout: str,
+    num_elems: int,
+    ptcl_elems: np.ndarray,
+    fields: Dict[str, jax.Array] | None,
+    field_spec: Dict[str, Tuple[tuple, object]] | None,
+    capacity: Optional[int],
+    padding_factor: float,
+    name: str,
+    **layout_kw,
+) -> ParticleStructure:
+    """Common constructor: place ``len(ptcl_elems)`` particles (elem ids may
+    be -1 for none) into a fresh structure."""
+    ptcl_elems = jnp.asarray(ptcl_elems, LID_DTYPE)
+    n = ptcl_elems.shape[0]
+    if capacity is None:
+        capacity = max(int(n * padding_factor), n + 8, 64)
+    capacity = round_up(capacity, 8)
+
+    if fields is None:
+        fields = create_member_fields(n, field_spec or {})
+    empty = ParticleStructure(
+        fields={k: jnp.zeros((capacity,) + v.shape[1:], v.dtype) for k, v in fields.items()},
+        elem=jnp.full((capacity,), -1, LID_DTYPE),
+        active=jnp.zeros((capacity,), bool),
+        num_ptcls=jnp.int32(0),
+        elem_offsets=None,
+        row_to_elem=None,
+        elem_to_row=None,
+        overflowed=jnp.asarray(False),
+        num_elems=num_elems,
+        capacity=capacity,
+        layout=layout,
+        name=name,
+        **layout_kw,
+    )
+    if n == 0:
+        return empty
+    ps = empty.rebuild(
+        jnp.full((capacity,), -1, LID_DTYPE),
+        new_ptcl_elems=ptcl_elems,
+        new_ptcl_fields=fields,
+    )
+    if bool(ps.overflowed):
+        raise ValueError(
+            f"{name}: initial particles need more than capacity {capacity}"
+        )
+    return ps
+
+
+def DPS(num_elems, ptcl_elems, fields=None, field_spec=None, capacity=None,
+        padding_factor=1.2, name="ptcls"):
+    """Unsorted flat container (dps/dps.hpp:15-418)."""
+    return _build("dps", num_elems, ptcl_elems, fields, field_spec, capacity,
+                  padding_factor, name)
+
+
+def CSR(num_elems, ptcl_elems, fields=None, field_spec=None, capacity=None,
+        padding_factor=1.2, name="ptcls"):
+    """Element-sorted CSR container (csr/CSR.hpp:16-113)."""
+    return _build("csr", num_elems, ptcl_elems, fields, field_spec, capacity,
+                  padding_factor, name)
+
+
+def CabM(num_elems, ptcl_elems, fields=None, field_spec=None, capacity=None,
+         padding_factor=1.5, soa_width=8, name="ptcls"):
+    """AoSoA-flavored container: element segments padded to the SoA width
+    (cabm/cabm.hpp:15-186); on TPU the width aligns to the 8-row sublane."""
+    if capacity is None:
+        pe = np.asarray(ptcl_elems)
+        ppe = np.bincount(pe[pe >= 0], minlength=num_elems)
+        needed = int((((ppe + soa_width - 1) // soa_width) * soa_width).sum())
+        n = int((pe >= 0).sum())
+        capacity = max(int(needed * 1.1) + 8, int(n * padding_factor), 64)
+    return _build("cabm", num_elems, ptcl_elems, fields, field_spec, capacity,
+                  padding_factor, name, soa_width=soa_width)
+
+
+def scs_layout_size(ppe: np.ndarray, chunk: int, sigma: int) -> int:
+    """Host-side padded slot count of the Sell-C-σ layout for given
+    particles-per-element (the reference sizes capacity from
+    ``constructOffsets``'s final entry)."""
+    E = len(ppe)
+    R = round_up(max(E, 1), chunk)
+    sigma = min(sigma, R)
+    cpad = np.full(R, -1, np.int64)
+    cpad[:E] = ppe
+    nwin = -(-R // sigma)
+    cpad2 = np.full(nwin * sigma, -1, np.int64)
+    cpad2[:R] = cpad
+    win = np.sort(cpad2.reshape(nwin, sigma), axis=1)[:, ::-1]
+    counts = np.maximum(win.reshape(-1)[:R], 0)
+    chunk_width = counts.reshape(R // chunk, chunk).max(axis=1)
+    return int((chunk * chunk_width).sum())
+
+
+def SellCSigma(num_elems, ptcl_elems, fields=None, field_spec=None,
+               capacity=None, scs_input: SCSInput = SCSInput(), name="ptcls"):
+    """Sell-C-σ container (scs/SellCSigma.h:25-227)."""
+    sigma = scs_input.sigma if scs_input.sigma is not None else 2**30
+    if capacity is None:
+        pe = np.asarray(ptcl_elems)
+        ppe = np.bincount(pe[pe >= 0], minlength=num_elems)
+        needed = scs_layout_size(ppe, scs_input.chunk_size, sigma)
+        n = int((pe >= 0).sum())
+        capacity = max(
+            int(needed * 1.1) + 8, int(n * scs_input.padding_factor), 64
+        )
+    return _build(
+        "scs", num_elems, ptcl_elems, fields, field_spec, capacity,
+        scs_input.padding_factor, name,
+        chunk_size=scs_input.chunk_size, sigma=sigma,
+    )
+
+
+def rebuild_checked(
+    ps: ParticleStructure,
+    new_elem: jax.Array,
+    new_ptcl_elems: Optional[jax.Array] = None,
+    new_ptcl_fields: Optional[Dict[str, jax.Array]] = None,
+    growth: float = 1.5,
+    max_retries: int = 4,
+) -> ParticleStructure:
+    """Host-side rebuild that retries with a grown capacity on overflow.
+
+    An overflowed ``rebuild`` drops out-of-capacity particles, so the result
+    is unusable; this re-issues the rebuild on a larger structure built from
+    the *pre-rebuild* state (the reference reallocates its views the same
+    way).  Costs a recompile when it fires — size capacity to make it rare.
+    """
+    out = ps.rebuild(new_elem, new_ptcl_elems, new_ptcl_fields)
+    if not bool(out.overflowed):
+        return out
+
+    # Overflow: redo the rebuild on host in particle (not slot) terms and
+    # materialize a fresh structure whose constructor sizes capacity from the
+    # survivors + additions, with growth headroom.
+    h = ps.copy_to_host()
+    ne = np.asarray(new_elem)
+    keep = h["active"] & (ne >= 0)
+    elems = ne[keep]
+    fields = {
+        k: np.asarray(v)[keep]
+        for k, v in h.items()
+        if k not in ("elem", "active")
+    }
+    if new_ptcl_elems is not None:
+        ane = np.asarray(new_ptcl_elems)
+        akeep = ane >= 0
+        elems = np.concatenate([elems, ane[akeep]])
+        fields = {
+            k: np.concatenate([v, np.asarray(new_ptcl_fields[k])[akeep]])
+            for k, v in fields.items()
+        }
+    fields = {k: jnp.asarray(v) for k, v in fields.items()}
+    n = len(elems)
+    cap_hint = max(int(ps.capacity * growth), int(n * growth)) + 64
+    if ps.layout == "scs":
+        # let the constructor size from the padded layout, with headroom
+        out = SellCSigma(
+            ps.num_elems, elems, fields=fields, capacity=None,
+            scs_input=SCSInput(
+                chunk_size=ps.chunk_size, sigma=ps.sigma,
+                padding_factor=growth,
+            ),
+            name=ps.name,
+        )
+    elif ps.layout == "cabm":
+        out = CabM(ps.num_elems, elems, fields=fields, capacity=None,
+                   padding_factor=growth, soa_width=ps.soa_width, name=ps.name)
+    else:
+        builder = {"dps": DPS, "csr": CSR}[ps.layout]
+        out = builder(ps.num_elems, elems, fields=fields, capacity=cap_hint,
+                      name=ps.name)
+    return out
+
+
+def _grow(ps: ParticleStructure, growth: float) -> ParticleStructure:
+    host = ps.copy_to_host()
+    live = host["active"]
+    elems = np.where(live, host["elem"], -1)
+    fields = {k: jnp.asarray(v) for k, v in host.items() if k not in ("elem", "active")}
+    new_cap = int(ps.capacity * growth) + 64
+    if ps.layout == "scs":
+        return SellCSigma(
+            ps.num_elems, elems, fields=fields, capacity=new_cap,
+            scs_input=SCSInput(chunk_size=ps.chunk_size, sigma=ps.sigma),
+            name=ps.name,
+        )
+    builder = {"dps": DPS, "csr": CSR, "cabm": CabM}[ps.layout]
+    kw = {"soa_width": ps.soa_width} if ps.layout == "cabm" else {}
+    return builder(ps.num_elems, elems, fields=fields, capacity=new_cap,
+                   name=ps.name, **kw)
+
+
+def grow_if_overflowed(ps: ParticleStructure, growth: float = 1.5) -> ParticleStructure:
+    """Host-side capacity escape hatch: if the last rebuild overflowed,
+    re-materialize into a larger structure (new compile, rare)."""
+    if not bool(ps.overflowed):
+        return ps
+    return _grow(ps, growth)

@@ -1,0 +1,95 @@
+"""Mini-app end-to-end tests (pseudoXGCm / pseudoPushAndSearch / search2d),
+the analogs of the reference's integration suite (testing.cmake:96-130).
+Distributed correctness is invariant-based: deterministic seeds + conserved
+particle counts + all-found checks, not golden outputs (SURVEY.md §4)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pumipic_tpu.mesh import generate as gen
+from pumipic_tpu.mesh.core import Mesh2D, Mesh3D
+from pumipic_tpu.models import search2d
+from pumipic_tpu.models.pseudo_push_and_search import (
+    PseudoPushAndSearch,
+    PushSearchConfig,
+)
+from pumipic_tpu.models.pseudo_xgcm import (
+    GyroConfig,
+    PseudoXGCm,
+    XGCmConfig,
+    build_gyro_mapping,
+    make_default_mesh,
+)
+
+
+def _small_mesh():
+    coords, tris, cls = gen.annulus_mesh(6, 24, 0.3, 1.0)
+    return Mesh2D.from_arrays(coords, tris, cls)
+
+
+def test_search2d_driver():
+    # convex domain: the greedy BCC walk reaches any destination (an annulus
+    # would legitimately delete walks aimed across its inner hole, exactly
+    # like the reference's walk on non-convex domains)
+    coords, tris, cls = gen.disk_mesh(8, 8)
+    mesh = Mesh2D.from_arrays(coords, tris, cls)
+    failures = search2d.run(mesh, num_ptcls=500)
+    assert failures == 0
+
+
+def test_gyro_mapping_build():
+    mesh = _small_mesh()
+    gyro = GyroConfig(rmax=0.05, num_rings=2, points_per_ring=4)
+    m = build_gyro_mapping(mesh, gyro)
+    assert m.shape == (mesh.nverts * 2 * 4 * 3,)
+    m_np = np.asarray(m)
+    # interior ring points must map to valid vertices; some boundary-vertex
+    # rings fall outside the annulus and are -1
+    valid = m_np >= 0
+    assert valid.mean() > 0.5
+    assert np.all(m_np[valid] < mesh.nverts)
+
+
+def test_pseudo_xgcm_runs_and_conserves():
+    mesh = _small_mesh()
+    cfg = XGCmConfig(
+        num_ptcls=2000,
+        num_iterations=3,
+        mdl_face=3,
+        deg_per_push=10.0,
+        structure="csr",
+        gyro=GyroConfig(rmax=0.05, num_rings=2, points_per_ring=4),
+    )
+    app = PseudoXGCm(mesh, cfg)
+    n0 = app.ptcls.n_ptcls()
+    assert n0 == cfg.num_ptcls
+    fwd, bwd = app.run(verbose=False)
+    n1 = app.ptcls.n_ptcls()
+    # particles only vanish by leaving the domain; most should survive
+    assert 0 < n1 <= n0
+    assert n1 > 0.5 * n0
+    # scatter deposits every surviving particle twice (ringUp+ringDown) at
+    # 3 verts each, averaged over points_per_ring then mapped to <=3 verts:
+    # total deposited weight is bounded by 2*3*3*n (loose sanity bound)
+    assert 0 < float(fwd.sum()) <= 2 * 3 * 3 * n1
+    # determinism: same seeds -> same result
+    app2 = PseudoXGCm(mesh, cfg)
+    fwd2, _ = app2.run(verbose=False)
+    np.testing.assert_allclose(np.asarray(fwd), np.asarray(fwd2), atol=1e-5)
+
+
+@pytest.mark.parametrize("structure", ["csr", "dps"])
+def test_pseudo_push_and_search(structure):
+    coords, tets = gen.box_tet_mesh(4, 4, 4)
+    mesh = Mesh3D.from_arrays(coords, tets)
+    cfg = PushSearchConfig(
+        num_ptcls=500, num_iterations=4, distance=0.05, structure=structure
+    )
+    app = PseudoPushAndSearch(mesh, cfg)
+    assert app.ptcls.n_ptcls() == 500
+    history = app.run()
+    # history holds post-step counts: monotone decreasing as particles exit
+    # through the +x,+y,+z faces, some already on the first push
+    assert all(history[i] >= history[i + 1] for i in range(len(history) - 1))
+    assert history[0] <= 500
+    assert 0 < history[-1] < 500

@@ -1,0 +1,257 @@
+"""Particle-structure matrix tests.
+
+Mirrors the reference's exhaustive ``test_structure.cpp:73-100`` suite:
+every concrete layout (SCS two configs, CSR, CabM, DPS) is driven through
+construction / counts / setValues / pseudo-push / PIDs / metrics / rebuild
+variants / single-rank migration / copy-to-host / empty-and-refill, from the
+same deterministic fixtures.
+"""
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pumipic_tpu.particles import (
+    CSR,
+    DPS,
+    CabM,
+    SellCSigma,
+    SCSInput,
+    distribute,
+)
+from pumipic_tpu.particles.structure import grow_if_overflowed, rebuild_checked
+
+E = 25
+N = 200
+
+BUILDERS = {
+    "scs_c4": lambda elems, fields, **kw: SellCSigma(
+        E, elems, fields=fields, scs_input=SCSInput(chunk_size=4, sigma=None), **kw
+    ),
+    "scs_c8_s8": lambda elems, fields, **kw: SellCSigma(
+        E, elems, fields=fields, scs_input=SCSInput(chunk_size=8, sigma=8), **kw
+    ),
+    "csr": lambda elems, fields, **kw: CSR(E, elems, fields=fields, **kw),
+    "cabm": lambda elems, fields, **kw: CabM(E, elems, fields=fields, **kw),
+    "dps": lambda elems, fields, **kw: DPS(E, elems, fields=fields, **kw),
+}
+
+
+def _fixture(strategy="gaussian", seed=3):
+    ppe, elems = distribute.distribute_particles(E, N, strategy, seed=seed)
+    fields = {
+        "pos": jnp.asarray(np.random.default_rng(1).normal(size=(N, 3)), jnp.float32),
+        "val": jnp.zeros((N, 3), jnp.float32),
+        "pid": jnp.arange(N, dtype=jnp.int32),
+    }
+    return ppe, elems, fields
+
+
+def _host_state(ps):
+    """pid -> (elem, pos) for every active slot."""
+    h = ps.copy_to_host()
+    out = {}
+    for s in range(ps.capacity):
+        if h["active"][s]:
+            out[int(h["pid"][s])] = (int(h["elem"][s]), tuple(h["pos"][s]))
+    return out
+
+
+@pytest.mark.parametrize("name", BUILDERS)
+def test_build_counts_and_identity(name):
+    ppe, elems, fields = _fixture()
+    ps = BUILDERS[name](elems, fields)
+    assert ps.n_ptcls() == N
+    assert ps.num_elems == E
+    np.testing.assert_array_equal(np.asarray(ps.ppe()), ppe)
+    # every particle is present exactly once with its data intact
+    state = _host_state(ps)
+    assert len(state) == N
+    for pid, (e, pos) in state.items():
+        assert e == elems[pid]
+        np.testing.assert_allclose(pos, np.asarray(fields["pos"][pid]), rtol=1e-6)
+
+
+@pytest.mark.parametrize("name", BUILDERS)
+def test_layout_invariants(name):
+    ppe, elems, fields = _fixture("exponential")
+    ps = BUILDERS[name](elems, fields)
+    h = ps.copy_to_host()
+    if ps.layout == "csr":
+        off = np.asarray(ps.elem_offsets)
+        assert off[-1] == N
+        for e in range(E):
+            seg = h["elem"][off[e]:off[e + 1]]
+            assert np.all(seg == e)
+            assert np.all(h["active"][off[e]:off[e + 1]])
+    if ps.layout == "cabm":
+        off = np.asarray(ps.elem_offsets)
+        assert np.all(off % ps.soa_width == 0)
+        for e in range(E):
+            seg_active = h["active"][off[e]:off[e + 1]]
+            assert seg_active.sum() == ppe[e]
+            assert np.all(h["elem"][off[e]:off[e + 1]][seg_active] == e)
+    if ps.layout == "scs":
+        # sigma-sorted row order: within each sigma window, counts descend
+        r2e = np.asarray(ps.row_to_elem)
+        counts = np.zeros(len(r2e), np.int64)
+        valid = r2e < E
+        counts[valid] = ppe[r2e[valid]]
+        sig = min(ps.sigma, len(r2e))
+        for w0 in range(0, len(r2e), sig):
+            wc = counts[w0:w0 + sig]
+            assert np.all(np.diff(wc) <= 0), (w0, wc)
+
+
+@pytest.mark.parametrize("name", BUILDERS)
+def test_set_values_and_pseudo_push(name):
+    ppe, elems, fields = _fixture()
+    ps = BUILDERS[name](elems, fields)
+
+    def push(elem, active, f):
+        new_val = jnp.where(
+            active[:, None], f["pos"] * 2.0 + 1.0, f["val"]
+        )
+        return {"val": new_val}
+
+    ps2 = ps.map(push)
+    h = ps2.copy_to_host()
+    act = h["active"]
+    np.testing.assert_allclose(h["val"][act], h["pos"][act] * 2 + 1, rtol=1e-6)
+
+
+@pytest.mark.parametrize("name", BUILDERS)
+def test_get_pids(name):
+    ppe, elems, fields = _fixture()
+    ps = BUILDERS[name](elems, fields)
+    order, offsets = ps.get_pids()
+    order = np.asarray(order)
+    offsets = np.asarray(offsets)
+    h = ps.copy_to_host()
+    assert offsets[-1] == N
+    for e in range(E):
+        slots = order[offsets[e]:offsets[e + 1]]
+        assert np.all(h["elem"][slots] == e)
+        assert np.all(h["active"][slots])
+
+
+@pytest.mark.parametrize("name", BUILDERS)
+@pytest.mark.parametrize(
+    "variant", ["same", "shift", "remove_half", "add", "empty_refill"]
+)
+def test_rebuild_variants(name, variant):
+    ppe, elems, fields = _fixture()
+    # csr/dps capacity is a free choice; cabm/scs must size from their padded
+    # layout, so let the constructor compute it
+    kw = {"capacity": 2 * N} if name in ("csr", "dps") else {}
+    ps = BUILDERS[name](elems, fields, **kw)
+    h = ps.copy_to_host()
+    cur_elem = jnp.asarray(h["elem"])
+    pid = h["pid"]
+
+    if variant == "same":
+        ps2 = ps.rebuild(cur_elem)
+        assert ps2.n_ptcls() == N
+        assert _host_state(ps2) == _host_state(ps)
+    elif variant == "shift":
+        ps2 = ps.rebuild(jnp.where(ps.active, (cur_elem + 1) % E, -1))
+        assert ps2.n_ptcls() == N
+        state = _host_state(ps2)
+        old = _host_state(ps)
+        for p, (e, pos) in state.items():
+            assert e == (old[p][0] + 1) % E
+            assert pos == old[p][1]
+    elif variant == "remove_half":
+        new_elem = jnp.where(jnp.asarray(pid) % 2 == 0, cur_elem, -1)
+        ps2 = ps.rebuild(new_elem)
+        assert ps2.n_ptcls() == N // 2
+        state = _host_state(ps2)
+        assert set(state) == {p for p in range(N) if p % 2 == 0}
+    elif variant == "add":
+        add_n = 16
+        add_elems = jnp.asarray(np.arange(add_n) % E, jnp.int32)
+        add_fields = {
+            "pos": jnp.full((add_n, 3), 7.0, jnp.float32),
+            "val": jnp.zeros((add_n, 3), jnp.float32),
+            "pid": jnp.arange(N, N + add_n, dtype=jnp.int32),
+        }
+        ps2 = ps.rebuild(cur_elem, add_elems, add_fields)
+        assert ps2.n_ptcls() == N + add_n
+        state = _host_state(ps2)
+        assert len(state) == N + add_n
+        for p in range(N, N + add_n):
+            assert state[p][0] == (p - N) % E
+            assert state[p][1] == (7.0, 7.0, 7.0)
+    elif variant == "empty_refill":
+        ps2 = ps.rebuild(jnp.full_like(cur_elem, -1))
+        assert ps2.n_ptcls() == 0
+        assert not bool(ps2.active.any())
+        # refill from empty (migrate-to-empty-and-refill analog)
+        add_elems = jnp.asarray(elems[:50], jnp.int32)
+        add_fields = {
+            "pos": fields["pos"][:50],
+            "val": fields["val"][:50],
+            "pid": fields["pid"][:50],
+        }
+        ps3 = ps2.rebuild(jnp.full_like(cur_elem, -1), add_elems, add_fields)
+        assert ps3.n_ptcls() == 50
+        np.testing.assert_array_equal(
+            np.asarray(ps3.ppe()), np.bincount(elems[:50], minlength=E)
+        )
+
+
+@pytest.mark.parametrize("name", BUILDERS)
+def test_migrate_single_rank(name):
+    ppe, elems, fields = _fixture()
+    ps = BUILDERS[name](elems, fields)
+    h = ps.copy_to_host()
+    cur_elem = jnp.asarray(h["elem"])
+    # send odd pids to "rank 1" -> they are removed locally
+    procs = jnp.where(jnp.asarray(h["pid"]) % 2 == 1, 1, 0)
+    ps2 = ps.migrate(cur_elem, procs, my_rank=0)
+    assert ps2.n_ptcls() == N // 2
+    assert all(p % 2 == 0 for p in _host_state(ps2))
+
+
+@pytest.mark.parametrize("name", BUILDERS)
+def test_empty_structure(name):
+    ps = BUILDERS[name](np.zeros(0, np.int64), {
+        "pos": jnp.zeros((0, 3), jnp.float32),
+        "val": jnp.zeros((0, 3), jnp.float32),
+        "pid": jnp.zeros((0,), jnp.int32),
+    })
+    assert ps.n_ptcls() == 0
+    m = ps.metrics()
+    assert int(m["num_ptcls"]) == 0
+
+
+@pytest.mark.parametrize("name", ["csr", "dps", "cabm", "scs_c4"])
+def test_overflow_and_grow(name):
+    ppe, elems, fields = _fixture()
+    kw = {"capacity": max(N + 8, 208)} if name in ("csr", "dps") else {}
+    ps = BUILDERS[name](elems, fields, **kw)
+    h = ps.copy_to_host()
+    cur_elem = jnp.asarray(h["elem"])
+    add_n = 64
+    add_fields = {
+        "pos": jnp.zeros((add_n, 3), jnp.float32),
+        "val": jnp.zeros((add_n, 3), jnp.float32),
+        "pid": jnp.arange(N, N + add_n, dtype=jnp.int32),
+    }
+    ps2 = ps.rebuild(cur_elem, jnp.zeros(add_n, jnp.int32), add_fields)
+    assert bool(ps2.overflowed)
+    # checked rebuild grows the pre-overflow structure and retries
+    ps3 = rebuild_checked(ps, cur_elem, jnp.zeros(add_n, jnp.int32), add_fields)
+    assert not bool(ps3.overflowed)
+    assert ps3.n_ptcls() == N + add_n
+    assert ps3.capacity > ps.capacity
+
+
+def test_metrics_padding():
+    ppe, elems, fields = _fixture("gitrm")
+    ps = SellCSigma(E, elems, fields=fields,
+                    scs_input=SCSInput(chunk_size=8, sigma=None))
+    m = ps.metrics()
+    assert 0.0 <= float(m["padded_fraction"]) < 1.0
+    ps.print_metrics()
