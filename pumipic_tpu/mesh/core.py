@@ -60,6 +60,9 @@ class Mesh2D:
     vert2elem_offsets: jax.Array  # (V+1,) lid CSR
     vert2elem_vals: jax.Array     # (sum deg,) lid
     class_id: jax.Array        # (E,) lid geometric-model classification
+    # packed walk tables: one gather each per search step
+    walk_geom: jax.Array       # (E, 8) f32 [ib00 ib01 ib10 ib11 v0x v0y 0 0]
+    walk_nbrs: jax.Array       # (E, 4) i32 neighbor elem across local edge i
     elem_tags: Dict[str, jax.Array]
     vert_tags: Dict[str, jax.Array]
     nelems: int = _static_field(default=0)
@@ -97,11 +100,22 @@ class Mesh2D:
     ) -> "Mesh2D":
         a = adj.build_tri_adjacency(coords, elem2verts)
         ev = a["elem2verts"]
+        E = ev.shape[0]
         p = a["coords"][ev]  # (E, 3, 2) float64
         basis = np.stack([p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]], axis=-1)  # cols
         inv_basis = np.linalg.inv(basis)
         if class_id is None:
             class_id = np.ones(ev.shape[0], dtype=np.int64)
+
+        # packed per-element walk tables (hot-loop fusion: 2 gathers/step)
+        geom = np.zeros((E, 8), np.float64)
+        geom[:, 0:4] = inv_basis.reshape(E, 4)
+        geom[:, 4:6] = p[:, 0]
+        e2e = a["edge2elems"][a["elem2edges"]]            # (E, 3, 2)
+        self_ids = np.arange(E)[:, None]
+        nbrs = np.where(e2e[:, :, 0] == self_ids, e2e[:, :, 1], e2e[:, :, 0])
+        walk_nbrs = np.full((E, 4), -1, np.int64)
+        walk_nbrs[:, :3] = nbrs
         return Mesh2D(
             coords=jnp.asarray(a["coords"], real_dtype),
             elem2verts=jnp.asarray(ev, LID_DTYPE),
@@ -115,6 +129,8 @@ class Mesh2D:
             vert2elem_offsets=jnp.asarray(a["vert2elem_offsets"], LID_DTYPE),
             vert2elem_vals=jnp.asarray(a["vert2elem_vals"], LID_DTYPE),
             class_id=jnp.asarray(class_id, LID_DTYPE),
+            walk_geom=jnp.asarray(geom, real_dtype),
+            walk_nbrs=jnp.asarray(walk_nbrs, LID_DTYPE),
             elem_tags={},
             vert_tags={},
             nelems=int(ev.shape[0]),
@@ -144,6 +160,8 @@ class Mesh3D:
     vert2elem_offsets: jax.Array
     vert2elem_vals: jax.Array
     class_id: jax.Array
+    walk_geom: jax.Array   # (E, 16) f32 [ib(9), v0(3), pad(4)]
+    walk_nbrs: jax.Array   # (E, 4) i32 neighbor elem across local face i
     elem_tags: Dict[str, jax.Array]
     vert_tags: Dict[str, jax.Array]
     nelems: int = _static_field(default=0)
@@ -180,6 +198,7 @@ class Mesh3D:
     ) -> "Mesh3D":
         a = adj.build_tet_adjacency(coords, elem2verts)
         ev = a["elem2verts"]
+        E = ev.shape[0]
         p = a["coords"][ev]  # (E, 4, 3)
         basis = np.stack(
             [p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], p[:, 3] - p[:, 0]], axis=-1
@@ -187,6 +206,13 @@ class Mesh3D:
         inv_basis = np.linalg.inv(basis)
         if class_id is None:
             class_id = np.ones(ev.shape[0], dtype=np.int64)
+
+        geom = np.zeros((E, 16), np.float64)
+        geom[:, 0:9] = inv_basis.reshape(E, 9)
+        geom[:, 9:12] = p[:, 0]
+        f2e = a["face2elems"][a["elem2faces"]]            # (E, 4, 2)
+        self_ids = np.arange(E)[:, None]
+        nbrs = np.where(f2e[:, :, 0] == self_ids, f2e[:, :, 1], f2e[:, :, 0])
         return Mesh3D(
             coords=jnp.asarray(a["coords"], real_dtype),
             elem2verts=jnp.asarray(ev, LID_DTYPE),
@@ -200,6 +226,8 @@ class Mesh3D:
             vert2elem_offsets=jnp.asarray(a["vert2elem_offsets"], LID_DTYPE),
             vert2elem_vals=jnp.asarray(a["vert2elem_vals"], LID_DTYPE),
             class_id=jnp.asarray(class_id, LID_DTYPE),
+            walk_geom=jnp.asarray(geom, real_dtype),
+            walk_nbrs=jnp.asarray(nbrs, LID_DTYPE),
             elem_tags={},
             vert_tags={},
             nelems=int(ev.shape[0]),

@@ -52,29 +52,50 @@ def accumulate_to_rings(
     radius').
     """
     ring_width = gyro_rmax / num_rings
-    if ptcl_radius is None:
-        r = jnp.full(elem.shape, 1.125 * ring_width)
-    else:
-        r = ptcl_radius
-    # ring below the particle radius (clamped so ring_up stays in range)
-    ring_down = jnp.clip((r / ring_width).astype(jnp.int32) - 1, 0, num_rings - 2)
-    ring_up = ring_down + 1
-
-    # per-element counts for each ring bucket, then scatter to the 3 verts
     num_elems = elem2verts.shape[0]
     nvpe = elem2verts.shape[1]
+    R = num_rings
 
-    verts = elem2verts[jnp.maximum(elem, 0)]          # (N, nvpe)
-    ring_accum = jnp.zeros((num_verts * num_rings,), jnp.float32)
-    for ring in (ring_down, ring_up):
-        idx = verts * num_rings + ring[:, None]        # (N, nvpe)
-        idx = jnp.where(active[:, None], idx, num_verts * num_rings)
-        flat = idx.reshape(-1)
-        ones = jnp.ones(flat.shape, jnp.float32)
-        ring_accum = ring_accum + jax.ops.segment_sum(
-            ones, flat, num_segments=num_verts * num_rings + 1
-        )[: num_verts * num_rings]
-    return ring_accum.reshape(num_verts, num_rings)
+    # Stage 1: per-(element, ring) counts — O(N) scatter-adds.  The naive
+    # per-particle-per-vertex scatter costs 2*nvpe*N adds; counting at
+    # element granularity first cuts the particle-rate scatter 6x, and the
+    # vertex expansion then runs at mesh size (E*nvpe*R adds, negligible).
+    if ptcl_radius is None:
+        # uniform radius (the reference's 1.125*ringWidth placeholder,
+        # gyroScatter.hpp:185): ring pair is the same for every particle
+        rd = min(max(int(1.125) - 1, 0), R - 2)
+        ru = rd + 1
+        seg = jnp.where(active, elem, num_elems)
+        counts = jax.ops.segment_sum(
+            jnp.ones(elem.shape, jnp.float32), seg, num_segments=num_elems + 1
+        )[:num_elems]
+        elem_ring = (
+            jnp.zeros((num_elems, R), jnp.float32)
+            .at[:, rd].add(counts)
+            .at[:, ru].add(counts)
+        )
+    else:
+        ring_down = jnp.clip(
+            (ptcl_radius / ring_width).astype(jnp.int32) - 1, 0, R - 2
+        )
+        elem_ring_flat = jnp.zeros((num_elems * R,), jnp.float32)
+        for ring in (ring_down, ring_down + 1):
+            key = jnp.where(active, elem * R + ring, num_elems * R)
+            elem_ring_flat = elem_ring_flat + jax.ops.segment_sum(
+                jnp.ones(elem.shape, jnp.float32), key,
+                num_segments=num_elems * R + 1,
+            )[: num_elems * R]
+        elem_ring = elem_ring_flat.reshape(num_elems, R)
+
+    # Stage 2: expand per-element ring counts to the element's vertices
+    # (mesh-sized, deterministic segment_sum replaces the reference atomics)
+    keys = (elem2verts[:, :, None] * R
+            + jnp.arange(R, dtype=elem2verts.dtype)[None, None, :])  # (E,nvpe,R)
+    vals = jnp.broadcast_to(elem_ring[:, None, :], (num_elems, nvpe, R))
+    out = jax.ops.segment_sum(
+        vals.reshape(-1), keys.reshape(-1), num_segments=num_verts * R
+    )
+    return out.reshape(num_verts, num_rings)
 
 
 def scatter_to_mapped_verts(

@@ -4,41 +4,47 @@ Reference parity:
 - ``search_mesh_2d`` (``src/pumipic_adjacency.hpp:1011-1158``): per-particle
   BCC edge walk — check current element, mark boundary exits, cross the most
   violated edge; loop until a global min-reduce says everyone is done.
-- ``search_mesh`` / ``search_mesh_3d`` (``:314-768``): tet BCC walk with
-  intersection fallback.
+- ``search_mesh`` / ``search_mesh_3d`` (``:314-768``): tet BCC walk.
 - ``trace_particle_through_mesh`` (``src/pumipic_adjacency.tpp:460-615``):
   unified driver with a user-pluggable boundary handler (default
   ``RemoveParticleOnGeometricModelExit``, ``:617-639``).
 
-TPU-first redesign: the whole walk is ONE ``lax.while_loop`` whose body is a
-fully vectorized step over every particle (gather element basis → barycentric
-matvec → argmin side → dual-graph crossing).  The reference re-launches three
-kernels per step and reads a device-to-host min each iteration
-(``adjacency.hpp:1120-1123``); here the convergence test is a device-side
-``jnp.all`` folded into the loop condition, so the chip never stalls on the
-host.  Cost per step is O(N) gathers + FMAs regardless of how many particles
-are already done — profitable on TPU because the walk usually terminates in a
-few steps and the masked lanes are pure bandwidth.
+TPU-first redesign:
 
-Termination semantics (same as the reference): the walk greedily crosses the
+- The whole walk is ``lax.while_loop``s whose body is a fully vectorized step
+  over particles: ONE packed-row gather (``Mesh*.walk_geom`` holds the
+  element's inverse affine basis + origin) → barycentric FMAs → argmin side →
+  ONE neighbor gather (``walk_nbrs``).  The reference launches three kernels
+  per step and reads a device-to-host min every iteration
+  (adjacency.hpp:1120-1123); here convergence tests live in the loop
+  condition, so the chip never stalls on the host.
+- **Straggler compaction**: after ``COMPACT_AFTER`` full-width steps, the
+  survivors (typically a tiny fraction) are gathered into an N/8-sized
+  scratch array and walked to completion there, then scattered back.  This
+  bounds the tail cost at ~1/8 per step instead of paying O(N) gathers until
+  the very last walker lands (the reference pays full kernel launches over
+  the whole structure for every loop).
+
+Termination semantics (same as the reference): the greedy walk crosses the
 most-violated side toward the destination, which reaches any destination on a
 convex domain or for local (few-element) moves.  On a non-convex domain a
 walk aimed across a hole hits the interior boundary and is handed to the
-boundary handler (default: delete) — identical to the reference's exposed-
-side handling in ``checkExposedEdges``.
+boundary handler (default: delete) — identical to the reference's
+``checkExposedEdges`` behavior.
 """
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from pumipic_tpu.mesh.core import Mesh2D, Mesh3D
-from pumipic_tpu.ops import geometry as geo
 
 INVALID = -1
+COMPACT_AFTER = 4    # full-width steps before straggler compaction
+COMPACT_DIV = 8      # compacted width = max(N // COMPACT_DIV, 512)
 
 
 class BoundaryCtx(NamedTuple):
@@ -94,6 +100,186 @@ class SearchResult(NamedTuple):
     all_found: jax.Array  # () bool: everyone finished within the loop limit
 
 
+# ---------------------------------------------------------------------------
+# walk engine
+# ---------------------------------------------------------------------------
+
+def _walk_step_2d(mesh: Mesh2D, boundary_handler):
+    """One vectorized walk step, width-agnostic."""
+
+    def step(elem, dest, done, orig):
+        e_safe = jnp.maximum(elem, 0)
+
+        # single packed gather: [ib00 ib01 ib10 ib11 v0x v0y _ _]
+        g = mesh.walk_geom[e_safe]                 # (N, 8)
+        rx = dest[:, 0] - g[:, 4]
+        ry = dest[:, 1] - g[:, 5]
+        l1 = g[:, 0] * rx + g[:, 1] * ry
+        l2 = g[:, 2] * rx + g[:, 3] * ry
+        w0 = 1.0 - l1 - l2
+        inside = (w0 >= 0) & (l1 >= 0) & (l2 >= 0)
+
+        # most negative vertex weight -> cross the opposite edge
+        # (vertex k opposite edge (k+1)%3)
+        wmin = jnp.minimum(w0, l1)
+        kmin = jnp.where(w0 <= l1, 0, 1)
+        kmin = jnp.where(l2 < wmin, 2, kmin)
+        exit_local = (kmin + 1) % 3
+
+        nbr4 = mesh.walk_nbrs[e_safe]              # (N, 4)
+        next_elem = jnp.where(
+            exit_local == 0, nbr4[:, 0],
+            jnp.where(exit_local == 1, nbr4[:, 1], nbr4[:, 2]),
+        )
+        exposed = next_elem == INVALID
+
+        walking = ~done
+        hits_boundary = walking & ~inside & exposed
+
+        # side id for handlers (dead-code-eliminated when unused)
+        edge3 = mesh.elem2edges[e_safe]
+        edge = jnp.where(
+            exit_local == 0, edge3[:, 0],
+            jnp.where(exit_local == 1, edge3[:, 1], edge3[:, 2]),
+        )
+        bres = boundary_handler(
+            BoundaryCtx(elem=elem, side=edge, orig=orig, dest=dest, mesh=mesh)
+        )
+
+        new_elem = jnp.where(
+            walking & ~inside,
+            jnp.where(exposed, bres.elem, next_elem),
+            elem,
+        )
+        new_dest = jnp.where(hits_boundary[:, None], bres.dest, dest)
+        new_done = done | (walking & inside) | (hits_boundary & bres.done)
+        return new_elem, new_dest, new_done
+
+    return step
+
+
+def _walk_step_3d(mesh: Mesh3D, boundary_handler):
+    def step(elem, dest, done, orig):
+        e_safe = jnp.maximum(elem, 0)
+
+        g = mesh.walk_geom[e_safe]                 # (N, 16): [ib(9) v0(3) pad]
+        rx = dest[:, 0] - g[:, 9]
+        ry = dest[:, 1] - g[:, 10]
+        rz = dest[:, 2] - g[:, 11]
+        l1 = g[:, 0] * rx + g[:, 1] * ry + g[:, 2] * rz
+        l2 = g[:, 3] * rx + g[:, 4] * ry + g[:, 5] * rz
+        l3 = g[:, 6] * rx + g[:, 7] * ry + g[:, 8] * rz
+        w0 = 1.0 - l1 - l2 - l3
+        inside = (w0 >= 0) & (l1 >= 0) & (l2 >= 0) & (l3 >= 0)
+
+        wmin = w0
+        kmin = jnp.zeros_like(elem)
+        for k, lk in ((1, l1), (2, l2), (3, l3)):
+            take = lk < wmin
+            wmin = jnp.where(take, lk, wmin)
+            kmin = jnp.where(take, k, kmin)
+        exit_local = kmin
+
+        nbr4 = mesh.walk_nbrs[e_safe]
+        next_elem = jnp.where(
+            exit_local == 0, nbr4[:, 0],
+            jnp.where(
+                exit_local == 1, nbr4[:, 1],
+                jnp.where(exit_local == 2, nbr4[:, 2], nbr4[:, 3]),
+            ),
+        )
+        exposed = next_elem == INVALID
+
+        walking = ~done
+        hits_boundary = walking & ~inside & exposed
+
+        face4 = mesh.elem2faces[e_safe]
+        face = jnp.take_along_axis(face4, exit_local[:, None], axis=1)[:, 0]
+        bres = boundary_handler(
+            BoundaryCtx(elem=elem, side=face, orig=orig, dest=dest, mesh=mesh)
+        )
+
+        new_elem = jnp.where(
+            walking & ~inside,
+            jnp.where(exposed, bres.elem, next_elem),
+            elem,
+        )
+        new_dest = jnp.where(hits_boundary[:, None], bres.dest, dest)
+        new_done = done | (walking & inside) | (hits_boundary & bres.done)
+        return new_elem, new_dest, new_done
+
+    return step
+
+
+def _run_walk(step, elem0, dest0, done0, orig, max_iters: int) -> SearchResult:
+    """Multi-level walk: full width while the straggler set is large, then
+    progressively compacted widths (N/8, N/64, ...) once survivors fit.
+
+    Every loop condition counts the undone set on device; compaction is a
+    static-size nonzero + gather, and results scatter back afterwards, so the
+    whole engine stays inside one jitted computation.
+    """
+    n = elem0.shape[0]
+
+    # compacted widths: n/8, n/64, ... down to ~2048
+    widths = []
+    w = n
+    while w // COMPACT_DIV >= 2048 and len(widths) < 3:
+        w = w // COMPACT_DIV
+        widths.append(w)
+
+    def make_body(orig_arr):
+        def body(s):
+            elem, dest, done, it = s
+            elem, dest, done = step(elem, dest, done, orig_arr)
+            return elem, dest, done, it + 1
+
+        return body
+
+    # level 0: full width until survivors fit the first compacted width
+    thresh0 = widths[0] if widths else 0
+
+    def cond_full(s):
+        elem, dest, done, it = s
+        undone = jnp.sum(~done)
+        return (it < max_iters) & (undone > thresh0)
+
+    elem, dest, done, it = jax.lax.while_loop(
+        cond_full, make_body(orig), (elem0, dest0, done0, jnp.int32(0))
+    )
+
+    # compacted levels (run unconditionally; no-ops when already done)
+    for li, m in enumerate(widths):
+        next_thresh = widths[li + 1] if li + 1 < len(widths) else 0
+        idx = jnp.nonzero(~done, size=m, fill_value=n)[0]
+        in_range = idx < n
+        sidx = jnp.minimum(idx, n - 1)
+        s_elem = jnp.where(in_range, elem[sidx], INVALID)
+        s_dest = dest[sidx]
+        s_done = ~in_range
+        s_orig = orig[sidx]
+
+        def cond(s, _t=next_thresh):
+            e, d, dn, i = s
+            return (i < max_iters) & (jnp.sum(~dn) > _t)
+
+        s_elem, s_dest, s_done, it = jax.lax.while_loop(
+            cond, make_body(s_orig), (s_elem, s_dest, s_done, it)
+        )
+        elem = elem.at[idx].set(s_elem, mode="drop")
+        dest = dest.at[idx].set(s_dest, mode="drop")
+        done = done.at[idx].set(s_done, mode="drop")
+
+    all_found = jnp.all(done)
+    # loop-limit fallback: delete unfinished walkers (adjacency.hpp:1126-1149)
+    elem = jnp.where(done, elem, INVALID)
+    return SearchResult(elem_ids=elem, dest=dest, iters=it, all_found=all_found)
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
 @partial(jax.jit, static_argnames=("max_iters", "boundary_handler"))
 def search_mesh_2d(
     mesh: Mesh2D,
@@ -109,56 +295,12 @@ def search_mesh_2d(
 
     Matches ``search_mesh_2d`` semantics (adjacency.hpp:1011-1158): boundary
     exits are delegated to ``boundary_handler``; particles still walking when
-    ``max_iters`` is hit are deleted (elem = INVALID), as the reference does
-    at its loop limit.
+    ``max_iters`` is hit are deleted, as the reference does at its loop limit.
     """
-    n = x_tgt.shape[0]
     elem0 = jnp.where(active, elem_init.astype(jnp.int32), INVALID)
     done0 = ~active
-
-    def cond(state):
-        elem, dest, done, it = state
-        return (it < max_iters) & ~jnp.all(done)
-
-    def body(state):
-        elem, dest, done, it = state
-        e_safe = jnp.maximum(elem, 0)
-
-        inv_b = mesh.elem_inv_basis[e_safe]        # (N, 2, 2)
-        v0 = mesh.elem_v0[e_safe]                  # (N, 2)
-        w = geo.bcc_2d(inv_b, v0, dest)            # (N, 3)
-        inside = geo.all_positive(w)
-
-        # side to cross = edge opposite the most negative vertex weight
-        exit_local = geo.exit_edge_2d(w)           # (N,)
-        edge = mesh.elem2edges[e_safe, exit_local]  # (N,)
-        nbrs = mesh.edge2elems[jnp.maximum(edge, 0)]  # (N, 2)
-        exposed = nbrs[:, 1] == INVALID
-        next_elem = jnp.where(nbrs[:, 0] == elem, nbrs[:, 1], nbrs[:, 0])
-
-        walking = ~done
-        hits_boundary = walking & ~inside & exposed
-
-        bres = boundary_handler(
-            BoundaryCtx(elem=elem, side=edge, orig=x_orig, dest=dest, mesh=mesh)
-        )
-
-        new_elem = jnp.where(
-            walking & ~inside,
-            jnp.where(exposed, bres.elem, next_elem),
-            elem,
-        )
-        new_dest = jnp.where(hits_boundary[:, None], bres.dest, dest)
-        new_done = done | (walking & inside) | (hits_boundary & bres.done)
-        return new_elem, new_dest, new_done, it + 1
-
-    elem, dest, done, iters = jax.lax.while_loop(
-        cond, body, (elem0, x_tgt, done0, jnp.int32(0))
-    )
-    all_found = jnp.all(done)
-    # loop-limit fallback: delete unfinished walkers (adjacency.hpp:1126-1149)
-    elem = jnp.where(done, elem, INVALID)
-    return SearchResult(elem_ids=elem, dest=dest, iters=iters, all_found=all_found)
+    step = _walk_step_2d(mesh, boundary_handler)
+    return _run_walk(step, elem0, x_tgt, done0, x_orig, max_iters)
 
 
 @partial(jax.jit, static_argnames=("max_iters", "boundary_handler"))
@@ -173,55 +315,12 @@ def search_mesh_3d(
 ) -> SearchResult:
     """Tet-mesh walk (BCC descent): cross the face opposite the most negative
     vertex weight until the destination's weights are all nonnegative.
-
     Equivalent to the reference's BCC path in ``search_mesh``
-    (adjacency.hpp:558-768) with the same boundary/loop-limit semantics.
-    """
-    n = x_tgt.shape[0]
+    (adjacency.hpp:558-768) with the same boundary/loop-limit semantics."""
     elem0 = jnp.where(active, elem_init.astype(jnp.int32), INVALID)
     done0 = ~active
-
-    def cond(state):
-        elem, dest, done, it = state
-        return (it < max_iters) & ~jnp.all(done)
-
-    def body(state):
-        elem, dest, done, it = state
-        e_safe = jnp.maximum(elem, 0)
-
-        inv_b = mesh.elem_inv_basis[e_safe]
-        v0 = mesh.elem_v0[e_safe]
-        w = geo.bcc_3d(inv_b, v0, dest)            # (N, 4)
-        inside = geo.all_positive(w)
-
-        exit_local = geo.min_index(w)              # face i opposite vertex i
-        face = mesh.elem2faces[e_safe, exit_local]
-        nbrs = mesh.face2elems[jnp.maximum(face, 0)]
-        exposed = nbrs[:, 1] == INVALID
-        next_elem = jnp.where(nbrs[:, 0] == elem, nbrs[:, 1], nbrs[:, 0])
-
-        walking = ~done
-        hits_boundary = walking & ~inside & exposed
-
-        bres = boundary_handler(
-            BoundaryCtx(elem=elem, side=face, orig=x_orig, dest=dest, mesh=mesh)
-        )
-
-        new_elem = jnp.where(
-            walking & ~inside,
-            jnp.where(exposed, bres.elem, next_elem),
-            elem,
-        )
-        new_dest = jnp.where(hits_boundary[:, None], bres.dest, dest)
-        new_done = done | (walking & inside) | (hits_boundary & bres.done)
-        return new_elem, new_dest, new_done, it + 1
-
-    elem, dest, done, iters = jax.lax.while_loop(
-        cond, body, (elem0, x_tgt, done0, jnp.int32(0))
-    )
-    all_found = jnp.all(done)
-    elem = jnp.where(done, elem, INVALID)
-    return SearchResult(elem_ids=elem, dest=dest, iters=iters, all_found=all_found)
+    step = _walk_step_3d(mesh, boundary_handler)
+    return _run_walk(step, elem0, x_tgt, done0, x_orig, max_iters)
 
 
 def trace_particle_through_mesh(
