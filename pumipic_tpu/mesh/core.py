@@ -60,9 +60,10 @@ class Mesh2D:
     vert2elem_offsets: jax.Array  # (V+1,) lid CSR
     vert2elem_vals: jax.Array     # (sum deg,) lid
     class_id: jax.Array        # (E,) lid geometric-model classification
-    # packed walk tables: one gather each per search step
-    walk_geom: jax.Array       # (E, 8) f32 [ib00 ib01 ib10 ib11 v0x v0y 0 0]
-    walk_nbrs: jax.Array       # (E, 4) i32 neighbor elem across local edge i
+    # packed walk table: ONE row gather per search step.
+    # cols: [ib00 ib01 ib10 ib11, v0x v0y, nbr0..2 (i32 bitcast),
+    #        edge0..2 (i32 bitcast)]
+    walk_geom: jax.Array       # (E, 12) f32
     elem_tags: Dict[str, jax.Array]
     vert_tags: Dict[str, jax.Array]
     nelems: int = _static_field(default=0)
@@ -107,15 +108,16 @@ class Mesh2D:
         if class_id is None:
             class_id = np.ones(ev.shape[0], dtype=np.int64)
 
-        # packed per-element walk tables (hot-loop fusion: 2 gathers/step)
-        geom = np.zeros((E, 8), np.float64)
-        geom[:, 0:4] = inv_basis.reshape(E, 4)
-        geom[:, 4:6] = p[:, 0]
+        # packed per-element walk table (hot-loop fusion: 1 gather/step);
+        # neighbor and edge ids ride along as int32 bitcast to float32
+        geom = np.zeros((E, 12), np.float32)
+        geom[:, 0:4] = inv_basis.reshape(E, 4).astype(np.float32)
+        geom[:, 4:6] = p[:, 0].astype(np.float32)
         e2e = a["edge2elems"][a["elem2edges"]]            # (E, 3, 2)
         self_ids = np.arange(E)[:, None]
         nbrs = np.where(e2e[:, :, 0] == self_ids, e2e[:, :, 1], e2e[:, :, 0])
-        walk_nbrs = np.full((E, 4), -1, np.int64)
-        walk_nbrs[:, :3] = nbrs
+        geom[:, 6:9] = nbrs.astype(np.int32).view(np.float32)
+        geom[:, 9:12] = a["elem2edges"].astype(np.int32).view(np.float32)
         return Mesh2D(
             coords=jnp.asarray(a["coords"], real_dtype),
             elem2verts=jnp.asarray(ev, LID_DTYPE),
@@ -129,8 +131,7 @@ class Mesh2D:
             vert2elem_offsets=jnp.asarray(a["vert2elem_offsets"], LID_DTYPE),
             vert2elem_vals=jnp.asarray(a["vert2elem_vals"], LID_DTYPE),
             class_id=jnp.asarray(class_id, LID_DTYPE),
-            walk_geom=jnp.asarray(geom, real_dtype),
-            walk_nbrs=jnp.asarray(walk_nbrs, LID_DTYPE),
+            walk_geom=jnp.asarray(geom),
             elem_tags={},
             vert_tags={},
             nelems=int(ev.shape[0]),
@@ -160,8 +161,8 @@ class Mesh3D:
     vert2elem_offsets: jax.Array
     vert2elem_vals: jax.Array
     class_id: jax.Array
-    walk_geom: jax.Array   # (E, 16) f32 [ib(9), v0(3), pad(4)]
-    walk_nbrs: jax.Array   # (E, 4) i32 neighbor elem across local face i
+    # packed walk table: cols [ib(9), v0(3), nbr0..3 (i32 bitcast)]
+    walk_geom: jax.Array   # (E, 16) f32
     elem_tags: Dict[str, jax.Array]
     vert_tags: Dict[str, jax.Array]
     nelems: int = _static_field(default=0)
@@ -207,12 +208,13 @@ class Mesh3D:
         if class_id is None:
             class_id = np.ones(ev.shape[0], dtype=np.int64)
 
-        geom = np.zeros((E, 16), np.float64)
-        geom[:, 0:9] = inv_basis.reshape(E, 9)
-        geom[:, 9:12] = p[:, 0]
+        geom = np.zeros((E, 16), np.float32)
+        geom[:, 0:9] = inv_basis.reshape(E, 9).astype(np.float32)
+        geom[:, 9:12] = p[:, 0].astype(np.float32)
         f2e = a["face2elems"][a["elem2faces"]]            # (E, 4, 2)
         self_ids = np.arange(E)[:, None]
         nbrs = np.where(f2e[:, :, 0] == self_ids, f2e[:, :, 1], f2e[:, :, 0])
+        geom[:, 12:16] = nbrs.astype(np.int32).view(np.float32)
         return Mesh3D(
             coords=jnp.asarray(a["coords"], real_dtype),
             elem2verts=jnp.asarray(ev, LID_DTYPE),
@@ -226,8 +228,7 @@ class Mesh3D:
             vert2elem_offsets=jnp.asarray(a["vert2elem_offsets"], LID_DTYPE),
             vert2elem_vals=jnp.asarray(a["vert2elem_vals"], LID_DTYPE),
             class_id=jnp.asarray(class_id, LID_DTYPE),
-            walk_geom=jnp.asarray(geom, real_dtype),
-            walk_nbrs=jnp.asarray(nbrs, LID_DTYPE),
+            walk_geom=jnp.asarray(geom),
             elem_tags={},
             vert_tags={},
             nelems=int(ev.shape[0]),

@@ -327,6 +327,169 @@ def make_dp_setup(mesh: Mesh2D, cfg: XGCmConfig, device_mesh, seed: int = ELEMEN
     return state, step
 
 
+# ---------------------------------------------------------------------------
+# distributed (BFS-buffered PICparts) variant — the full reference pipeline
+# ---------------------------------------------------------------------------
+
+def make_picparts_setup(
+    coords: np.ndarray,
+    elem2verts: np.ndarray,
+    class_id: np.ndarray,
+    cfg: XGCmConfig,
+    device_mesh,
+    inp=None,
+    migrate_cap: Optional[int] = None,
+    seed: int = ELEMENT_SEED,
+):
+    """Distributed pseudoXGCm over BFS-buffered PICparts: per step —
+    push → local search → safe-zone migration (bucketed all_to_all) →
+    gyro scatter → reduceCommArray(SUM) gyroSync.  This is the complete
+    reference pipeline (pseudoXGCm.cpp:504-534) as one SPMD jitted step.
+
+    Returns (picparts, state, step) with state sharded P('ranks').
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pumipic_tpu.parallel import migrate as mig
+    from pumipic_tpu.parallel import picparts as ppm
+    from pumipic_tpu.parallel import reduce as red
+    from pumipic_tpu.parallel.mesh_axis import RANK_AXIS
+
+    R = int(np.prod([device_mesh.shape[a] for a in device_mesh.axis_names]))
+    if inp is None:
+        inp = ppm.PicPartsInput()
+    owners = ppm.partition_rcb(coords, elem2verts, R)
+    pp = ppm.build_picparts(coords, elem2verts, owners, R, inp, class_id)
+
+    # --- host-side particle seeding on the GLOBAL mesh, routed to owners
+    gmesh = Mesh2D.from_arrays(coords, elem2verts, class_id)
+    rng = np.random.default_rng(seed)
+    ppe = seed_particles_per_element(gmesh, cfg, rng)
+    g_elems = np.repeat(np.arange(gmesh.nelems), ppe)
+    pos = uniform_points_in_elements(
+        gmesh, g_elems, np.random.default_rng(PARTICLE_SEED)
+    )
+    phi, b = push_ops.elliptical_setup(jnp.asarray(pos), cfg.h, cfg.k, cfg.d)
+    phi = np.asarray(phi)
+    b = np.asarray(b)
+
+    own_of_ptcl = owners[g_elems]
+    elem_gid_h = np.asarray(pp.elem_gid)
+    n_cap = max(
+        int(max((own_of_ptcl == r).sum() for r in range(R)) * 1.5) + 8, 64
+    )
+    state_h = {
+        "x": np.zeros((R, n_cap, 2), np.float32),
+        "phi": np.zeros((R, n_cap), np.float32),
+        "b": np.zeros((R, n_cap), np.float32),
+        "pid": np.full((R, n_cap), -1, np.int32),
+        "elem": np.full((R, n_cap), -1, np.int32),
+        "active": np.zeros((R, n_cap), bool),
+    }
+    for r in range(R):
+        sel = np.nonzero(own_of_ptcl == r)[0]
+        n = len(sel)
+        g2l = np.full(gmesh.nelems, -1, np.int64)
+        valid = elem_gid_h[r] >= 0
+        g2l[elem_gid_h[r][valid]] = np.nonzero(valid)[0]
+        state_h["x"][r, :n] = pos[sel]
+        state_h["phi"][r, :n] = phi[sel]
+        state_h["b"][r, :n] = b[sel]
+        state_h["pid"][r, :n] = sel
+        state_h["elem"][r, :n] = g2l[g_elems[sel]]
+        state_h["active"][r, :n] = True
+
+    sharding = NamedSharding(device_mesh, P(RANK_AXIS))
+    state = {
+        k: jax.device_put(jnp.asarray(v), sharding) for k, v in state_h.items()
+    }
+    pp = jax.device_put(pp, sharding)
+
+    # --- per-rank gyro maps on the local (padded) meshes
+    gyro = cfg.gyro
+    gyro_maps = []
+    rpp3 = gyro.num_rings * gyro.points_per_ring * 3
+    for r in range(R):
+        lmesh = jax.tree_util.tree_map(lambda a, _r=r: a[_r], pp.mesh)
+        gm = build_gyro_mapping(lmesh, gyro)
+        # padded vertices carry no rings
+        vmask = jnp.repeat(pp.vert_gid[r] >= 0, rpp3)
+        gyro_maps.append(jnp.where(vmask, gm, -1))
+    gyro_map = jax.device_put(jnp.stack(gyro_maps), sharding)
+
+    if migrate_cap is None:
+        migrate_cap = max(n_cap // 8, 64)
+
+    from functools import partial as _partial
+
+    @jax.jit
+    @_partial(
+        jax.shard_map,
+        mesh=device_mesh,
+        in_specs=(P(RANK_AXIS), P(RANK_AXIS), P(RANK_AXIS)),
+        out_specs=(P(RANK_AXIS), P(RANK_AXIS), P()),
+        check_vma=False,
+    )
+    def step(pp_l, gmap_l, s):
+        lpp = ppm.local_view(pp_l)
+        lmesh = lpp.mesh
+        s = ppm.local_view(s)
+        gmap = gmap_l[0]
+        me = jax.lax.axis_index(RANK_AXIS).astype(jnp.int32)
+
+        elem, active = s["elem"], s["active"]
+        cid = lmesh.class_id[jnp.maximum(elem, 0)]
+        xtgt, phi_new = push_ops.elliptical_push(
+            s["phi"], s["b"], cid, cfg.deg_per_push, cfg.h, cfg.k, cfg.d
+        )
+        xtgt = jnp.where(active[:, None], xtgt, s["x"])
+        res = search_ops.search_mesh_2d(
+            lmesh, s["x"], xtgt, elem, active, cfg.max_search_iters
+        )
+
+        mid = {
+            "x": res.dest,
+            "phi": jnp.where(active, phi_new, s["phi"]),
+            "b": s["b"],
+            "pid": s["pid"],
+            "elem": res.elem_ids,
+            "active": active & (res.elem_ids >= 0),
+        }
+        dest = mig.set_unsafe_procs(
+            lpp.elem_safe, lpp.elem_owner, res.elem_ids, mid["active"], me
+        )
+        mres = mig.migrate(
+            mid, res.elem_ids, dest, lpp.elem_gid,
+            lpp.elem_gid_sorted, lpp.elem_gid_perm, me, R, migrate_cap,
+        )
+        s2 = mres.state
+
+        fwd = scatter_ops.gyro_scatter(
+            s2["elem"], s2["active"], lmesh.elem2verts, gmap,
+            lmesh.nverts, gyro.num_rings, gyro.points_per_ring, gyro.rmax,
+        )
+        # gyroSync: reduceCommArray(VERT, SUM) over buffered copies
+        fwd = red.reduce_comm_array(
+            lpp.vert_send_ids, lpp.vert_recv_ids, fwd, red.Op.SUM
+        )
+        stats = {
+            "alive": jax.lax.psum(
+                jnp.sum(s2["active"].astype(jnp.int32)), RANK_AXIS
+            ),
+            "sent": jax.lax.psum(mres.num_sent, RANK_AXIS),
+            "overflow": jax.lax.pmax(
+                mres.overflow.astype(jnp.int32), RANK_AXIS
+            ),
+        }
+        return (
+            jax.tree_util.tree_map(lambda a: a[None], s2),
+            fwd[None],
+            stats,
+        )
+
+    return pp, state, gyro_map, lambda s: step(pp, gyro_map, s)
+
+
 def make_default_mesh(nelems_target: int = 25_000) -> Mesh2D:
     """Tokamak-cross-section-like annulus sized to ~nelems_target elements
     (XGC 24k-element mesh analog)."""

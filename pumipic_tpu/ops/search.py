@@ -110,8 +110,9 @@ def _walk_step_2d(mesh: Mesh2D, boundary_handler):
     def step(elem, dest, done, orig):
         e_safe = jnp.maximum(elem, 0)
 
-        # single packed gather: [ib00 ib01 ib10 ib11 v0x v0y _ _]
-        g = mesh.walk_geom[e_safe]                 # (N, 8)
+        # single packed gather:
+        # [ib00 ib01 ib10 ib11, v0x v0y, nbr0..2(i32), edge0..2(i32)]
+        g = mesh.walk_geom[e_safe]                 # (N, 12)
         rx = dest[:, 0] - g[:, 4]
         ry = dest[:, 1] - g[:, 5]
         l1 = g[:, 0] * rx + g[:, 1] * ry
@@ -126,18 +127,18 @@ def _walk_step_2d(mesh: Mesh2D, boundary_handler):
         kmin = jnp.where(l2 < wmin, 2, kmin)
         exit_local = (kmin + 1) % 3
 
-        nbr4 = mesh.walk_nbrs[e_safe]              # (N, 4)
+        nbr3 = jax.lax.bitcast_convert_type(g[:, 6:9], jnp.int32)
         next_elem = jnp.where(
-            exit_local == 0, nbr4[:, 0],
-            jnp.where(exit_local == 1, nbr4[:, 1], nbr4[:, 2]),
+            exit_local == 0, nbr3[:, 0],
+            jnp.where(exit_local == 1, nbr3[:, 1], nbr3[:, 2]),
         )
         exposed = next_elem == INVALID
 
         walking = ~done
         hits_boundary = walking & ~inside & exposed
 
-        # side id for handlers (dead-code-eliminated when unused)
-        edge3 = mesh.elem2edges[e_safe]
+        # side id for handlers (same gathered row, no extra memory traffic)
+        edge3 = jax.lax.bitcast_convert_type(g[:, 9:12], jnp.int32)
         edge = jnp.where(
             exit_local == 0, edge3[:, 0],
             jnp.where(exit_local == 1, edge3[:, 1], edge3[:, 2]),
@@ -162,7 +163,7 @@ def _walk_step_3d(mesh: Mesh3D, boundary_handler):
     def step(elem, dest, done, orig):
         e_safe = jnp.maximum(elem, 0)
 
-        g = mesh.walk_geom[e_safe]                 # (N, 16): [ib(9) v0(3) pad]
+        g = mesh.walk_geom[e_safe]          # (N, 16): [ib(9) v0(3) nbr(4,i32)]
         rx = dest[:, 0] - g[:, 9]
         ry = dest[:, 1] - g[:, 10]
         rz = dest[:, 2] - g[:, 11]
@@ -180,7 +181,7 @@ def _walk_step_3d(mesh: Mesh3D, boundary_handler):
             kmin = jnp.where(take, k, kmin)
         exit_local = kmin
 
-        nbr4 = mesh.walk_nbrs[e_safe]
+        nbr4 = jax.lax.bitcast_convert_type(g[:, 12:16], jnp.int32)
         next_elem = jnp.where(
             exit_local == 0, nbr4[:, 0],
             jnp.where(

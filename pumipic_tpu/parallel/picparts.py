@@ -1,0 +1,384 @@
+"""PICparts: replication-based mesh distribution (host build).
+
+Reference parity (``src/pumipic_part_construct.cpp``, ``pumipic_input.hpp``,
+``pumipic_mesh.hpp`` — SURVEY.md §2 L2): every rank owns a *core* of mesh
+elements plus BFS-buffered copies of neighboring cores; a *safe zone* around
+the core lets particles move without inter-rank transfer; lower-dimension
+ownership is the minimum adjacent element owner; each picpart is a
+self-contained renumbered mesh with global-id maps.
+
+TPU-native redesign: picpart construction is **offline preprocessing** in
+numpy.  All per-rank picparts are padded to identical shapes and stacked
+along a leading ``ranks`` axis, producing ONE pytree whose leaves shard over
+the device mesh with ``P('ranks')`` — inside ``shard_map`` each device sees
+exactly its own picpart.  The reference's per-dimension comm metadata
+(boundary-entity index lists exchanged via MPI at startup,
+``Mesh::setupComm`` src/pumipic_comm.cpp:12-184) becomes precomputed
+fixed-shape exchange tables consumed by ``lax.all_to_all``:
+
+- ``vert_send_ids[r, s, k]``: local vertex ids on rank r whose owner is s
+  (the fan-in route), padded with -1;
+- ``vert_recv_ids[r, s, k]``: the matching local ids on the owner;
+- ``elem_gid_sorted``/``elem_gid_perm``: per-rank sorted global element ids
+  for device-side GID→LID translation during migration (replaces the
+  reference's ``Kokkos::UnorderedMap``, SCS_buildFns.h:102-113).
+
+Buffer/safe policies (``Input::FULL/BFS/MINIMUM/NONE``,
+src/pumipic_input.hpp:33-76): FULL replicates the whole mesh (safe
+everywhere); BFS grows ``buffer_layers`` rings over the vertex bridge and
+marks elements within ``safe_layers`` of the core safe; MINIMUM is BFS with
+one layer and no safe ring; NONE buffers nothing (safe = core only, every
+boundary crossing migrates).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from enum import Enum
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pumipic_tpu.mesh.core import Mesh2D, Mesh3D
+from pumipic_tpu.utils.types import LID_DTYPE
+
+
+class BufferMethod(Enum):
+    FULL = "full"
+    BFS = "bfs"
+    MINIMUM = "minimum"
+    NONE = "none"
+
+
+@dataclass(frozen=True)
+class PicPartsInput:
+    """``pumipic::Input`` analog (src/pumipic_input.hpp:8-77)."""
+
+    buffer_method: BufferMethod = BufferMethod.BFS
+    buffer_layers: int = 3
+    safe_layers: int = 1
+
+
+def _static_field(**kw):
+    return dataclasses.field(metadata=dict(static=True), **kw)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PicParts:
+    """Stacked picparts: every array leaf has leading axis = num_ranks and is
+    intended to shard with ``P('ranks')``.  The reference's ``pumipic::Mesh``
+    runtime object (src/pumipic_mesh.hpp:97-138)."""
+
+    mesh: object                 # Mesh2D/Mesh3D pytree, leaves (R, ...)
+    elem_owner: jax.Array        # (R, E) owner rank per local elem (-1 pad)
+    elem_safe: jax.Array         # (R, E) bool safe-zone flag
+    elem_gid: jax.Array          # (R, E) global elem id (-1 pad)
+    elem_gid_sorted: jax.Array   # (R, E) sorted gids for searchsorted
+    elem_gid_perm: jax.Array     # (R, E) local id of k-th sorted gid
+    vert_owner: jax.Array        # (R, V) owner rank per local vertex
+    vert_gid: jax.Array          # (R, V)
+    vert_send_ids: jax.Array     # (R, R, Kv) fan-in gather ids (-1 pad)
+    vert_recv_ids: jax.Array     # (R, R, Kv) owner-side ids (-1 pad)
+    num_ranks: int = _static_field(default=1)
+    num_core_elems: int = _static_field(default=0)   # max over ranks (info)
+
+    @property
+    def nelems(self) -> int:
+        return self.mesh.nelems
+
+    @property
+    def nverts(self) -> int:
+        return self.mesh.nverts
+
+    def comm_array_size(self, dim: int) -> int:
+        """createCommArray analog: per-rank array length for entity dim."""
+        return self.mesh.nverts if dim == 0 else self.mesh.nelems
+
+
+# ---------------------------------------------------------------------------
+# partitioners
+# ---------------------------------------------------------------------------
+
+def partition_rcb(coords: np.ndarray, elem2verts: np.ndarray, num_ranks: int
+                  ) -> np.ndarray:
+    """Recursive coordinate bisection over element centroids: balanced,
+    spatially compact parts (stand-in for the reference's externally-supplied
+    .ptn partition vectors)."""
+    cent = coords[elem2verts].mean(axis=1)
+    E = cent.shape[0]
+    owners = np.zeros(E, np.int64)
+
+    def split(idx, ranks0, ranks1):
+        n = ranks1 - ranks0
+        if n == 1 or idx.size == 0:
+            owners[idx] = ranks0
+            return
+        spread = cent[idx].max(0) - cent[idx].min(0)
+        axis = int(np.argmax(spread))
+        order = np.argsort(cent[idx, axis], kind="stable")
+        n_left = (n // 2) * idx.size // n
+        left = idx[order[:n_left]]
+        right = idx[order[n_left:]]
+        split(left, ranks0, ranks0 + n // 2)
+        split(right, ranks0 + n // 2, ranks1)
+
+    split(np.arange(E), 0, num_ranks)
+    return owners
+
+
+def partition_from_classification(class_id: np.ndarray, class_to_rank: Dict[int, int]
+                                  ) -> np.ndarray:
+    """CLASSIFICATION partition input (src/pumipic_input.hpp: cpn files):
+    assign each element by its geometric-model region."""
+    return np.asarray([class_to_rank[int(c)] for c in class_id], np.int64)
+
+
+# ---------------------------------------------------------------------------
+# build
+# ---------------------------------------------------------------------------
+
+def _elem_adjacency_via_verts(elem2verts: np.ndarray, nverts: int):
+    """vertex-bridged element adjacency as CSR (host)."""
+    E, k = elem2verts.shape
+    # vert -> elems
+    vid = elem2verts.reshape(-1)
+    eid = np.repeat(np.arange(E), k)
+    order = np.argsort(vid, kind="stable")
+    v_sorted, e_sorted = vid[order], eid[order]
+    starts = np.searchsorted(v_sorted, np.arange(nverts))
+    ends = np.searchsorted(v_sorted, np.arange(nverts), side="right")
+    return v_sorted, e_sorted, starts, ends
+
+
+def _bfs_layers(elem2verts: np.ndarray, nverts: int, seed_mask: np.ndarray,
+                max_layers: int) -> np.ndarray:
+    """BFS distance (in vertex-bridge hops) from the seed element set,
+    capped at max_layers (+inf beyond).  Vectorized frontier sweep — the
+    host analog of the reference's layered BFS device kernels
+    (part_construct.cpp:387-437)."""
+    E = elem2verts.shape[0]
+    dist = np.full(E, np.iinfo(np.int32).max, np.int64)
+    dist[seed_mask] = 0
+    frontier = seed_mask.copy()
+    for layer in range(1, max_layers + 1):
+        # vertices touched by the frontier
+        vmask = np.zeros(nverts, bool)
+        vmask[elem2verts[frontier].reshape(-1)] = True
+        # elements touching those vertices
+        emask = vmask[elem2verts].any(axis=1)
+        new = emask & (dist > layer)
+        if not new.any():
+            break
+        dist[new] = layer
+        frontier = new
+    return dist
+
+
+def build_picparts(
+    coords: np.ndarray,
+    elem2verts: np.ndarray,
+    owners: np.ndarray,
+    num_ranks: int,
+    inp: PicPartsInput = PicPartsInput(),
+    class_id: Optional[np.ndarray] = None,
+    mesh_cls=Mesh2D,
+) -> PicParts:
+    """Construct stacked picparts from a full mesh + element ownership.
+
+    The reference's ``Mesh::Mesh(Input&)`` (part_construct.cpp:43-274) as
+    offline preprocessing; returns a device-ready :class:`PicParts`.
+    """
+    owners = np.asarray(owners, np.int64)
+    E_g = elem2verts.shape[0]
+    V_g = coords.shape[0]
+    if class_id is None:
+        class_id = np.ones(E_g, np.int64)
+
+    # global vertex owners: min adjacent element owner (defineOwners,
+    # part_construct.cpp:304-323)
+    vert_owner_g = np.full(V_g, np.iinfo(np.int64).max)
+    for k in range(elem2verts.shape[1]):
+        np.minimum.at(vert_owner_g, elem2verts[:, k], owners)
+
+    # per-rank picpart element sets
+    local_elems: List[np.ndarray] = []
+    local_safe: List[np.ndarray] = []
+    for r in range(num_ranks):
+        core = owners == r
+        if inp.buffer_method == BufferMethod.FULL:
+            sel = np.ones(E_g, bool)
+            safe = np.ones(E_g, bool)
+        elif inp.buffer_method == BufferMethod.NONE:
+            sel = core
+            safe = core.copy()
+        else:
+            layers = (1 if inp.buffer_method == BufferMethod.MINIMUM
+                      else inp.buffer_layers)
+            dist = _bfs_layers(elem2verts, V_g, core, layers)
+            sel = dist <= layers
+            safe_layers = (0 if inp.buffer_method == BufferMethod.MINIMUM
+                           else min(inp.safe_layers, layers - 1))
+            safe = dist <= safe_layers
+        gids = np.nonzero(sel)[0]
+        local_elems.append(gids)
+        local_safe.append(safe[gids])
+
+    E_max = max(len(g) for g in local_elems)
+    # build per-rank renumbered meshes, then pad & stack
+    meshes = []
+    eo_l, es_l, eg_l, vo_l, vg_l = [], [], [], [], []
+    vert_gids_per_rank = []
+    for r in range(num_ranks):
+        gids = local_elems[r]
+        ev_g = elem2verts[gids]
+        vgids = np.unique(ev_g.reshape(-1))
+        g2l = np.full(V_g, -1, np.int64)
+        g2l[vgids] = np.arange(len(vgids))
+        lm = mesh_cls.from_arrays(coords[vgids], g2l[ev_g], class_id[gids])
+        meshes.append(lm)
+        eo_l.append(owners[gids])
+        es_l.append(local_safe[r])
+        eg_l.append(gids)
+        vo_l.append(vert_owner_g[vgids])
+        vg_l.append(vgids)
+        vert_gids_per_rank.append(vgids)
+
+    V_max = max(m.nverts for m in meshes)
+    stacked_mesh = _pad_stack_meshes(meshes, E_max, V_max)
+
+    def pad1(arrs, n, fill):
+        return np.stack([
+            np.concatenate([a, np.full(n - len(a), fill, a.dtype)])
+            for a in arrs
+        ])
+
+    elem_owner = pad1(eo_l, E_max, -1)
+    elem_safe = pad1([s.astype(np.int64) for s in es_l], E_max, 0).astype(bool)
+    elem_gid = pad1(eg_l, E_max, -1)
+    vert_owner = pad1(vo_l, V_max, -1)
+    vert_gid = pad1(vg_l, V_max, -1)
+
+    # sorted elem gids for device GID->LID (pad gid -1 sorts first; use a
+    # large sentinel instead so real gids stay in a contiguous sorted prefix)
+    BIG = np.iinfo(np.int64).max // 2
+    eg_for_sort = np.where(elem_gid >= 0, elem_gid, BIG)
+    perm = np.argsort(eg_for_sort, axis=1, kind="stable")
+    eg_sorted = np.take_along_axis(eg_for_sort, perm, axis=1)
+
+    # vertex fan-in exchange lists: copies -> owner
+    send: Dict[Tuple[int, int], List[Tuple[int, int]]] = {}
+    vert_l2g = vert_gids_per_rank
+    g2l_per_rank = []
+    for r in range(num_ranks):
+        g2l = np.full(V_g, -1, np.int64)
+        g2l[vert_l2g[r]] = np.arange(len(vert_l2g[r]))
+        g2l_per_rank.append(g2l)
+    for r in range(num_ranks):
+        vo = vo_l[r]
+        for li, o in enumerate(vo):
+            if o != r:
+                gid = vert_l2g[r][li]
+                lo = g2l_per_rank[o][gid]
+                assert lo >= 0, "owner must hold a copy of its vertex"
+                send.setdefault((r, int(o)), []).append((li, int(lo)))
+
+    Kv = max((len(v) for v in send.values()), default=1)
+    vert_send_ids = np.full((num_ranks, num_ranks, Kv), -1, np.int64)
+    vert_recv_ids = np.full((num_ranks, num_ranks, Kv), -1, np.int64)
+    for (r, o), pairs in send.items():
+        for k, (li, lo) in enumerate(pairs):
+            vert_send_ids[r, o, k] = li
+            vert_recv_ids[o, r, k] = lo
+
+    return PicParts(
+        mesh=stacked_mesh,
+        elem_owner=jnp.asarray(elem_owner, LID_DTYPE),
+        elem_safe=jnp.asarray(elem_safe),
+        elem_gid=jnp.asarray(elem_gid, LID_DTYPE),
+        elem_gid_sorted=jnp.asarray(
+            np.minimum(eg_sorted, np.iinfo(np.int32).max - 1), LID_DTYPE
+        ),
+        elem_gid_perm=jnp.asarray(perm, LID_DTYPE),
+        vert_owner=jnp.asarray(vert_owner, LID_DTYPE),
+        vert_gid=jnp.asarray(vert_gid, LID_DTYPE),
+        vert_send_ids=jnp.asarray(vert_send_ids, LID_DTYPE),
+        vert_recv_ids=jnp.asarray(vert_recv_ids, LID_DTYPE),
+        num_ranks=num_ranks,
+        num_core_elems=int(max((owners == r).sum() for r in range(num_ranks))),
+    )
+
+
+def _pad_stack_meshes(meshes, E_max: int, V_max: int):
+    """Pad per-rank meshes to common shapes and stack along a leading rank
+    axis.  Padded elements are inert: walk_nbrs = -1 so a walk that somehow
+    enters one exits as a boundary; padded vertices carry zeros."""
+    Ned_max = max(getattr(m, "nedges", getattr(m, "nfaces", 0)) for m in meshes)
+    v2e_max = max(m.vert2elem_vals.shape[0] for m in meshes)
+
+    def pad_to(arr, n, fill):
+        a = np.asarray(arr)
+        if a.shape[0] == n:
+            return a
+        pad_shape = (n - a.shape[0],) + a.shape[1:]
+        return np.concatenate([a, np.full(pad_shape, fill, a.dtype)])
+
+    out = {}
+    m0 = meshes[0]
+    is2d = isinstance(m0, Mesh2D)
+    side_field = "nedges" if is2d else "nfaces"
+
+    def stack(field, n, fill):
+        return jnp.asarray(
+            np.stack([pad_to(getattr(m, field), n, fill) for m in meshes])
+        )
+
+    common = dict(
+        coords=stack("coords", V_max, 0.0),
+        elem2verts=stack("elem2verts", E_max, 0),
+        side_is_exposed=stack("side_is_exposed", Ned_max, True),
+        elem_v0=stack("elem_v0", E_max, 0.0),
+        elem_inv_basis=stack("elem_inv_basis", E_max, 0.0),
+        vert2elem_offsets=jnp.asarray(np.stack([
+            pad_to(m.vert2elem_offsets, V_max + 1,
+                   int(np.asarray(m.vert2elem_offsets)[-1]))
+            for m in meshes
+        ])),
+        vert2elem_vals=stack("vert2elem_vals", v2e_max, 0),
+        class_id=stack("class_id", E_max, -1),
+        # padded walk rows: NaN geometry + bitcast(-1) neighbors makes a
+        # padded element inert and self-cleaning (any walker entering one is
+        # treated as hitting an exposed side)
+        walk_geom=stack(
+            "walk_geom", E_max, float(np.array(-1, np.int32).view(np.float32))
+        ),
+        elem_tags={},
+        vert_tags={},
+        nelems=E_max,
+        nverts=V_max,
+    )
+    if is2d:
+        return Mesh2D(
+            elem2edges=stack("elem2edges", E_max, 0),
+            edge2verts=stack("edge2verts", Ned_max, 0),
+            edge2elems=stack("edge2elems", Ned_max, -1),
+            elem_area=stack("elem_area", E_max, 0.0),
+            nedges=Ned_max,
+            **common,
+        )
+    return Mesh3D(
+        elem2faces=stack("elem2faces", E_max, 0),
+        face2verts=stack("face2verts", Ned_max, 0),
+        face2elems=stack("face2elems", Ned_max, -1),
+        elem_volume=stack("elem_volume", E_max, 0.0),
+        nfaces=Ned_max,
+        **common,
+    )
+
+
+def local_view(tree):
+    """Inside a shard_map body: strip the leading (length-1) rank axis from a
+    stacked pytree, yielding this device's picpart."""
+    return jax.tree_util.tree_map(lambda a: a[0], tree)

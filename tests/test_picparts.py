@@ -1,0 +1,280 @@
+"""PICparts distributed tests on the 8-virtual-device CPU mesh — analogs of
+the reference's partition/comm/migration integration suite
+(test/input_construct, test/test_comm_array.cpp, pseudoXGCm 4-rank configs).
+Correctness is invariant-based: min-ownership, fan-in/out sums, global
+particle conservation (SURVEY.md §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pumipic_tpu.mesh import generate as gen
+from pumipic_tpu.parallel import migrate as mig
+from pumipic_tpu.parallel import picparts as ppm
+from pumipic_tpu.parallel import reduce as red
+from pumipic_tpu.parallel.mesh_axis import RANK_AXIS, make_device_mesh
+
+R = 4
+
+
+def _full_mesh():
+    coords, tris, cls = gen.annulus_mesh(6, 32, 0.3, 1.0)
+    return coords, tris, cls
+
+
+def _build(buffer_method=ppm.BufferMethod.BFS, layers=3, safe=1):
+    coords, tris, cls = _full_mesh()
+    owners = ppm.partition_rcb(coords, tris, R)
+    pp = ppm.build_picparts(
+        coords, tris, owners, R,
+        ppm.PicPartsInput(buffer_method, layers, safe), cls,
+    )
+    return coords, tris, owners, pp
+
+
+def test_partition_rcb_balance():
+    coords, tris, cls = _full_mesh()
+    owners = ppm.partition_rcb(coords, tris, 8)
+    counts = np.bincount(owners, minlength=8)
+    assert counts.min() > 0
+    assert counts.max() - counts.min() <= 1
+
+
+def test_picparts_build_invariants():
+    coords, tris, owners, pp = _build()
+    E_g = tris.shape[0]
+    eg = np.asarray(pp.elem_gid)
+    eo = np.asarray(pp.elem_owner)
+    es = np.asarray(pp.elem_safe)
+
+    covered = np.zeros(E_g, bool)
+    for r in range(R):
+        valid = eg[r] >= 0
+        # owner recorded correctly for every local element
+        np.testing.assert_array_equal(eo[r][valid], owners[eg[r][valid]])
+        # core elements are all present and safe
+        core = np.nonzero(owners == r)[0]
+        assert set(core).issubset(set(eg[r][valid]))
+        core_local = np.isin(eg[r], core)
+        assert es[r][core_local].all()
+        covered[eg[r][valid]] = True
+    assert covered.all()
+
+    # safe zone is a subset of the picpart and includes at most
+    # core + safe_layers rings (every safe elem's owner-or-neighbor is local)
+    for r in range(R):
+        valid = eg[r] >= 0
+        safe_gids = eg[r][np.asarray(es[r]) & valid]
+        # a safe non-core element must be within 1 BFS layer of the core
+        dist = ppm._bfs_layers(tris, coords.shape[0], owners == r, 10)
+        assert (dist[safe_gids] <= 1).all()
+
+    # vertex min-ownership (comm_array test analog: test_comm_array.cpp:48-61)
+    vo = np.asarray(pp.vert_owner)
+    vg = np.asarray(pp.vert_gid)
+    V_g = coords.shape[0]
+    vo_global = np.full(V_g, 10**9)
+    for k in range(3):
+        np.minimum.at(vo_global, tris[:, k], owners)
+    for r in range(R):
+        valid = vg[r] >= 0
+        np.testing.assert_array_equal(vo[r][valid], vo_global[vg[r][valid]])
+
+
+def test_picparts_full_mode():
+    coords, tris, owners, pp = _build(ppm.BufferMethod.FULL)
+    eg = np.asarray(pp.elem_gid)
+    for r in range(R):
+        assert (eg[r] >= 0).all()
+        assert np.asarray(pp.elem_safe)[r].all()
+
+
+def test_reduce_comm_array_sum():
+    coords, tris, owners, pp = _build()
+    mesh = make_device_mesh(R)
+    sharding = NamedSharding(mesh, P(RANK_AXIS))
+    pp_d = jax.device_put(pp, sharding)
+
+    V = pp.mesh.nverts
+    vg = np.asarray(pp.vert_gid)
+    # field = 1.0 on every valid local vertex
+    field = jnp.asarray((vg >= 0).astype(np.float32))
+    field = jax.device_put(field, sharding)
+
+    @jax.jit
+    @lambda f: jax.shard_map(
+        f, mesh=mesh, in_specs=(P(RANK_AXIS), P(RANK_AXIS)),
+        out_specs=P(RANK_AXIS), check_vma=False,
+    )
+    def run(pp_l, fld):
+        lpp = ppm.local_view(pp_l)
+        out = red.reduce_comm_array(
+            lpp.vert_send_ids, lpp.vert_recv_ids, fld[0], red.Op.SUM
+        )
+        return out[None]
+
+    out = np.asarray(run(pp_d, field))
+    # expected: every copy of global vertex v holds (#ranks holding v)
+    V_g = coords.shape[0]
+    copies = np.zeros(V_g, np.int64)
+    for r in range(R):
+        valid = vg[r] >= 0
+        np.add.at(copies, vg[r][valid], 1)
+    for r in range(R):
+        valid = vg[r] >= 0
+        np.testing.assert_allclose(out[r][valid], copies[vg[r][valid]])
+
+
+def test_reduce_comm_array_max():
+    coords, tris, owners, pp = _build()
+    mesh = make_device_mesh(R)
+    sharding = NamedSharding(mesh, P(RANK_AXIS))
+    pp_d = jax.device_put(pp, sharding)
+    vg = np.asarray(pp.vert_gid)
+    # rank-valued field -> after MAX reduce+bcast every copy holds the max
+    # rank holding that vertex
+    field = np.where(vg >= 0, np.arange(R)[:, None].astype(np.float32), -np.inf)
+    field = jax.device_put(jnp.asarray(field, jnp.float32), sharding)
+
+    @jax.jit
+    @lambda f: jax.shard_map(
+        f, mesh=mesh, in_specs=(P(RANK_AXIS), P(RANK_AXIS)),
+        out_specs=P(RANK_AXIS), check_vma=False,
+    )
+    def run(pp_l, fld):
+        lpp = ppm.local_view(pp_l)
+        return red.reduce_comm_array(
+            lpp.vert_send_ids, lpp.vert_recv_ids, fld[0], red.Op.MAX
+        )[None]
+
+    out = np.asarray(run(pp_d, field))
+    V_g = coords.shape[0]
+    maxrank = np.full(V_g, -1.0)
+    for r in range(R):
+        valid = vg[r] >= 0
+        np.maximum.at(maxrank, vg[r][valid], float(r))
+    for r in range(R):
+        valid = vg[r] >= 0
+        np.testing.assert_allclose(out[r][valid], maxrank[vg[r][valid]])
+
+
+def test_migrate_roundtrip():
+    """Send particles sitting in buffered (unsafe) elements to their owners;
+    total count conserved, arrivals land on the owning rank with the right
+    global element."""
+    coords, tris, owners, pp = _build()
+    mesh = make_device_mesh(R)
+    sharding = NamedSharding(mesh, P(RANK_AXIS))
+    pp_d = jax.device_put(pp, sharding)
+
+    eg = np.asarray(pp.elem_gid)
+    es = np.asarray(pp.elem_safe)
+    n_cap = 64
+    state_h = {
+        "x": np.zeros((R, n_cap, 2), np.float32),
+        "pid": np.full((R, n_cap), -1, np.int32),
+        "elem": np.full((R, n_cap), -1, np.int32),
+        "active": np.zeros((R, n_cap), bool),
+    }
+    # each rank: 8 particles in safe elems, 8 in unsafe buffered elems
+    pid = 0
+    expect_dest = {}
+    for r in range(R):
+        safe_l = np.nonzero(es[r] & (eg[r] >= 0))[0]
+        unsafe_l = np.nonzero(~es[r] & (eg[r] >= 0))[0]
+        sl = np.concatenate([safe_l[:8], unsafe_l[:8]])
+        for i, le in enumerate(sl):
+            state_h["pid"][r, i] = pid
+            state_h["elem"][r, i] = le
+            state_h["active"][r, i] = True
+            dest = r if es[r][le] else owners[eg[r][le]]
+            expect_dest[pid] = (int(dest), int(eg[r][le]))
+            pid += 1
+    total = pid
+
+    state = {k: jax.device_put(jnp.asarray(v), sharding)
+             for k, v in state_h.items()}
+
+    @jax.jit
+    @lambda f: jax.shard_map(
+        f, mesh=mesh, in_specs=(P(RANK_AXIS), P(RANK_AXIS)),
+        out_specs=(P(RANK_AXIS), P()), check_vma=False,
+    )
+    def run(pp_l, s):
+        lpp = ppm.local_view(pp_l)
+        s = ppm.local_view(s)
+        me = jax.lax.axis_index(RANK_AXIS).astype(jnp.int32)
+        dest = mig.set_unsafe_procs(
+            lpp.elem_safe, lpp.elem_owner, s["elem"], s["active"], me
+        )
+        res = mig.migrate(
+            s, s["elem"], dest, lpp.elem_gid, lpp.elem_gid_sorted,
+            lpp.elem_gid_perm, me, R, 32,
+        )
+        stats = {
+            "alive": jax.lax.psum(jnp.sum(res.state["active"].astype(jnp.int32)), RANK_AXIS),
+            "overflow": jax.lax.pmax(res.overflow.astype(jnp.int32), RANK_AXIS),
+        }
+        return jax.tree_util.tree_map(lambda a: a[None], res.state), stats
+
+    out, stats = run(pp_d, state)
+    assert int(stats["overflow"]) == 0
+    assert int(stats["alive"]) == total
+
+    out = {k: np.asarray(v) for k, v in out.items()}
+    eg_np = eg
+    seen = {}
+    for r in range(R):
+        for s in range(n_cap):
+            if out["active"][r, s]:
+                p = int(out["pid"][r, s])
+                le = int(out["elem"][r, s])
+                seen[p] = (r, int(eg_np[r][le]))
+    assert len(seen) == total
+    for p, (dest, gid) in expect_dest.items():
+        assert seen[p] == (dest, gid), (p, expect_dest[p], seen[p])
+
+
+def test_pseudo_xgcm_picparts_end_to_end():
+    from pumipic_tpu.models.pseudo_xgcm import (
+        GyroConfig, XGCmConfig, make_picparts_setup,
+    )
+
+    coords, tris, cls = _full_mesh()
+    mesh = make_device_mesh(R)
+    cfg = XGCmConfig(
+        num_ptcls=800,
+        mdl_face=4,
+        deg_per_push=5.0,
+        gyro=GyroConfig(rmax=0.05, num_rings=2, points_per_ring=4),
+        max_search_iters=64,
+    )
+    pp, state, gyro_map, step = make_picparts_setup(
+        coords, tris, cls, cfg, mesh
+    )
+    alive_prev = None
+    for i in range(3):
+        state, fwd, stats = step(state)
+        assert int(stats["overflow"]) == 0
+        alive = int(stats["alive"])
+        if alive_prev is not None:
+            assert alive <= alive_prev  # only boundary exits remove particles
+        assert alive > 0.8 * cfg.num_ptcls
+        alive_prev = alive
+
+    # synced field consistency: copies of the same global vertex agree
+    vg = np.asarray(pp.vert_gid)
+    fwd = np.asarray(fwd)
+    V_g = coords.shape[0]
+    val = {}
+    for r in range(R):
+        for lv in range(vg.shape[1]):
+            g = vg[r, lv]
+            if g >= 0:
+                if g in val:
+                    np.testing.assert_allclose(
+                        fwd[r, lv], val[g], rtol=1e-4, atol=1e-4
+                    )
+                else:
+                    val[g] = fwd[r, lv]
