@@ -340,6 +340,8 @@ def make_picparts_setup(
     inp=None,
     migrate_cap: Optional[int] = None,
     seed: int = ELEMENT_SEED,
+    use_lb: bool = False,
+    lb_tol: float = 1.05,
 ):
     """Distributed pseudoXGCm over BFS-buffered PICparts: per step —
     push → local search → safe-zone migration (bucketed all_to_all) →
@@ -350,6 +352,7 @@ def make_picparts_setup(
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from pumipic_tpu.parallel import balancer as lbm
     from pumipic_tpu.parallel import migrate as mig
     from pumipic_tpu.parallel import picparts as ppm
     from pumipic_tpu.parallel import reduce as red
@@ -360,6 +363,7 @@ def make_picparts_setup(
         inp = ppm.PicPartsInput()
     owners = ppm.partition_rcb(coords, elem2verts, R)
     pp = ppm.build_picparts(coords, elem2verts, owners, R, inp, class_id)
+    bt = lbm.build_balancer(pp, R) if use_lb else None
 
     # --- host-side particle seeding on the GLOBAL mesh, routed to owners
     gmesh = Mesh2D.from_arrays(coords, elem2verts, class_id)
@@ -426,11 +430,11 @@ def make_picparts_setup(
     @_partial(
         jax.shard_map,
         mesh=device_mesh,
-        in_specs=(P(RANK_AXIS), P(RANK_AXIS), P(RANK_AXIS)),
+        in_specs=(P(RANK_AXIS), P(RANK_AXIS), P(), P(RANK_AXIS)),
         out_specs=(P(RANK_AXIS), P(RANK_AXIS), P()),
         check_vma=False,
     )
-    def step(pp_l, gmap_l, s):
+    def step(pp_l, gmap_l, bt_r, s):
         lpp = ppm.local_view(pp_l)
         lmesh = lpp.mesh
         s = ppm.local_view(s)
@@ -458,6 +462,12 @@ def make_picparts_setup(
         dest = mig.set_unsafe_procs(
             lpp.elem_safe, lpp.elem_owner, res.elem_ids, mid["active"], me
         )
+        if bt_r is not None:
+            # migrate_lb_ptcls analog: diffusion plan + particle selection
+            dest = lbm.repartition(
+                bt_r, bt_r.sbar_of_elem[me], res.elem_ids,
+                mid["active"], dest, me, lb_tol,
+            )
         mres = mig.migrate(
             mid, res.elem_ids, dest, lpp.elem_gid,
             lpp.elem_gid_sorted, lpp.elem_gid_perm, me, R, migrate_cap,
@@ -472,14 +482,15 @@ def make_picparts_setup(
         fwd = red.reduce_comm_array(
             lpp.vert_send_ids, lpp.vert_recv_ids, fwd, red.Op.SUM
         )
+        nloc = jnp.sum(s2["active"].astype(jnp.int32))
+        _, _, imb = lbm.ptcl_imbalance(nloc)
         stats = {
-            "alive": jax.lax.psum(
-                jnp.sum(s2["active"].astype(jnp.int32)), RANK_AXIS
-            ),
+            "alive": jax.lax.psum(nloc, RANK_AXIS),
             "sent": jax.lax.psum(mres.num_sent, RANK_AXIS),
             "overflow": jax.lax.pmax(
                 mres.overflow.astype(jnp.int32), RANK_AXIS
             ),
+            "imbalance": imb,
         }
         return (
             jax.tree_util.tree_map(lambda a: a[None], s2),
@@ -487,7 +498,7 @@ def make_picparts_setup(
             stats,
         )
 
-    return pp, state, gyro_map, lambda s: step(pp, gyro_map, s)
+    return pp, state, gyro_map, lambda s: step(pp, gyro_map, bt, s)
 
 
 def make_default_mesh(nelems_target: int = 25_000) -> Mesh2D:
