@@ -37,10 +37,18 @@ def _unique_sides(side_verts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Deduplicate per-element side vertex tuples.
 
     side_verts: (E*S, k) vertex ids of every element-side occurrence.
-    Returns (unique_sides (Ns, k) in first-seen order-insensitive canonical
-    form, inverse (E*S,) mapping occurrence -> unique side id).
+    Returns (unique_sides (Ns, k) keeping the first occurrence's orientation,
+    inverse (E*S,) mapping occurrence -> unique side id).
     """
     key = np.sort(side_verts, axis=1)
+
+    from pumipic_tpu import native
+
+    res = native.unique_sides(key)
+    if res is not None:
+        inv, first_occ = res
+        return side_verts[first_occ], inv
+
     _, idx, inv = np.unique(key, axis=0, return_index=True, return_inverse=True)
     return side_verts[idx], inv
 

@@ -60,22 +60,36 @@ def build_balancer(pp, num_ranks: int) -> BalancerTables:
     E_local = eg.shape[1]
 
     E_g = int(eg.max()) + 1
-    member_sets: Dict[int, list] = {g: [] for g in range(E_g)}
+    safe_by_rank = np.zeros((R, E_g), np.uint8)
     for r in range(R):
         valid = (eg[r] >= 0) & es[r]
-        for g in eg[r][valid]:
-            member_sets[int(g)].append(r)
+        safe_by_rank[r, eg[r][valid]] = 1
 
-    sbar_ids: Dict[Tuple[int, ...], int] = {}
-    sbar_of_gelem = np.full(E_g, -1, np.int64)
-    for g in range(E_g):
-        mem = tuple(sorted(set(member_sets[g])))
-        if len(mem) < 2:
-            continue  # singleton: particles here can't be rebalanced
-        if mem not in sbar_ids:
-            sbar_ids[mem] = len(sbar_ids)
-        sbar_of_gelem[g] = sbar_ids[mem]
-    S = len(sbar_ids)
+    from pumipic_tpu import native
+
+    res = native.sbar_map(safe_by_rank)
+    if res is not None:
+        sbar_of_gelem, mem_lists = res
+        sbar_ids = {tuple(int(x) for x in mem): s
+                    for s, mem in enumerate(mem_lists)}
+        S = len(mem_lists)
+    else:
+        member_sets: Dict[int, list] = {g: [] for g in range(E_g)}
+        for r in range(R):
+            valid = (eg[r] >= 0) & es[r]
+            for g in eg[r][valid]:
+                member_sets[int(g)].append(r)
+
+        sbar_ids = {}
+        sbar_of_gelem = np.full(E_g, -1, np.int64)
+        for g in range(E_g):
+            mem = tuple(sorted(set(member_sets[g])))
+            if len(mem) < 2:
+                continue  # singleton: particles here can't be rebalanced
+            if mem not in sbar_ids:
+                sbar_ids[mem] = len(sbar_ids)
+            sbar_of_gelem[g] = sbar_ids[mem]
+        S = len(sbar_ids)
 
     sbar_of_elem = np.full((R, E_local), -1, np.int64)
     for r in range(R):

@@ -159,6 +159,15 @@ def _bfs_layers(elem2verts: np.ndarray, nverts: int, seed_mask: np.ndarray,
     capped at max_layers (+inf beyond).  Vectorized frontier sweep — the
     host analog of the reference's layered BFS device kernels
     (part_construct.cpp:387-437)."""
+    from pumipic_tpu import native
+
+    nd = native.bfs_layers(
+        np.asarray(elem2verts, np.int64), nverts,
+        np.asarray(seed_mask, np.uint8), max_layers,
+    )
+    if nd is not None:
+        return np.where(nd <= max_layers, nd, np.iinfo(np.int32).max)
+
     E = elem2verts.shape[0]
     dist = np.full(E, np.iinfo(np.int32).max, np.int64)
     dist[seed_mask] = 0
@@ -269,29 +278,38 @@ def build_picparts(
     eg_sorted = np.take_along_axis(eg_for_sort, perm, axis=1)
 
     # vertex fan-in exchange lists: copies -> owner
-    send: Dict[Tuple[int, int], List[Tuple[int, int]]] = {}
-    vert_l2g = vert_gids_per_rank
-    g2l_per_rank = []
-    for r in range(num_ranks):
-        g2l = np.full(V_g, -1, np.int64)
-        g2l[vert_l2g[r]] = np.arange(len(vert_l2g[r]))
-        g2l_per_rank.append(g2l)
-    for r in range(num_ranks):
-        vo = vo_l[r]
-        for li, o in enumerate(vo):
-            if o != r:
-                gid = vert_l2g[r][li]
-                lo = g2l_per_rank[o][gid]
-                assert lo >= 0, "owner must hold a copy of its vertex"
-                send.setdefault((r, int(o)), []).append((li, int(lo)))
+    from pumipic_tpu import native
 
-    Kv = max((len(v) for v in send.values()), default=1)
+    quads = native.exchange_lists(vert_gid, vert_owner, V_g)
+    if quads is None:
+        # numpy fallback: vectorized over all (rank, local-vertex) copies
+        g2l_stack = np.full((num_ranks, V_g), -1, np.int64)
+        for r in range(num_ranks):
+            vg_r = vert_gids_per_rank[r]
+            g2l_stack[r, vg_r] = np.arange(len(vg_r))
+        rr, ll = np.nonzero(
+            (vert_gid >= 0) & (vert_owner >= 0) &
+            (vert_owner != np.arange(num_ranks)[:, None])
+        )
+        gg = vert_gid[rr, ll]
+        oo = vert_owner[rr, ll]
+        lo = g2l_stack[oo, gg]
+        assert (lo >= 0).all(), "owner must hold a copy of its vertex"
+        quads = np.stack([rr, oo, ll, lo], axis=1)
+
+    # bucket the (src, owner) pairs into fixed-width per-pair lists
+    pair_key = quads[:, 0] * num_ranks + quads[:, 1]
+    order = np.argsort(pair_key, kind="stable")
+    quads = quads[order]
+    pair_key = pair_key[order]
+    counts = np.bincount(pair_key, minlength=num_ranks * num_ranks)
+    Kv = max(int(counts.max()), 1)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    slot = np.arange(len(quads)) - starts[pair_key]
     vert_send_ids = np.full((num_ranks, num_ranks, Kv), -1, np.int64)
     vert_recv_ids = np.full((num_ranks, num_ranks, Kv), -1, np.int64)
-    for (r, o), pairs in send.items():
-        for k, (li, lo) in enumerate(pairs):
-            vert_send_ids[r, o, k] = li
-            vert_recv_ids[o, r, k] = lo
+    vert_send_ids[quads[:, 0], quads[:, 1], slot] = quads[:, 2]
+    vert_recv_ids[quads[:, 1], quads[:, 0], slot] = quads[:, 3]
 
     return PicParts(
         mesh=stacked_mesh,
