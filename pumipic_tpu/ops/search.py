@@ -43,8 +43,8 @@ import jax.numpy as jnp
 from pumipic_tpu.mesh.core import Mesh2D, Mesh3D
 
 INVALID = -1
-COMPACT_AFTER = 4    # full-width steps before straggler compaction
-COMPACT_DIV = 8      # compacted width = max(N // COMPACT_DIV, 512)
+COMPACT_DIV = 8      # width pyramid ratio for straggler compaction
+MAX_LEVELS = 3       # per-level fixed costs beat gather savings beyond this
 
 
 class BoundaryCtx(NamedTuple):
@@ -213,20 +213,22 @@ def _walk_step_3d(mesh: Mesh3D, boundary_handler):
 
 
 def _run_walk(step, elem0, dest0, done0, orig, max_iters: int) -> SearchResult:
-    """Multi-level walk: full width while the straggler set is large, then
-    progressively compacted widths (N/8, N/64, ...) once survivors fit.
+    """Pyramid walk: run at full width only while most walkers are live, then
+    repeatedly halve the working width, each time compacting the survivors
+    of the PREVIOUS level (so only the first compaction pays an O(N)
+    nonzero); all levels' results scatter back at the end, shallow to deep,
+    so deeper (fresher) state wins.
 
-    Every loop condition counts the undone set on device; compaction is a
-    static-size nonzero + gather, and results scatter back afterwards, so the
-    whole engine stays inside one jitted computation.
+    Work is then proportional to the area under the convergence curve plus
+    per-level fixed costs, instead of O(N * total_iters).
     """
     n = elem0.shape[0]
 
-    # compacted widths: n/8, n/64, ... down to ~2048
+    # width pyramid: n/8, n/64, ... down to a 2048-wide tail loop
     widths = []
     w = n
-    while w // COMPACT_DIV >= 2048 and len(widths) < 3:
-        w = w // COMPACT_DIV
+    while w > 2048 and len(widths) < MAX_LEVELS:
+        w = max(w // COMPACT_DIV, 2048)
         widths.append(w)
 
     def make_body(orig_arr):
@@ -249,16 +251,27 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int) -> SearchResult:
         cond_full, make_body(orig), (elem0, dest0, done0, jnp.int32(0))
     )
 
-    # compacted levels (run unconditionally; no-ops when already done)
+    # compacted levels, each extracted from the level above
+    prev = (elem, dest, done, orig)   # arrays of the previous level
+    prev_n = n
+    levels = []                       # (global_idx, state) per level
     for li, m in enumerate(widths):
+        p_elem, p_dest, p_done, p_orig = prev
         next_thresh = widths[li + 1] if li + 1 < len(widths) else 0
-        idx = jnp.nonzero(~done, size=m, fill_value=n)[0]
-        in_range = idx < n
-        sidx = jnp.minimum(idx, n - 1)
-        s_elem = jnp.where(in_range, elem[sidx], INVALID)
-        s_dest = dest[sidx]
+
+        idx = jnp.nonzero(~p_done, size=m, fill_value=prev_n)[0]
+        in_range = idx < prev_n
+        sidx = jnp.minimum(idx, prev_n - 1)
+        s_elem = jnp.where(in_range, p_elem[sidx], INVALID)
+        s_dest = p_dest[sidx]
         s_done = ~in_range
-        s_orig = orig[sidx]
+        s_orig = p_orig[sidx]
+        # compose to global slot ids
+        if li == 0:
+            gidx = idx
+        else:
+            prev_gidx = levels[-1][0]
+            gidx = jnp.where(in_range, prev_gidx[sidx], n)
 
         def cond(s, _t=next_thresh):
             e, d, dn, i = s
@@ -267,9 +280,15 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int) -> SearchResult:
         s_elem, s_dest, s_done, it = jax.lax.while_loop(
             cond, make_body(s_orig), (s_elem, s_dest, s_done, it)
         )
-        elem = elem.at[idx].set(s_elem, mode="drop")
-        dest = dest.at[idx].set(s_dest, mode="drop")
-        done = done.at[idx].set(s_done, mode="drop")
+        levels.append((gidx, (s_elem, s_dest, s_done)))
+        prev = (s_elem, s_dest, s_done, s_orig)
+        prev_n = m
+
+    # merge: shallow -> deep so fresher (deeper) values overwrite
+    for gidx, (s_elem, s_dest, s_done) in levels:
+        elem = elem.at[gidx].set(s_elem, mode="drop")
+        dest = dest.at[gidx].set(s_dest, mode="drop")
+        done = done.at[gidx].set(s_done, mode="drop")
 
     all_found = jnp.all(done)
     # loop-limit fallback: delete unfinished walkers (adjacency.hpp:1126-1149)
