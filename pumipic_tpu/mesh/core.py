@@ -163,6 +163,9 @@ class Mesh3D:
     class_id: jax.Array
     # packed walk table: cols [ib(9), v0(3), nbr0..3 (i32 bitcast)]
     walk_geom: jax.Array   # (E, 16) f32
+    # packed face-plane table for the intersection (trace-through) walk:
+    # per face i: [nx, ny, nz, d] outward unit normal, then nbr0..3 bitcast
+    walk_planes: jax.Array  # (E, 20) f32
     elem_tags: Dict[str, jax.Array]
     vert_tags: Dict[str, jax.Array]
     nelems: int = _static_field(default=0)
@@ -215,6 +218,16 @@ class Mesh3D:
         self_ids = np.arange(E)[:, None]
         nbrs = np.where(f2e[:, :, 0] == self_ids, f2e[:, :, 1], f2e[:, :, 0])
         geom[:, 12:16] = nbrs.astype(np.int32).view(np.float32)
+
+        # outward unit face planes per element (face i opposite vertex i)
+        planes = np.zeros((E, 20), np.float32)
+        for i, fv in enumerate(adj.TET_FACE_VERTS):
+            fa, fb, fc = p[:, fv[0]], p[:, fv[1]], p[:, fv[2]]
+            nrm = np.cross(fb - fa, fc - fa)
+            nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-300)
+            planes[:, 4 * i:4 * i + 3] = nrm.astype(np.float32)
+            planes[:, 4 * i + 3] = np.einsum("ei,ei->e", nrm, fa).astype(np.float32)
+        planes[:, 16:20] = nbrs.astype(np.int32).view(np.float32)
         return Mesh3D(
             coords=jnp.asarray(a["coords"], real_dtype),
             elem2verts=jnp.asarray(ev, LID_DTYPE),
@@ -229,6 +242,7 @@ class Mesh3D:
             vert2elem_vals=jnp.asarray(a["vert2elem_vals"], LID_DTYPE),
             class_id=jnp.asarray(class_id, LID_DTYPE),
             walk_geom=jnp.asarray(geom),
+            walk_planes=jnp.asarray(planes),
             elem_tags={},
             vert_tags={},
             nelems=int(ev.shape[0]),

@@ -1,0 +1,95 @@
+"""Uniform-grid point-location accelerator.
+
+The reference walks every particle from its *previous* element
+(``search_mesh_2d``), paying one adjacency hop per element crossed.  On TPU
+each hop is a full-width gather pass, so walk length directly multiplies HBM
+traffic.  This module precomputes a uniform background grid mapping cells to
+a nearby element; starting the walk from the grid guess of the *destination*
+bounds walk length by the guess error (~1-2 hops) regardless of how far the
+particle moved.
+
+The guess is only an accelerator: the walk still proves containment, and
+walkers whose guess-walk exits the domain are re-run from their true
+previous element (so boundary-exit semantics stay exactly the reference's).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pumipic_tpu.utils.types import LID_DTYPE
+
+
+def _static_field(**kw):
+    return dataclasses.field(metadata=dict(static=True), **kw)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class LocatorGrid2D:
+    origin: jax.Array      # (2,)
+    inv_h: jax.Array       # (2,) 1/cell size
+    cell_elem: jax.Array   # (nx*ny,) nearest element per cell
+    nx: int = _static_field(default=1)
+    ny: int = _static_field(default=1)
+
+    def guess(self, pts: jax.Array) -> jax.Array:
+        """(N,2) points -> (N,) element guesses (clamped to the grid)."""
+        rel = (pts - self.origin) * self.inv_h
+        ix = jnp.clip(rel[:, 0].astype(jnp.int32), 0, self.nx - 1)
+        iy = jnp.clip(rel[:, 1].astype(jnp.int32), 0, self.ny - 1)
+        return self.cell_elem[ix * self.ny + iy]
+
+
+def build_locator_grid(coords: np.ndarray, elem2verts: np.ndarray,
+                       cells_per_elem: float = 1.0) -> LocatorGrid2D:
+    """Host build: bucket element centroids into ~cells_per_elem*E cells and
+    flood-fill empty cells from their neighbors."""
+    coords = np.asarray(coords, np.float64)
+    ev = np.asarray(elem2verts, np.int64)
+    E = ev.shape[0]
+    cent = coords[ev].mean(axis=1)
+
+    lo = coords.min(axis=0)
+    hi = coords.max(axis=0)
+    extent = np.maximum(hi - lo, 1e-30)
+    aspect = extent[0] / extent[1]
+    n_cells = max(int(E * cells_per_elem), 16)
+    nx = max(int(np.sqrt(n_cells * aspect)), 1)
+    ny = max(n_cells // max(nx, 1), 1)
+    h = extent / np.array([nx, ny])
+
+    ix = np.clip(((cent[:, 0] - lo[0]) / h[0]).astype(np.int64), 0, nx - 1)
+    iy = np.clip(((cent[:, 1] - lo[1]) / h[1]).astype(np.int64), 0, ny - 1)
+    grid = np.full((nx, ny), -1, np.int64)
+    grid[ix, iy] = np.arange(E)  # last write wins; any nearby elem is fine
+
+    # flood-fill empties by repeated 4-neighbor dilation
+    while (grid < 0).any():
+        empty = grid < 0
+        for sx, sy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            shifted = np.roll(grid, (sx, sy), axis=(0, 1))
+            # don't wrap around the domain
+            if sx == 1:
+                shifted[0, :] = -1
+            if sx == -1:
+                shifted[-1, :] = -1
+            if sy == 1:
+                shifted[:, 0] = -1
+            if sy == -1:
+                shifted[:, -1] = -1
+            grid = np.where(empty & (grid < 0), shifted, grid)
+        if (grid < 0).all():
+            raise ValueError("locator grid flood fill failed")
+
+    return LocatorGrid2D(
+        origin=jnp.asarray(lo, jnp.float32),
+        inv_h=jnp.asarray(1.0 / h, jnp.float32),
+        cell_elem=jnp.asarray(grid.reshape(-1), LID_DTYPE),
+        nx=nx,
+        ny=ny,
+    )

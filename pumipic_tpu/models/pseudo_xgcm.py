@@ -53,6 +53,8 @@ class XGCmConfig:
     deg_per_push: float = 30.0
     structure: str = "scs"       # scs | csr | cabm | dps
     max_search_iters: int = 128
+    # background-grid point-location accelerator (global-mesh modes)
+    use_locator: bool = True
     gyro: GyroConfig = GyroConfig()
     # ellipse geometry (reference reads h,k,d from argv)
     h: float = 0.0
@@ -193,6 +195,13 @@ class PseudoXGCm:
         self.ptcls = _BUILDERS[cfg.structure](mesh.nelems, ptcl_elems, fields)
 
         self.gyro_fwd, self.gyro_bwd = build_gyro_mappings(mesh, cfg.gyro)
+        self.locator = None
+        if cfg.use_locator:
+            from pumipic_tpu.mesh.locator import build_locator_grid
+
+            self.locator = build_locator_grid(
+                np.asarray(mesh.coords), np.asarray(mesh.elem2verts)
+            )
         self.step_fn = self._make_step()   # unjitted (for compile checks)
         self._step = jax.jit(self.step_fn)
 
@@ -216,10 +225,16 @@ class PseudoXGCm:
             xtgt = jnp.where(active[:, None], xtgt, x)
             phi_new = jnp.where(active, phi_new, phi)
 
-            # search (p::search_mesh_2d)
-            res = search_ops.search_mesh_2d(
-                mesh, x, xtgt, elem, active, cfg.max_search_iters
-            )
+            # search (p::search_mesh_2d; grid-accelerated when enabled)
+            if self.locator is not None:
+                res = search_ops.search_mesh_2d_accel(
+                    mesh, self.locator, x, xtgt, elem, active,
+                    cfg.max_search_iters,
+                )
+            else:
+                res = search_ops.search_mesh_2d(
+                    mesh, x, xtgt, elem, active, cfg.max_search_iters
+                )
 
             # rebuild/migrate (updatePtclPositions + migrate_lb_ptcls; one
             # device → pure rebuild)
@@ -292,6 +307,13 @@ def make_dp_setup(mesh: Mesh2D, cfg: XGCmConfig, device_mesh, seed: int = ELEMEN
     }
     gyro_fwd, gyro_bwd = build_gyro_mappings(mesh, cfg.gyro)
     gyro = cfg.gyro
+    locator = None
+    if cfg.use_locator:
+        from pumipic_tpu.mesh.locator import build_locator_grid
+
+        locator = build_locator_grid(
+            np.asarray(mesh.coords), np.asarray(mesh.elem2verts)
+        )
 
     def per_device_step(s):
         elem, active = s["elem"], s["active"]
@@ -300,9 +322,15 @@ def make_dp_setup(mesh: Mesh2D, cfg: XGCmConfig, device_mesh, seed: int = ELEMEN
             s["phi"], s["b"], cid, cfg.deg_per_push, cfg.h, cfg.k, cfg.d
         )
         xtgt = jnp.where(active[:, None], xtgt, s["x"])
-        res = search_ops.search_mesh_2d(
-            mesh, s["x"], xtgt, elem, active, cfg.max_search_iters
-        )
+        if locator is not None:
+            res = search_ops.search_mesh_2d_accel(
+                mesh, locator, s["x"], xtgt, elem, active,
+                cfg.max_search_iters,
+            )
+        else:
+            res = search_ops.search_mesh_2d(
+                mesh, s["x"], xtgt, elem, active, cfg.max_search_iters
+            )
         new_active = res.elem_ids >= 0
         new_state = {
             "x": res.dest,

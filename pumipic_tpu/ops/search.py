@@ -104,10 +104,16 @@ class SearchResult(NamedTuple):
 # walk engine
 # ---------------------------------------------------------------------------
 
-def _walk_step_2d(mesh: Mesh2D, boundary_handler):
-    """One vectorized walk step, width-agnostic."""
+def _walk_step_2d(mesh: Mesh2D, boundary_handler, use_guess: bool = False):
+    """One vectorized walk step, width-agnostic.
 
-    def step(elem, dest, done, orig):
+    With ``use_guess``, walkers carry a ``fg`` (from-guess) flag: a boundary
+    hit while still on a guess trajectory resets the walker to its fallback
+    (true previous) element instead of invoking the boundary handler — the
+    mid-walk retry of the grid-accelerated search.
+    """
+
+    def step(elem, dest, done, fg, orig, fallback):
         e_safe = jnp.maximum(elem, 0)
 
         # single packed gather:
@@ -147,6 +153,20 @@ def _walk_step_2d(mesh: Mesh2D, boundary_handler):
             BoundaryCtx(elem=elem, side=edge, orig=orig, dest=dest, mesh=mesh)
         )
 
+        if use_guess:
+            retry = hits_boundary & fg
+            real_hit = hits_boundary & ~fg
+            new_elem = jnp.where(
+                walking & ~inside,
+                jnp.where(retry, fallback,
+                          jnp.where(exposed, bres.elem, next_elem)),
+                elem,
+            )
+            new_dest = jnp.where(real_hit[:, None], bres.dest, dest)
+            new_done = done | (walking & inside) | (real_hit & bres.done)
+            new_fg = fg & ~retry & ~(walking & inside)
+            return new_elem, new_dest, new_done, new_fg
+
         new_elem = jnp.where(
             walking & ~inside,
             jnp.where(exposed, bres.elem, next_elem),
@@ -154,13 +174,13 @@ def _walk_step_2d(mesh: Mesh2D, boundary_handler):
         )
         new_dest = jnp.where(hits_boundary[:, None], bres.dest, dest)
         new_done = done | (walking & inside) | (hits_boundary & bres.done)
-        return new_elem, new_dest, new_done
+        return new_elem, new_dest, new_done, fg
 
     return step
 
 
-def _walk_step_3d(mesh: Mesh3D, boundary_handler):
-    def step(elem, dest, done, orig):
+def _walk_step_3d(mesh: Mesh3D, boundary_handler, use_guess: bool = False):
+    def step(elem, dest, done, fg, orig, fallback):
         e_safe = jnp.maximum(elem, 0)
 
         g = mesh.walk_geom[e_safe]          # (N, 16): [ib(9) v0(3) nbr(4,i32)]
@@ -200,6 +220,20 @@ def _walk_step_3d(mesh: Mesh3D, boundary_handler):
             BoundaryCtx(elem=elem, side=face, orig=orig, dest=dest, mesh=mesh)
         )
 
+        if use_guess:
+            retry = hits_boundary & fg
+            real_hit = hits_boundary & ~fg
+            new_elem = jnp.where(
+                walking & ~inside,
+                jnp.where(retry, fallback,
+                          jnp.where(exposed, bres.elem, next_elem)),
+                elem,
+            )
+            new_dest = jnp.where(real_hit[:, None], bres.dest, dest)
+            new_done = done | (walking & inside) | (real_hit & bres.done)
+            new_fg = fg & ~retry & ~(walking & inside)
+            return new_elem, new_dest, new_done, new_fg
+
         new_elem = jnp.where(
             walking & ~inside,
             jnp.where(exposed, bres.elem, next_elem),
@@ -207,12 +241,87 @@ def _walk_step_3d(mesh: Mesh3D, boundary_handler):
         )
         new_dest = jnp.where(hits_boundary[:, None], bres.dest, dest)
         new_done = done | (walking & inside) | (hits_boundary & bres.done)
-        return new_elem, new_dest, new_done
+        return new_elem, new_dest, new_done, fg
 
     return step
 
 
-def _run_walk(step, elem0, dest0, done0, orig, max_iters: int) -> SearchResult:
+def _walk_step_3d_mt(mesh: Mesh3D, boundary_handler, use_guess: bool = False):
+    """Intersection (trace-through) step: clip the orig→dest segment against
+    the current tet's outward face planes and cross the exit face — the
+    reference's Möller–Trumbore path (``search_mesh_3d``,
+    adjacency.hpp:314-555; ``find_exit_face`` adjacency.tpp:232-364).
+    Robust on sliver tets where greedy BCC descent can ping-pong."""
+
+    def step(elem, dest, done, fg, orig, fallback):
+        e_safe = jnp.maximum(elem, 0)
+        g = mesh.walk_planes[e_safe]              # (N, 20)
+        d = dest - orig                           # segment direction
+
+        inside = jnp.ones(elem.shape, bool)
+        t_exit = jnp.full(elem.shape, jnp.inf, dest.dtype)
+        exit_local = jnp.zeros(elem.shape, jnp.int32)
+        for i in range(4):
+            n_x, n_y, n_z, off = (g[:, 4 * i], g[:, 4 * i + 1],
+                                  g[:, 4 * i + 2], g[:, 4 * i + 3])
+            s_dest = n_x * dest[:, 0] + n_y * dest[:, 1] + n_z * dest[:, 2]
+            inside = inside & (s_dest <= off + 1e-7)
+            n_dot_d = n_x * d[:, 0] + n_y * d[:, 1] + n_z * d[:, 2]
+            s_orig = n_x * orig[:, 0] + n_y * orig[:, 1] + n_z * orig[:, 2]
+            t_i = (off - s_orig) / jnp.where(n_dot_d == 0, 1.0, n_dot_d)
+            valid = (n_dot_d > 0) & (t_i < t_exit)
+            t_exit = jnp.where(valid, t_i, t_exit)
+            exit_local = jnp.where(valid, i, exit_local)
+
+        nbr4 = jax.lax.bitcast_convert_type(g[:, 16:20], jnp.int32)
+        next_elem = jnp.where(
+            exit_local == 0, nbr4[:, 0],
+            jnp.where(
+                exit_local == 1, nbr4[:, 1],
+                jnp.where(exit_local == 2, nbr4[:, 2], nbr4[:, 3]),
+            ),
+        )
+        # a segment that never exits along its direction is at its parent
+        inside = inside | ~jnp.isfinite(t_exit)
+        exposed = next_elem == INVALID
+
+        walking = ~done
+        hits_boundary = walking & ~inside & exposed
+
+        face4 = mesh.elem2faces[e_safe]
+        face = jnp.take_along_axis(face4, exit_local[:, None], axis=1)[:, 0]
+        bres = boundary_handler(
+            BoundaryCtx(elem=elem, side=face, orig=orig, dest=dest, mesh=mesh)
+        )
+
+        if use_guess:
+            retry = hits_boundary & fg
+            real_hit = hits_boundary & ~fg
+            new_elem = jnp.where(
+                walking & ~inside,
+                jnp.where(retry, fallback,
+                          jnp.where(exposed, bres.elem, next_elem)),
+                elem,
+            )
+            new_dest = jnp.where(real_hit[:, None], bres.dest, dest)
+            new_done = done | (walking & inside) | (real_hit & bres.done)
+            new_fg = fg & ~retry & ~(walking & inside)
+            return new_elem, new_dest, new_done, new_fg
+
+        new_elem = jnp.where(
+            walking & ~inside,
+            jnp.where(exposed, bres.elem, next_elem),
+            elem,
+        )
+        new_dest = jnp.where(hits_boundary[:, None], bres.dest, dest)
+        new_done = done | (walking & inside) | (hits_boundary & bres.done)
+        return new_elem, new_dest, new_done, fg
+
+    return step
+
+
+def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
+              fallback=None, fg0=None) -> SearchResult:
     """Pyramid walk: run at full width only while most walkers are live, then
     repeatedly halve the working width, each time compacting the survivors
     of the PREVIOUS level (so only the first compaction pays an O(N)
@@ -223,6 +332,10 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int) -> SearchResult:
     per-level fixed costs, instead of O(N * total_iters).
     """
     n = elem0.shape[0]
+    if fallback is None:
+        fallback = elem0
+    if fg0 is None:
+        fg0 = jnp.zeros((n,), bool)
 
     # width pyramid: n/8, n/64, ... down to a 2048-wide tail loop
     widths = []
@@ -231,11 +344,11 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int) -> SearchResult:
         w = max(w // COMPACT_DIV, 2048)
         widths.append(w)
 
-    def make_body(orig_arr):
+    def make_body(orig_arr, fb_arr):
         def body(s):
-            elem, dest, done, it = s
-            elem, dest, done = step(elem, dest, done, orig_arr)
-            return elem, dest, done, it + 1
+            elem, dest, done, fg, it = s
+            elem, dest, done, fg = step(elem, dest, done, fg, orig_arr, fb_arr)
+            return elem, dest, done, fg, it + 1
 
         return body
 
@@ -243,20 +356,21 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int) -> SearchResult:
     thresh0 = widths[0] if widths else 0
 
     def cond_full(s):
-        elem, dest, done, it = s
+        elem, dest, done, fg, it = s
         undone = jnp.sum(~done)
         return (it < max_iters) & (undone > thresh0)
 
-    elem, dest, done, it = jax.lax.while_loop(
-        cond_full, make_body(orig), (elem0, dest0, done0, jnp.int32(0))
+    elem, dest, done, fg, it = jax.lax.while_loop(
+        cond_full, make_body(orig, fallback),
+        (elem0, dest0, done0, fg0, jnp.int32(0)),
     )
 
     # compacted levels, each extracted from the level above
-    prev = (elem, dest, done, orig)   # arrays of the previous level
+    prev = (elem, dest, done, fg, orig, fallback)
     prev_n = n
     levels = []                       # (global_idx, state) per level
     for li, m in enumerate(widths):
-        p_elem, p_dest, p_done, p_orig = prev
+        p_elem, p_dest, p_done, p_fg, p_orig, p_fb = prev
         next_thresh = widths[li + 1] if li + 1 < len(widths) else 0
 
         idx = jnp.nonzero(~p_done, size=m, fill_value=prev_n)[0]
@@ -265,7 +379,9 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int) -> SearchResult:
         s_elem = jnp.where(in_range, p_elem[sidx], INVALID)
         s_dest = p_dest[sidx]
         s_done = ~in_range
+        s_fg = p_fg[sidx] & in_range
         s_orig = p_orig[sidx]
+        s_fb = p_fb[sidx]
         # compose to global slot ids
         if li == 0:
             gidx = idx
@@ -274,14 +390,15 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int) -> SearchResult:
             gidx = jnp.where(in_range, prev_gidx[sidx], n)
 
         def cond(s, _t=next_thresh):
-            e, d, dn, i = s
+            e, d, dn, f, i = s
             return (i < max_iters) & (jnp.sum(~dn) > _t)
 
-        s_elem, s_dest, s_done, it = jax.lax.while_loop(
-            cond, make_body(s_orig), (s_elem, s_dest, s_done, it)
+        s_elem, s_dest, s_done, s_fg, it = jax.lax.while_loop(
+            cond, make_body(s_orig, s_fb),
+            (s_elem, s_dest, s_done, s_fg, it),
         )
         levels.append((gidx, (s_elem, s_dest, s_done)))
-        prev = (s_elem, s_dest, s_done, s_orig)
+        prev = (s_elem, s_dest, s_done, s_fg, s_orig, s_fb)
         prev_n = m
 
     # merge: shallow -> deep so fresher (deeper) values overwrite
@@ -323,7 +440,7 @@ def search_mesh_2d(
     return _run_walk(step, elem0, x_tgt, done0, x_orig, max_iters)
 
 
-@partial(jax.jit, static_argnames=("max_iters", "boundary_handler"))
+@partial(jax.jit, static_argnames=("max_iters", "boundary_handler", "method"))
 def search_mesh_3d(
     mesh: Mesh3D,
     x_orig: jax.Array,
@@ -332,15 +449,70 @@ def search_mesh_3d(
     active: jax.Array,
     max_iters: int = 200,
     boundary_handler: Callable[[BoundaryCtx], BoundaryResult] = remove_on_exit,
+    method: str = "bcc",
 ) -> SearchResult:
-    """Tet-mesh walk (BCC descent): cross the face opposite the most negative
-    vertex weight until the destination's weights are all nonnegative.
-    Equivalent to the reference's BCC path in ``search_mesh``
-    (adjacency.hpp:558-768) with the same boundary/loop-limit semantics."""
+    """Tet-mesh walk with the same boundary/loop-limit semantics as the
+    reference's ``search_mesh`` (adjacency.hpp:558-768).
+
+    ``method='bcc'``: greedy barycentric descent — cross the face opposite
+    the most negative vertex weight (cheapest; one 16-col gather per step).
+    ``method='intersection'``: clip the orig→dest segment against the tet's
+    face planes and cross the exit face (the Möller–Trumbore trace of
+    adjacency.tpp:232-364; robust on sliver tets, one 20-col gather)."""
     elem0 = jnp.where(active, elem_init.astype(jnp.int32), INVALID)
     done0 = ~active
-    step = _walk_step_3d(mesh, boundary_handler)
+    if method == "intersection":
+        step = _walk_step_3d_mt(mesh, boundary_handler)
+    else:
+        step = _walk_step_3d(mesh, boundary_handler)
     return _run_walk(step, elem0, x_tgt, done0, x_orig, max_iters)
+
+
+@partial(jax.jit, static_argnames=("max_iters", "boundary_handler"))
+def search_mesh_2d_accel(
+    mesh: Mesh2D,
+    grid,
+    x_orig: jax.Array,
+    x_tgt: jax.Array,
+    elem_prev: jax.Array,
+    active: jax.Array,
+    max_iters: int = 200,
+    boundary_handler: Callable[[BoundaryCtx], BoundaryResult] = remove_on_exit,
+) -> SearchResult:
+    """Grid-accelerated 2D search: walk from a background-grid guess of the
+    DESTINATION (1-2 hops) instead of the previous element (one hop per
+    element crossed).  Walkers whose guess-walk exits the domain — guess
+    errors and genuine boundary exits alike — are re-run from their true
+    previous element with the real boundary handler, so results match
+    :func:`search_mesh_2d` exactly; the rerun set is tiny and rides the
+    compaction levels.
+
+    ``grid``: a :class:`pumipic_tpu.mesh.locator.LocatorGrid2D` for ``mesh``.
+    """
+    guess = grid.guess(x_tgt)
+    step = _walk_step_2d(mesh, boundary_handler, use_guess=True)
+    elem0 = jnp.where(active, guess, INVALID)
+    fallback = jnp.where(active, elem_prev.astype(jnp.int32), INVALID)
+    return _run_walk(
+        step, elem0, x_tgt, ~active, x_orig, max_iters,
+        fallback=fallback, fg0=active,
+    )
+
+
+def search_mesh_2d_pt(
+    mesh: Mesh2D,
+    pt: jax.Array,
+    elem_init,
+    max_iters: int = 100,
+) -> jax.Array:
+    """Single-point location (``search_mesh_2d_pt``, adjacency.hpp:1160-1252):
+    returns the containing element id or -1."""
+    pt = jnp.asarray(pt, jnp.float32).reshape(1, 2)
+    res = search_mesh_2d(
+        mesh, pt, pt, jnp.asarray([elem_init], jnp.int32),
+        jnp.ones((1,), bool), max_iters,
+    )
+    return res.elem_ids[0]
 
 
 def trace_particle_through_mesh(

@@ -136,6 +136,36 @@ def partition_from_classification(class_id: np.ndarray, class_to_rank: Dict[int,
     return np.asarray([class_to_rank[int(c)] for c in class_id], np.int64)
 
 
+def write_ptn(path: str, owners: np.ndarray) -> None:
+    """Write a .ptn partition file: one owner rank per element per line
+    (the format print_partition emits and ptn_loading consumes)."""
+    np.savetxt(path, np.asarray(owners, np.int64), fmt="%d")
+
+
+def read_ptn(path: str) -> np.ndarray:
+    """Read a .ptn element-partition file."""
+    return np.loadtxt(path, dtype=np.int64).reshape(-1)
+
+
+def write_cpn(path: str, class_to_rank: Dict[int, int]) -> None:
+    """Write a .cpn classification-partition file: '<num> <class> <rank>'
+    pairs."""
+    with open(path, "w") as f:
+        f.write(f"{len(class_to_rank)}\n")
+        for c, r in sorted(class_to_rank.items()):
+            f.write(f"{c} {r}\n")
+
+
+def read_cpn(path: str) -> Dict[int, int]:
+    with open(path) as f:
+        n = int(f.readline())
+        out = {}
+        for _ in range(n):
+            c, r = f.readline().split()
+            out[int(c)] = int(r)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # build
 # ---------------------------------------------------------------------------

@@ -199,6 +199,25 @@ class ParticleStructure:
             "empty_rows": jnp.sum(counts == 0),
         }
 
+    def print_format(self, max_elems: int = 32) -> str:
+        """printFormat analog (SellCSigma.h:403-463): ASCII dump of the slot
+        layout — per element, the slots its particles occupy."""
+        h = self.copy_to_host()
+        lines = [f"{self.name} ({self.layout}) capacity={self.capacity} "
+                 f"nPtcls={int(h['active'].sum())}"]
+        by_elem: Dict[int, list] = {}
+        for s in range(self.capacity):
+            if h["active"][s]:
+                by_elem.setdefault(int(h["elem"][s]), []).append(s)
+        for e in range(min(self.num_elems, max_elems)):
+            slots = by_elem.get(e, [])
+            lines.append(f"  elem {e:>6d}: {len(slots):>4d} ptcls @ {slots[:16]}")
+        out = "\n".join(lines)
+        from pumipic_tpu.utils.plog import print_info
+
+        print_info("%s", out)
+        return out
+
     def print_metrics(self) -> None:
         m = {k: (float(v) if "fraction" in k else int(v)) for k, v in self.metrics().items()}
         from pumipic_tpu.utils.plog import print_info

@@ -278,3 +278,28 @@ def test_pseudo_xgcm_picparts_end_to_end():
                     )
                 else:
                     val[g] = fwd[r, lv]
+
+
+def test_distributor_and_ptn_files(tmp_path):
+    from pumipic_tpu.parallel import distributor as dist
+
+    coords, tris, owners, pp = _build()
+    d = dist.from_picparts(pp)
+    nb = np.asarray(d.is_neighbor)
+    assert nb.shape == (R, R)
+    assert np.all(np.diag(nb))
+    # neighbor relation covers every buffered owner
+    eo = np.asarray(pp.elem_owner)
+    for r in range(R):
+        for o in np.unique(eo[r][eo[r] >= 0]):
+            assert nb[r, o]
+    w = dist.world_distributor(R)
+    assert bool(np.asarray(w.is_neighbor).all())
+
+    # .ptn / .cpn round trip
+    p = str(tmp_path / "mesh.ptn")
+    ppm.write_ptn(p, owners)
+    np.testing.assert_array_equal(ppm.read_ptn(p), owners)
+    c = str(tmp_path / "mesh.cpn")
+    ppm.write_cpn(c, {1: 0, 2: 1, 3: 1})
+    assert ppm.read_cpn(c) == {1: 0, 2: 1, 3: 1}

@@ -127,3 +127,98 @@ def test_trace_dispatch():
         m2, pts, pts, jnp.zeros(1, jnp.int32), jnp.ones(1, bool)
     )
     assert int(res.elem_ids[0]) >= 0
+
+
+def test_search_2d_accel_matches_plain():
+    from pumipic_tpu.mesh.locator import build_locator_grid
+
+    coords, tris, cls = gen.annulus_mesh(6, 32, 0.3, 1.0)
+    m = Mesh2D.from_arrays(coords, tris, cls)
+    grid = build_locator_grid(coords, tris)
+    rng = np.random.default_rng(5)
+    n = 512
+    # starts at random element centroids; targets = jittered nearby points,
+    # some pushed outside the domain to exercise genuine exits
+    elems = rng.integers(0, m.nelems, n)
+    orig = np.asarray(m.elem_centroids)[elems]
+    tgt = orig + rng.normal(scale=0.08, size=(n, 2))
+    res_plain = search.search_mesh_2d(
+        m, jnp.asarray(orig), jnp.asarray(tgt),
+        jnp.asarray(elems, jnp.int32), jnp.ones(n, bool), 100,
+    )
+    res_accel = search.search_mesh_2d_accel(
+        m, grid, jnp.asarray(orig), jnp.asarray(tgt),
+        jnp.asarray(elems, jnp.int32), jnp.ones(n, bool), 100,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_plain.elem_ids), np.asarray(res_accel.elem_ids)
+    )
+    # boundary exits present in this fixture (sanity that we exercised them)
+    assert (np.asarray(res_plain.elem_ids) == -1).sum() > 0
+
+
+def test_locator_grid_guess_quality():
+    from pumipic_tpu.mesh.locator import build_locator_grid
+    from pumipic_tpu.ops import geometry as geo
+
+    coords, tris, cls = gen.disk_mesh(8, 8)
+    m = Mesh2D.from_arrays(coords, tris, cls)
+    grid = build_locator_grid(coords, tris)
+    rng = np.random.default_rng(6)
+    pts = rng.uniform(-0.6, 0.6, size=(256, 2))
+    g = np.asarray(grid.guess(jnp.asarray(pts)))
+    assert (g >= 0).all() and (g < m.nelems).all()
+    # guesses should mostly be within a couple of hops: verify that walking
+    # from the guess converges fast
+    res = search.search_mesh_2d(
+        m, jnp.asarray(pts), jnp.asarray(pts), jnp.asarray(g, jnp.int32),
+        jnp.ones(256, bool), 20,
+    )
+    assert bool(res.all_found)
+
+
+def test_search_3d_intersection_method():
+    coords, tets = gen.box_tet_mesh(4, 4, 4)
+    m = Mesh3D.from_arrays(coords, tets)
+    rng = np.random.default_rng(2)
+    n = 128
+    orig = rng.uniform(0.05, 0.95, size=(n, 3))
+    tgt = np.clip(orig + rng.normal(scale=0.2, size=(n, 3)), -0.5, 1.5)
+    # locate starting elements first
+    res0 = search.search_mesh_3d(
+        m, jnp.asarray(orig), jnp.asarray(orig),
+        jnp.zeros(n, jnp.int32), jnp.ones(n, bool),
+    )
+    start = res0.elem_ids
+    kw = dict(max_iters=200)
+    res_bcc = search.search_mesh_3d(
+        m, jnp.asarray(orig), jnp.asarray(tgt), start, jnp.ones(n, bool), **kw
+    )
+    res_mt = search.search_mesh_3d(
+        m, jnp.asarray(orig), jnp.asarray(tgt), start, jnp.ones(n, bool),
+        method="intersection", **kw
+    )
+    a, b = np.asarray(res_bcc.elem_ids), np.asarray(res_mt.elem_ids)
+    # both must agree on found/lost status; found elements must both
+    # contain the target (they can differ only on exact-boundary ties)
+    np.testing.assert_array_equal(a < 0, b < 0)
+    cz = np.asarray(m.coords)
+    ev = np.asarray(m.elem2verts)
+    for i in np.nonzero(a >= 0)[0]:
+        for got in {a[i], b[i]}:
+            v = cz[ev[got]]
+            vol = np.dot(v[3] - v[0], np.cross(v[1] - v[0], v[2] - v[0]))
+            for k in range(4):
+                vv = v.copy()
+                vv[k] = tgt[i]
+                w = np.dot(vv[3] - vv[0], np.cross(vv[1] - vv[0], vv[2] - vv[0]))
+                assert w / vol >= -1e-4, (i, got)
+
+
+def test_search_2d_pt():
+    coords, tris = gen.rectangle_mesh(4, 4)
+    m = Mesh2D.from_arrays(coords, tris)
+    e = search.search_mesh_2d_pt(m, [0.55, 0.55], 0)
+    assert int(e) >= 0
+    e2 = search.search_mesh_2d_pt(m, [2.5, 0.5], 0)
+    assert int(e2) == -1
