@@ -93,3 +93,48 @@ def test_pseudo_push_and_search(structure):
     assert all(history[i] >= history[i + 1] for i in range(len(history) - 1))
     assert history[0] <= 500
     assert 0 < history[-1] < 500
+
+
+def test_gitr_like_app():
+    from pumipic_tpu.models.gitr_like import GitrConfig, GitrLike
+
+    coords, tets = gen.box_tet_mesh(3, 3, 3, 0.01, 0.01, 0.01)
+    mesh = Mesh3D.from_arrays(coords, tets)
+    cfg = GitrConfig(num_ptcls=300, num_iterations=5, dt=5e-10,
+                     b_field=(0.0, 0.0, 0.5))
+    app = GitrLike(mesh, cfg, seed=3)
+    history = app.run()
+    assert history[0] <= 300
+    assert history[-1] >= 0
+    # wall tally only counts exits
+    lost = 300 - history[-1]
+    assert abs(float(app.wall_hits.sum()) - lost) < 1e-3
+    # energy shouldn't blow up with pure B rotation + zero E
+    v = np.asarray(app.state["v"])[np.asarray(app.state["active"])]
+    assert np.isfinite(v).all()
+    assert (np.linalg.norm(v, axis=1) < 1e5).all()
+
+
+def test_vtk_writer(tmp_path):
+    from pumipic_tpu.io import vtk
+
+    coords, tris, cls = gen.disk_mesh(3, 6)
+    p = str(tmp_path / "m.vtk")
+    vtk.write_vtk(p, coords, tris,
+                  elem_fields={"class_id": cls},
+                  vert_fields={"w": np.zeros(len(coords))})
+    text = open(p).read()
+    assert "UNSTRUCTURED_GRID" in text
+    assert f"POINTS {len(coords)}" in text
+    assert "SCALARS class_id" in text and "SCALARS w" in text
+    vtk.write_particles_vtk(str(tmp_path / "p.vtk"),
+                            np.random.rand(10, 2), {"pid": np.arange(10)})
+    assert "POLYDATA" in open(str(tmp_path / "p.vtk")).read()
+
+
+def test_library_context():
+    from pumipic_tpu.library import Library
+
+    lib = Library(num_devices=4)
+    assert lib.world_size == 4
+    lib.finalize()
