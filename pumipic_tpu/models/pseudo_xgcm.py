@@ -242,14 +242,20 @@ class PseudoXGCm:
             ptcls2 = ptcls2.rebuild(res.elem_ids)
 
             # gyro scatter forward/backward + sync (sync is a no-op on one
-            # device; the distributed reduce lives in parallel.reduce)
-            fwd = scatter_ops.gyro_scatter(
-                ptcls2.elem, ptcls2.active, mesh.elem2verts, self.gyro_fwd,
-                mesh.nverts, gyro.num_rings, gyro.points_per_ring, gyro.rmax,
+            # device; the distributed reduce lives in parallel.reduce).
+            # The particle-rate ring accumulation is shared; only the
+            # mesh-rate mapped scatter differs between the two directions.
+            ring_accum = scatter_ops.accumulate_to_rings(
+                ptcls2.elem, ptcls2.active, mesh.elem2verts,
+                mesh.nverts, gyro.num_rings, gyro.rmax,
             )
-            bwd = scatter_ops.gyro_scatter(
-                ptcls2.elem, ptcls2.active, mesh.elem2verts, self.gyro_bwd,
-                mesh.nverts, gyro.num_rings, gyro.points_per_ring, gyro.rmax,
+            fwd = scatter_ops.scatter_to_mapped_verts(
+                ring_accum, self.gyro_fwd, mesh.nverts, gyro.num_rings,
+                gyro.points_per_ring,
+            )
+            bwd = scatter_ops.scatter_to_mapped_verts(
+                ring_accum, self.gyro_bwd, mesh.nverts, gyro.num_rings,
+                gyro.points_per_ring,
             )
             return ptcls2, fwd, bwd, res.iters
 
@@ -339,13 +345,17 @@ def make_dp_setup(mesh: Mesh2D, cfg: XGCmConfig, device_mesh, seed: int = ELEMEN
             "elem": res.elem_ids,
             "active": new_active,
         }
-        fwd = scatter_ops.gyro_scatter(
-            res.elem_ids, new_active, mesh.elem2verts, gyro_fwd,
-            mesh.nverts, gyro.num_rings, gyro.points_per_ring, gyro.rmax,
+        ring_accum = scatter_ops.accumulate_to_rings(
+            res.elem_ids, new_active, mesh.elem2verts,
+            mesh.nverts, gyro.num_rings, gyro.rmax,
         )
-        bwd = scatter_ops.gyro_scatter(
-            res.elem_ids, new_active, mesh.elem2verts, gyro_bwd,
-            mesh.nverts, gyro.num_rings, gyro.points_per_ring, gyro.rmax,
+        fwd = scatter_ops.scatter_to_mapped_verts(
+            ring_accum, gyro_fwd, mesh.nverts, gyro.num_rings,
+            gyro.points_per_ring,
+        )
+        bwd = scatter_ops.scatter_to_mapped_verts(
+            ring_accum, gyro_bwd, mesh.nverts, gyro.num_rings,
+            gyro.points_per_ring,
         )
         return new_state, {"fwd": fwd, "bwd": bwd}
 

@@ -45,6 +45,11 @@ from pumipic_tpu.mesh.core import Mesh2D, Mesh3D
 INVALID = -1
 COMPACT_DIV = 8      # width pyramid ratio for straggler compaction
 MAX_LEVELS = 3       # per-level fixed costs beat gather savings beyond this
+# Containment tolerance: the reference compares exact zeros in f64
+# (adjacency.hpp all_positive) and area-scales a tolerance in the .tpp path
+# (compute_tolerance_from_area).  In f32 an exactly-on-edge point can be
+# "outside" both neighbors and ping-pong forever; this slack breaks the tie.
+BCC_TOL = 1e-6
 
 
 class BoundaryCtx(NamedTuple):
@@ -124,7 +129,7 @@ def _walk_step_2d(mesh: Mesh2D, boundary_handler, use_guess: bool = False):
         l1 = g[:, 0] * rx + g[:, 1] * ry
         l2 = g[:, 2] * rx + g[:, 3] * ry
         w0 = 1.0 - l1 - l2
-        inside = (w0 >= 0) & (l1 >= 0) & (l2 >= 0)
+        inside = (w0 >= -BCC_TOL) & (l1 >= -BCC_TOL) & (l2 >= -BCC_TOL)
 
         # most negative vertex weight -> cross the opposite edge
         # (vertex k opposite edge (k+1)%3)
@@ -191,7 +196,10 @@ def _walk_step_3d(mesh: Mesh3D, boundary_handler, use_guess: bool = False):
         l2 = g[:, 3] * rx + g[:, 4] * ry + g[:, 5] * rz
         l3 = g[:, 6] * rx + g[:, 7] * ry + g[:, 8] * rz
         w0 = 1.0 - l1 - l2 - l3
-        inside = (w0 >= 0) & (l1 >= 0) & (l2 >= 0) & (l3 >= 0)
+        inside = (
+            (w0 >= -BCC_TOL) & (l1 >= -BCC_TOL)
+            & (l2 >= -BCC_TOL) & (l3 >= -BCC_TOL)
+        )
 
         wmin = w0
         kmin = jnp.zeros_like(elem)
