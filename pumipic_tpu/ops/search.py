@@ -381,18 +381,20 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
         p_elem, p_dest, p_done, p_fg, p_orig, p_fb = prev
         next_thresh = widths[li + 1] if li + 1 < len(widths) else 0
 
-        idx = jnp.nonzero(~p_done, size=m, fill_value=prev_n)[0]
-        in_range = idx < prev_n
-        sidx = jnp.minimum(idx, prev_n - 1)
+        # stable argsort(done) puts undone slots first in slot order — the
+        # same compaction as nonzero(size=m) but ~20x cheaper on TPU, where
+        # bounded nonzero lowers to a far slower cumsum/scatter pattern
+        sidx = jnp.argsort(p_done, stable=True)[:m]
+        in_range = ~p_done[sidx]
         s_elem = jnp.where(in_range, p_elem[sidx], INVALID)
         s_dest = p_dest[sidx]
         s_done = ~in_range
         s_fg = p_fg[sidx] & in_range
         s_orig = p_orig[sidx]
         s_fb = p_fb[sidx]
-        # compose to global slot ids
+        # compose to global slot ids (out-of-range -> n, dropped at merge)
         if li == 0:
-            gidx = idx
+            gidx = jnp.where(in_range, sidx, n)
         else:
             prev_gidx = levels[-1][0]
             gidx = jnp.where(in_range, prev_gidx[sidx], n)

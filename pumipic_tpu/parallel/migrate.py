@@ -157,13 +157,15 @@ def migrate(
     arr_valid = arr_valid & (arr_lid >= 0)
     num_recv = jnp.sum(arr_valid.astype(jnp.int32))
 
-    # place arrivals into free slots (stayers keep theirs)
-    free = jnp.nonzero(~staying, size=N, fill_value=N)[0].astype(jnp.int32)
+    # place arrivals into free slots (stayers keep theirs); stable argsort
+    # compaction instead of bounded nonzero (much cheaper on TPU)
+    free = jnp.argsort(staying, stable=True).astype(jnp.int32)
+    n_free = jnp.sum((~staying).astype(jnp.int32))
     arr_pos = jnp.cumsum(arr_valid.astype(jnp.int32)) - 1
     arr_slot = jnp.where(
-        arr_valid & (arr_pos < N), free[jnp.minimum(arr_pos, N - 1)], N
+        arr_valid & (arr_pos < n_free), free[jnp.minimum(arr_pos, N - 1)], N
     )
-    recv_overflow = num_recv > jnp.sum((~staying).astype(jnp.int32))
+    recv_overflow = num_recv > n_free
 
     new_state = {}
     elem_out = jnp.where(staying, new_elem, INVALID)
