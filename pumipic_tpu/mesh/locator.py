@@ -46,7 +46,7 @@ class LocatorGrid2D:
 
 
 def build_locator_grid(coords: np.ndarray, elem2verts: np.ndarray,
-                       cells_per_elem: float = 1.0) -> LocatorGrid2D:
+                       cells_per_elem: float = 4.0) -> LocatorGrid2D:
     """Host build: bucket element centroids into ~cells_per_elem*E cells and
     flood-fill empty cells from their neighbors."""
     coords = np.asarray(coords, np.float64)

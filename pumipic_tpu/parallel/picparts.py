@@ -82,6 +82,8 @@ class PicParts:
     vert_gid: jax.Array          # (R, V)
     vert_send_ids: jax.Array     # (R, R, Kv) fan-in gather ids (-1 pad)
     vert_recv_ids: jax.Array     # (R, R, Kv) owner-side ids (-1 pad)
+    elem_send_ids: jax.Array     # (R, R, Ke) element-dim exchange (-1 pad)
+    elem_recv_ids: jax.Array     # (R, R, Ke)
     num_ranks: int = _static_field(default=1)
     num_core_elems: int = _static_field(default=0)   # max over ranks (info)
 
@@ -307,39 +309,44 @@ def build_picparts(
     perm = np.argsort(eg_for_sort, axis=1, kind="stable")
     eg_sorted = np.take_along_axis(eg_for_sort, perm, axis=1)
 
-    # vertex fan-in exchange lists: copies -> owner
+    # fan-in exchange lists (copies -> owner), per entity dimension
     from pumipic_tpu import native
 
-    quads = native.exchange_lists(vert_gid, vert_owner, V_g)
-    if quads is None:
-        # numpy fallback: vectorized over all (rank, local-vertex) copies
-        g2l_stack = np.full((num_ranks, V_g), -1, np.int64)
-        for r in range(num_ranks):
-            vg_r = vert_gids_per_rank[r]
-            g2l_stack[r, vg_r] = np.arange(len(vg_r))
-        rr, ll = np.nonzero(
-            (vert_gid >= 0) & (vert_owner >= 0) &
-            (vert_owner != np.arange(num_ranks)[:, None])
-        )
-        gg = vert_gid[rr, ll]
-        oo = vert_owner[rr, ll]
-        lo = g2l_stack[oo, gg]
-        assert (lo >= 0).all(), "owner must hold a copy of its vertex"
-        quads = np.stack([rr, oo, ll, lo], axis=1)
+    def _exchange_tables(ent_gid, ent_owner, n_global):
+        quads = native.exchange_lists(ent_gid, ent_owner, n_global)
+        if quads is None:
+            # numpy fallback: vectorized over all (rank, local-entity) copies
+            g2l_stack = np.full((num_ranks, n_global), -1, np.int64)
+            for r in range(num_ranks):
+                valid = ent_gid[r] >= 0
+                g2l_stack[r, ent_gid[r][valid]] = np.nonzero(valid)[0]
+            rr, ll = np.nonzero(
+                (ent_gid >= 0) & (ent_owner >= 0) &
+                (ent_owner != np.arange(num_ranks)[:, None])
+            )
+            gg = ent_gid[rr, ll]
+            oo = ent_owner[rr, ll]
+            lo = g2l_stack[oo, gg]
+            assert (lo >= 0).all(), "owner must hold a copy of its entity"
+            quads = np.stack([rr, oo, ll, lo], axis=1)
 
-    # bucket the (src, owner) pairs into fixed-width per-pair lists
-    pair_key = quads[:, 0] * num_ranks + quads[:, 1]
-    order = np.argsort(pair_key, kind="stable")
-    quads = quads[order]
-    pair_key = pair_key[order]
-    counts = np.bincount(pair_key, minlength=num_ranks * num_ranks)
-    Kv = max(int(counts.max()), 1)
-    starts = np.concatenate([[0], np.cumsum(counts)])
-    slot = np.arange(len(quads)) - starts[pair_key]
-    vert_send_ids = np.full((num_ranks, num_ranks, Kv), -1, np.int64)
-    vert_recv_ids = np.full((num_ranks, num_ranks, Kv), -1, np.int64)
-    vert_send_ids[quads[:, 0], quads[:, 1], slot] = quads[:, 2]
-    vert_recv_ids[quads[:, 1], quads[:, 0], slot] = quads[:, 3]
+        # bucket the (src, owner) pairs into fixed-width per-pair lists
+        pair_key = quads[:, 0] * num_ranks + quads[:, 1]
+        order = np.argsort(pair_key, kind="stable")
+        quads = quads[order]
+        pair_key = pair_key[order]
+        counts = np.bincount(pair_key, minlength=num_ranks * num_ranks)
+        K = max(int(counts.max()), 1)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        slot = np.arange(len(quads)) - starts[pair_key]
+        send = np.full((num_ranks, num_ranks, K), -1, np.int64)
+        recv = np.full((num_ranks, num_ranks, K), -1, np.int64)
+        send[quads[:, 0], quads[:, 1], slot] = quads[:, 2]
+        recv[quads[:, 1], quads[:, 0], slot] = quads[:, 3]
+        return send, recv
+
+    vert_send_ids, vert_recv_ids = _exchange_tables(vert_gid, vert_owner, V_g)
+    elem_send_ids, elem_recv_ids = _exchange_tables(elem_gid, elem_owner, E_g)
 
     return PicParts(
         mesh=stacked_mesh,
@@ -354,6 +361,8 @@ def build_picparts(
         vert_gid=jnp.asarray(vert_gid, LID_DTYPE),
         vert_send_ids=jnp.asarray(vert_send_ids, LID_DTYPE),
         vert_recv_ids=jnp.asarray(vert_recv_ids, LID_DTYPE),
+        elem_send_ids=jnp.asarray(elem_send_ids, LID_DTYPE),
+        elem_recv_ids=jnp.asarray(elem_recv_ids, LID_DTYPE),
         num_ranks=num_ranks,
         num_core_elems=int(max((owners == r).sum() for r in range(num_ranks))),
     )

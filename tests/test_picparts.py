@@ -303,3 +303,36 @@ def test_distributor_and_ptn_files(tmp_path):
     c = str(tmp_path / "mesh.cpn")
     ppm.write_cpn(c, {1: 0, 2: 1, 3: 1})
     assert ppm.read_cpn(c) == {1: 0, 2: 1, 3: 1}
+
+
+def test_reduce_comm_array_elem_dim():
+    """Element-dimension comm arrays reduce the same way (the reference's
+    per-dim reduceCommArray; elem copies -> owner -> broadcast)."""
+    coords, tris, owners, pp = _build()
+    mesh = make_device_mesh(R)
+    sharding = NamedSharding(mesh, P(RANK_AXIS))
+    pp_d = jax.device_put(pp, sharding)
+    eg = np.asarray(pp.elem_gid)
+    field = jnp.asarray((eg >= 0).astype(np.float32))
+    field = jax.device_put(field, sharding)
+
+    @jax.jit
+    @lambda f: jax.shard_map(
+        f, mesh=mesh, in_specs=(P(RANK_AXIS), P(RANK_AXIS)),
+        out_specs=P(RANK_AXIS), check_vma=False,
+    )
+    def run(pp_l, fld):
+        lpp = ppm.local_view(pp_l)
+        return red.reduce_comm_array(
+            lpp.elem_send_ids, lpp.elem_recv_ids, fld[0], red.Op.SUM
+        )[None]
+
+    out = np.asarray(run(pp_d, field))
+    E_g = tris.shape[0]
+    copies = np.zeros(E_g, np.int64)
+    for r in range(R):
+        valid = eg[r] >= 0
+        np.add.at(copies, eg[r][valid], 1)
+    for r in range(R):
+        valid = eg[r] >= 0
+        np.testing.assert_allclose(out[r][valid], copies[eg[r][valid]])
