@@ -261,8 +261,13 @@ class PseudoXGCm:
 
         return step
 
-    def run(self, num_iterations: Optional[int] = None, verbose: bool = True):
-        from pumipic_tpu.utils.timing import record_time, timed
+    def run(self, num_iterations: Optional[int] = None, verbose: bool = True,
+            render_prefix: Optional[str] = None):
+        """Step loop with the reference's telemetry: per-step timing
+        (RecordTime), particle/memory imbalance (pseudoXGCm.cpp:17-62), and
+        optional VTK rendering (render, :64-69)."""
+        from pumipic_tpu.utils.memory import memory_imbalance
+        from pumipic_tpu.utils.timing import record_time
         import time
 
         iters = num_iterations or self.cfg.num_iterations
@@ -275,11 +280,35 @@ class PseudoXGCm:
             if verbose:
                 from pumipic_tpu.utils.plog import print_info
 
+                mem = memory_imbalance()
                 print_info(
-                    "iter %d: ptcls %d walk_iters %d fwd_sum %.1f",
-                    i, self.ptcls.n_ptcls(), int(walk_iters), float(fwd.sum()),
+                    "iter %d: ptcls %d walk_iters %d fwd_sum %.1f "
+                    "mem_imb %.2f",
+                    i, self.ptcls.n_ptcls(), int(walk_iters),
+                    float(fwd.sum()), mem["imbalance"],
                 )
+            if render_prefix is not None:
+                self.render(f"{render_prefix}_t{i}", fwd, bwd)
         return fwd, bwd
+
+    def render(self, path: str, fwd=None, bwd=None) -> None:
+        """VTK dump of the mesh with particle counts and gyro tags."""
+        from pumipic_tpu.io.vtk import write_vtk
+
+        elem_fields = {
+            "class_id": np.asarray(self.mesh.class_id),
+            "has_particles": np.asarray(self.ptcls.ppe()),
+        }
+        vert_fields = {}
+        if fwd is not None:
+            vert_fields["gyro_fwd"] = np.asarray(fwd)
+        if bwd is not None:
+            vert_fields["gyro_bwd"] = np.asarray(bwd)
+        write_vtk(
+            path, np.asarray(self.mesh.coords),
+            np.asarray(self.mesh.elem2verts),
+            elem_fields=elem_fields, vert_fields=vert_fields,
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -336,3 +336,40 @@ def test_reduce_comm_array_elem_dim():
     for r in range(R):
         valid = eg[r] >= 0
         np.testing.assert_allclose(out[r][valid], copies[eg[r][valid]])
+
+
+def test_reduce_comm_array_vector_field():
+    """(V, k) comm arrays (gyroSync syncs a 2-component array,
+    gyroScatter.hpp:233-259)."""
+    coords, tris, owners, pp = _build()
+    mesh = make_device_mesh(R)
+    sharding = NamedSharding(mesh, P(RANK_AXIS))
+    pp_d = jax.device_put(pp, sharding)
+    vg = np.asarray(pp.vert_gid)
+    V = pp.mesh.nverts
+    f = np.zeros((R, V, 2), np.float32)
+    f[:, :, 0] = (vg >= 0)
+    f[:, :, 1] = 2.0 * (vg >= 0)
+    field = jax.device_put(jnp.asarray(f), sharding)
+
+    @jax.jit
+    @lambda fn: jax.shard_map(
+        fn, mesh=mesh, in_specs=(P(RANK_AXIS), P(RANK_AXIS)),
+        out_specs=P(RANK_AXIS), check_vma=False,
+    )
+    def run(pp_l, fld):
+        lpp = ppm.local_view(pp_l)
+        return red.reduce_comm_array(
+            lpp.vert_send_ids, lpp.vert_recv_ids, fld[0], red.Op.SUM
+        )[None]
+
+    out = np.asarray(run(pp_d, field))
+    V_g = coords.shape[0]
+    copies = np.zeros(V_g, np.int64)
+    for r in range(R):
+        valid = vg[r] >= 0
+        np.add.at(copies, vg[r][valid], 1)
+    for r in range(R):
+        valid = vg[r] >= 0
+        np.testing.assert_allclose(out[r][valid, 0], copies[vg[r][valid]])
+        np.testing.assert_allclose(out[r][valid, 1], 2 * copies[vg[r][valid]])
