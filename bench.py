@@ -2,7 +2,10 @@
 
 Workload (BASELINE.md north star): push + search + rebuild + gyroScatter at
 10M particles on an XGC-24k-analog annulus mesh, whole step as one jitted
-on-device function.  Prints ONE JSON line:
+on-device function.  The particle container is the DPS-equivalent flat
+layout, so "rebuild" is the DPS semantics (parent-element + activity
+rewrite, dps_rebuild.hpp) — the TPU-optimal choice since deposition is an
+order-free segment_sum.  Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 vs_baseline: the reference publishes no in-tree numbers (BASELINE.md);

@@ -110,9 +110,36 @@ def main():
         record_time(f"{struct} rebuild", t_rebuild)
         assert ps2.n_ptcls() == n, (struct, ps2.n_ptcls())
 
+        # migration churn (redistribute_particles analog): 10% of particles
+        # "leave" (removed) and the same number arrive as new particles —
+        # the single-rank projection of ps->migrate's remove+receive work
+        churn = max(n // 10, 1)
+        add_elems = jnp.asarray(np.arange(churn) % args.ne, jnp.int32)
+        add_fields = {
+            "vals": jnp.zeros((churn, 3), jnp.float32),
+            "pid": jnp.arange(churn, dtype=jnp.int32),
+        }
+
+        @jax.jit
+        def migrate_churn(p, key):
+            drop = jax.random.uniform(key, (p.capacity,)) < 0.1
+            new_elem = jnp.where(drop, -1, p.elem)
+            return p.rebuild(new_elem, add_elems, add_fields)
+
+        keys = jax.random.split(jax.random.PRNGKey(0), args.iters + 1)
+        out = migrate_churn(ps2, keys[-1]); jax.block_until_ready(out.elem)
+        ps3 = out
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            ps3 = migrate_churn(ps3, keys[i])
+        jax.block_until_ready(ps3.elem)
+        t_migrate = (time.perf_counter() - t0) / args.iters
+        record_time(f"{struct} migration churn", t_migrate)
+
         results[struct] = {
             "pseudo_push_ms": t_push * 1e3,
             "rebuild_ms": t_rebuild * 1e3,
+            "migrate_churn_ms": t_migrate * 1e3,
             "capacity": cap,
             "padded_fraction": float(ps.metrics()["padded_fraction"]),
         }
