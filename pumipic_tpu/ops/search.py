@@ -4,7 +4,8 @@ Reference parity:
 - ``search_mesh_2d`` (``src/pumipic_adjacency.hpp:1011-1158``): per-particle
   BCC edge walk — check current element, mark boundary exits, cross the most
   violated edge; loop until a global min-reduce says everyone is done.
-- ``search_mesh`` / ``search_mesh_3d`` (``:314-768``): tet BCC walk.
+- ``search_mesh`` / ``search_mesh_3d`` (``:314-768``): tet BCC walk and the
+  Möller–Trumbore intersection path.
 - ``trace_particle_through_mesh`` (``src/pumipic_adjacency.tpp:460-615``):
   unified driver with a user-pluggable boundary handler (default
   ``RemoveParticleOnGeometricModelExit``, ``:617-639``).
@@ -13,21 +14,26 @@ TPU-first redesign:
 
 - The whole walk is ``lax.while_loop``s whose body is a fully vectorized step
   over particles: ONE packed-row gather (``Mesh*.walk_geom`` holds the
-  element's inverse affine basis + origin) → barycentric FMAs → argmin side →
-  ONE neighbor gather (``walk_nbrs``).  The reference launches three kernels
-  per step and reads a device-to-host min every iteration
-  (adjacency.hpp:1120-1123); here convergence tests live in the loop
-  condition, so the chip never stalls on the host.
-- **Straggler compaction**: after ``COMPACT_AFTER`` full-width steps, the
-  survivors (typically a tiny fraction) are gathered into an N/8-sized
-  scratch array and walked to completion there, then scattered back.  This
-  bounds the tail cost at ~1/8 per step instead of paying O(N) gathers until
-  the very last walker lands (the reference pays full kernel launches over
-  the whole structure for every loop).
+  element's inverse affine basis + origin + neighbor/edge ids) →
+  barycentric FMAs → argmin side → dual-graph crossing.  The reference
+  launches three kernels per step and reads a device-to-host min every
+  iteration (adjacency.hpp:1120-1123); here convergence tests live in the
+  loop condition, so the chip never stalls on the host.
+- **Straggler compaction pyramid**: full width only while most walkers are
+  live, then N/8 → N/64 → 2048-wide loops, each level compacted from the
+  previous level's arrays via stable argsort (bounded ``nonzero`` is ~20x
+  slower on TPU) and merged back once at the end.
+- **Flat state**: positions ride as separate (N,) component arrays.  On TPU
+  any (N, k<128) intermediate tile-pads its lane dimension to 128 (up to
+  10.7x memory for k=12, 64x for k=2), so the hot loop never materializes
+  multi-column particle temporaries (see docs/PERFORMANCE.md).
+- **Grid-guess fallback**: with ``use_guess`` the walker carries a
+  from-guess flag; a boundary hit on a guess trajectory resets it to its
+  true previous element mid-walk instead of invoking the handler.
 
 Termination semantics (same as the reference): the greedy walk crosses the
-most-violated side toward the destination, which reaches any destination on a
-convex domain or for local (few-element) moves.  On a non-convex domain a
+most-violated side toward the destination, which reaches any destination on
+a convex domain or for local (few-element) moves.  On a non-convex domain a
 walk aimed across a hole hits the interior boundary and is handed to the
 boundary handler (default: delete) — identical to the reference's
 ``checkExposedEdges`` behavior.
@@ -35,7 +41,7 @@ boundary handler (default: delete) — identical to the reference's
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,7 +54,8 @@ MAX_LEVELS = 3       # per-level fixed costs beat gather savings beyond this
 # Containment tolerance: the reference compares exact zeros in f64
 # (adjacency.hpp all_positive) and area-scales a tolerance in the .tpp path
 # (compute_tolerance_from_area).  In f32 an exactly-on-edge point can be
-# "outside" both neighbors and ping-pong forever; this slack breaks the tie.
+# "outside" both neighboring elements and ping-pong forever; this slack
+# breaks the tie.
 BCC_TOL = 1e-6
 
 
@@ -57,13 +64,13 @@ class BoundaryCtx(NamedTuple):
 
     elem: jax.Array      # (N,) element the particle is leaving
     side: jax.Array      # (N,) mesh edge/face id crossed
-    orig: jax.Array      # (N, dim) walk origin
-    dest: jax.Array      # (N, dim) current destination
+    orig: Tuple[jax.Array, ...]   # per-component (N,) walk origin
+    dest: Tuple[jax.Array, ...]   # per-component (N,) current destination
     mesh: object
 
 
 class BoundaryResult(NamedTuple):
-    dest: jax.Array      # possibly modified destination
+    dest: Optional[Tuple[jax.Array, ...]]  # None = destination unchanged
     elem: jax.Array      # element to continue in (INVALID to remove)
     done: jax.Array      # True → stop walking this particle
 
@@ -73,7 +80,7 @@ def remove_on_exit(ctx: BoundaryCtx) -> BoundaryResult:
     (``RemoveParticleOnGeometricModelExit``, adjacency.tpp:617-639)."""
     n = ctx.elem.shape[0]
     return BoundaryResult(
-        dest=ctx.dest,
+        dest=None,
         elem=jnp.full((n,), INVALID, dtype=ctx.elem.dtype),
         done=jnp.ones((n,), dtype=bool),
     )
@@ -84,15 +91,20 @@ def reflect_on_exit_2d(ctx: BoundaryCtx) -> BoundaryResult:
     same element with the mirrored destination (GITR-style wall handler)."""
     mesh: Mesh2D = ctx.mesh
     ev = mesh.edge2verts[jnp.maximum(ctx.side, 0)]
-    a = mesh.coords[ev[:, 0]]
-    b = mesh.coords[ev[:, 1]]
-    t = b - a
-    t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-30)
-    ad = ctx.dest - a
-    along = jnp.sum(ad * t, axis=-1, keepdims=True) * t
-    mirrored = a + (2 * along - ad)
+    ax = mesh.coords[ev[:, 0], 0]
+    ay = mesh.coords[ev[:, 0], 1]
+    bx = mesh.coords[ev[:, 1], 0]
+    by = mesh.coords[ev[:, 1], 1]
+    tx, ty = bx - ax, by - ay
+    inv = 1.0 / jnp.maximum(jnp.sqrt(tx * tx + ty * ty), 1e-30)
+    tx, ty = tx * inv, ty * inv
+    dx, dy = ctx.dest
+    adx, ady = dx - ax, dy - ay
+    along = adx * tx + ady * ty
+    mx = ax + 2 * along * tx - adx
+    my = ay + 2 * along * ty - ady
     return BoundaryResult(
-        dest=mirrored,
+        dest=(mx, my),
         elem=ctx.elem,
         done=jnp.zeros(ctx.elem.shape[0], dtype=bool),
     )
@@ -110,22 +122,17 @@ class SearchResult(NamedTuple):
 # ---------------------------------------------------------------------------
 
 def _walk_step_2d(mesh: Mesh2D, boundary_handler, use_guess: bool = False):
-    """One vectorized walk step, width-agnostic.
-
-    With ``use_guess``, walkers carry a ``fg`` (from-guess) flag: a boundary
-    hit while still on a guess trajectory resets the walker to its fallback
-    (true previous) element instead of invoking the boundary handler — the
-    mid-walk retry of the grid-accelerated search.
-    """
+    """One vectorized walk step, width-agnostic.  State arrays are all (N,)."""
 
     def step(elem, dest, done, fg, orig, fallback):
+        dx, dy = dest
         e_safe = jnp.maximum(elem, 0)
 
         # single packed gather:
         # [ib00 ib01 ib10 ib11, v0x v0y, nbr0..2(i32), edge0..2(i32)]
         g = mesh.walk_geom[e_safe]                 # (N, 12)
-        rx = dest[:, 0] - g[:, 4]
-        ry = dest[:, 1] - g[:, 5]
+        rx = dx - g[:, 4]
+        ry = dy - g[:, 5]
         l1 = g[:, 0] * rx + g[:, 1] * ry
         l2 = g[:, 2] * rx + g[:, 3] * ry
         w0 = 1.0 - l1 - l2
@@ -148,7 +155,8 @@ def _walk_step_2d(mesh: Mesh2D, boundary_handler, use_guess: bool = False):
         walking = ~done
         hits_boundary = walking & ~inside & exposed
 
-        # side id for handlers (same gathered row, no extra memory traffic)
+        # side id for handlers (same gathered row, no extra memory traffic;
+        # dead-code-eliminated when the handler ignores it)
         edge3 = jax.lax.bitcast_convert_type(g[:, 9:12], jnp.int32)
         edge = jnp.where(
             exit_local == 0, edge3[:, 0],
@@ -167,31 +175,42 @@ def _walk_step_2d(mesh: Mesh2D, boundary_handler, use_guess: bool = False):
                           jnp.where(exposed, bres.elem, next_elem)),
                 elem,
             )
-            new_dest = jnp.where(real_hit[:, None], bres.dest, dest)
             new_done = done | (walking & inside) | (real_hit & bres.done)
             new_fg = fg & ~retry & ~(walking & inside)
-            return new_elem, new_dest, new_done, new_fg
+            if bres.dest is not None:
+                dest = tuple(
+                    jnp.where(real_hit, bd, d)
+                    for bd, d in zip(bres.dest, dest)
+                )
+            return new_elem, dest, new_done, new_fg
 
         new_elem = jnp.where(
             walking & ~inside,
             jnp.where(exposed, bres.elem, next_elem),
             elem,
         )
-        new_dest = jnp.where(hits_boundary[:, None], bres.dest, dest)
         new_done = done | (walking & inside) | (hits_boundary & bres.done)
-        return new_elem, new_dest, new_done, fg
+        if bres.dest is not None:
+            dest = tuple(
+                jnp.where(hits_boundary, bd, d)
+                for bd, d in zip(bres.dest, dest)
+            )
+        return new_elem, dest, new_done, fg
 
     return step
 
 
 def _walk_step_3d(mesh: Mesh3D, boundary_handler, use_guess: bool = False):
+    """BCC-descent tet walk step."""
+
     def step(elem, dest, done, fg, orig, fallback):
+        dx, dy, dz = dest
         e_safe = jnp.maximum(elem, 0)
 
         g = mesh.walk_geom[e_safe]          # (N, 16): [ib(9) v0(3) nbr(4,i32)]
-        rx = dest[:, 0] - g[:, 9]
-        ry = dest[:, 1] - g[:, 10]
-        rz = dest[:, 2] - g[:, 11]
+        rx = dx - g[:, 9]
+        ry = dy - g[:, 10]
+        rz = dz - g[:, 11]
         l1 = g[:, 0] * rx + g[:, 1] * ry + g[:, 2] * rz
         l2 = g[:, 3] * rx + g[:, 4] * ry + g[:, 5] * rz
         l3 = g[:, 6] * rx + g[:, 7] * ry + g[:, 8] * rz
@@ -237,19 +256,27 @@ def _walk_step_3d(mesh: Mesh3D, boundary_handler, use_guess: bool = False):
                           jnp.where(exposed, bres.elem, next_elem)),
                 elem,
             )
-            new_dest = jnp.where(real_hit[:, None], bres.dest, dest)
             new_done = done | (walking & inside) | (real_hit & bres.done)
             new_fg = fg & ~retry & ~(walking & inside)
-            return new_elem, new_dest, new_done, new_fg
+            if bres.dest is not None:
+                dest = tuple(
+                    jnp.where(real_hit, bd, d)
+                    for bd, d in zip(bres.dest, dest)
+                )
+            return new_elem, dest, new_done, new_fg
 
         new_elem = jnp.where(
             walking & ~inside,
             jnp.where(exposed, bres.elem, next_elem),
             elem,
         )
-        new_dest = jnp.where(hits_boundary[:, None], bres.dest, dest)
         new_done = done | (walking & inside) | (hits_boundary & bres.done)
-        return new_elem, new_dest, new_done, fg
+        if bres.dest is not None:
+            dest = tuple(
+                jnp.where(hits_boundary, bd, d)
+                for bd, d in zip(bres.dest, dest)
+            )
+        return new_elem, dest, new_done, fg
 
     return step
 
@@ -262,20 +289,22 @@ def _walk_step_3d_mt(mesh: Mesh3D, boundary_handler, use_guess: bool = False):
     Robust on sliver tets where greedy BCC descent can ping-pong."""
 
     def step(elem, dest, done, fg, orig, fallback):
+        dx, dy, dz = dest
+        ox, oy, oz = orig
         e_safe = jnp.maximum(elem, 0)
         g = mesh.walk_planes[e_safe]              # (N, 20)
-        d = dest - orig                           # segment direction
+        vx, vy, vz = dx - ox, dy - oy, dz - oz    # segment direction
 
         inside = jnp.ones(elem.shape, bool)
-        t_exit = jnp.full(elem.shape, jnp.inf, dest.dtype)
+        t_exit = jnp.full(elem.shape, jnp.inf, dx.dtype)
         exit_local = jnp.zeros(elem.shape, jnp.int32)
         for i in range(4):
             n_x, n_y, n_z, off = (g[:, 4 * i], g[:, 4 * i + 1],
                                   g[:, 4 * i + 2], g[:, 4 * i + 3])
-            s_dest = n_x * dest[:, 0] + n_y * dest[:, 1] + n_z * dest[:, 2]
+            s_dest = n_x * dx + n_y * dy + n_z * dz
             inside = inside & (s_dest <= off + 1e-7)
-            n_dot_d = n_x * d[:, 0] + n_y * d[:, 1] + n_z * d[:, 2]
-            s_orig = n_x * orig[:, 0] + n_y * orig[:, 1] + n_z * orig[:, 2]
+            n_dot_d = n_x * vx + n_y * vy + n_z * vz
+            s_orig = n_x * ox + n_y * oy + n_z * oz
             t_i = (off - s_orig) / jnp.where(n_dot_d == 0, 1.0, n_dot_d)
             valid = (n_dot_d > 0) & (t_i < t_exit)
             t_exit = jnp.where(valid, t_i, t_exit)
@@ -311,19 +340,27 @@ def _walk_step_3d_mt(mesh: Mesh3D, boundary_handler, use_guess: bool = False):
                           jnp.where(exposed, bres.elem, next_elem)),
                 elem,
             )
-            new_dest = jnp.where(real_hit[:, None], bres.dest, dest)
             new_done = done | (walking & inside) | (real_hit & bres.done)
             new_fg = fg & ~retry & ~(walking & inside)
-            return new_elem, new_dest, new_done, new_fg
+            if bres.dest is not None:
+                dest = tuple(
+                    jnp.where(real_hit, bd, d)
+                    for bd, d in zip(bres.dest, dest)
+                )
+            return new_elem, dest, new_done, new_fg
 
         new_elem = jnp.where(
             walking & ~inside,
             jnp.where(exposed, bres.elem, next_elem),
             elem,
         )
-        new_dest = jnp.where(hits_boundary[:, None], bres.dest, dest)
         new_done = done | (walking & inside) | (hits_boundary & bres.done)
-        return new_elem, new_dest, new_done, fg
+        if bres.dest is not None:
+            dest = tuple(
+                jnp.where(hits_boundary, bd, d)
+                for bd, d in zip(bres.dest, dest)
+            )
+        return new_elem, dest, new_done, fg
 
     return step
 
@@ -331,13 +368,12 @@ def _walk_step_3d_mt(mesh: Mesh3D, boundary_handler, use_guess: bool = False):
 def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
               fallback=None, fg0=None) -> SearchResult:
     """Pyramid walk: run at full width only while most walkers are live, then
-    repeatedly halve the working width, each time compacting the survivors
-    of the PREVIOUS level (so only the first compaction pays an O(N)
-    nonzero); all levels' results scatter back at the end, shallow to deep,
-    so deeper (fresher) state wins.
+    repeatedly shrink the working width, each time compacting the survivors
+    of the PREVIOUS level (one O(N) argsort total); all levels' results
+    scatter back at the end, shallow to deep, so deeper (fresher) state wins.
 
-    Work is then proportional to the area under the convergence curve plus
-    per-level fixed costs, instead of O(N * total_iters).
+    ``dest0``/``orig`` are tuples of per-component (N,) arrays (see module
+    docstring on TPU lane padding).
     """
     n = elem0.shape[0]
     if fallback is None:
@@ -382,15 +418,14 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
         next_thresh = widths[li + 1] if li + 1 < len(widths) else 0
 
         # stable argsort(done) puts undone slots first in slot order — the
-        # same compaction as nonzero(size=m) but ~20x cheaper on TPU, where
-        # bounded nonzero lowers to a far slower cumsum/scatter pattern
+        # same compaction as nonzero(size=m) but ~20x cheaper on TPU
         sidx = jnp.argsort(p_done, stable=True)[:m]
         in_range = ~p_done[sidx]
         s_elem = jnp.where(in_range, p_elem[sidx], INVALID)
-        s_dest = p_dest[sidx]
+        s_dest = tuple(d[sidx] for d in p_dest)
         s_done = ~in_range
         s_fg = p_fg[sidx] & in_range
-        s_orig = p_orig[sidx]
+        s_orig = tuple(o[sidx] for o in p_orig)
         s_fb = p_fb[sidx]
         # compose to global slot ids (out-of-range -> n, dropped at merge)
         if li == 0:
@@ -414,13 +449,24 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
     # merge: shallow -> deep so fresher (deeper) values overwrite
     for gidx, (s_elem, s_dest, s_done) in levels:
         elem = elem.at[gidx].set(s_elem, mode="drop")
-        dest = dest.at[gidx].set(s_dest, mode="drop")
+        dest = tuple(
+            d.at[gidx].set(sd, mode="drop") for d, sd in zip(dest, s_dest)
+        )
         done = done.at[gidx].set(s_done, mode="drop")
 
     all_found = jnp.all(done)
     # loop-limit fallback: delete unfinished walkers (adjacency.hpp:1126-1149)
     elem = jnp.where(done, elem, INVALID)
-    return SearchResult(elem_ids=elem, dest=dest, iters=it, all_found=all_found)
+    return SearchResult(
+        elem_ids=elem,
+        dest=jnp.stack(dest, axis=-1),
+        iters=it,
+        all_found=all_found,
+    )
+
+
+def _components(x: jax.Array) -> Tuple[jax.Array, ...]:
+    return tuple(x[:, i] for i in range(x.shape[1]))
 
 
 # ---------------------------------------------------------------------------
@@ -447,7 +493,9 @@ def search_mesh_2d(
     elem0 = jnp.where(active, elem_init.astype(jnp.int32), INVALID)
     done0 = ~active
     step = _walk_step_2d(mesh, boundary_handler)
-    return _run_walk(step, elem0, x_tgt, done0, x_orig, max_iters)
+    return _run_walk(
+        step, elem0, _components(x_tgt), done0, _components(x_orig), max_iters
+    )
 
 
 @partial(jax.jit, static_argnames=("max_iters", "boundary_handler", "method"))
@@ -475,7 +523,9 @@ def search_mesh_3d(
         step = _walk_step_3d_mt(mesh, boundary_handler)
     else:
         step = _walk_step_3d(mesh, boundary_handler)
-    return _run_walk(step, elem0, x_tgt, done0, x_orig, max_iters)
+    return _run_walk(
+        step, elem0, _components(x_tgt), done0, _components(x_orig), max_iters
+    )
 
 
 @partial(jax.jit, static_argnames=("max_iters", "boundary_handler"))
@@ -492,10 +542,9 @@ def search_mesh_2d_accel(
     """Grid-accelerated 2D search: walk from a background-grid guess of the
     DESTINATION (1-2 hops) instead of the previous element (one hop per
     element crossed).  Walkers whose guess-walk exits the domain — guess
-    errors and genuine boundary exits alike — are re-run from their true
+    errors and genuine boundary exits alike — reset mid-walk to their true
     previous element with the real boundary handler, so results match
-    :func:`search_mesh_2d` exactly; the rerun set is tiny and rides the
-    compaction levels.
+    :func:`search_mesh_2d` exactly.
 
     ``grid``: a :class:`pumipic_tpu.mesh.locator.LocatorGrid2D` for ``mesh``.
     """
@@ -504,7 +553,8 @@ def search_mesh_2d_accel(
     elem0 = jnp.where(active, guess, INVALID)
     fallback = jnp.where(active, elem_prev.astype(jnp.int32), INVALID)
     return _run_walk(
-        step, elem0, x_tgt, ~active, x_orig, max_iters,
+        step, elem0, _components(x_tgt), done0=~active,
+        orig=_components(x_orig), max_iters=max_iters,
         fallback=fallback, fg0=active,
     )
 

@@ -204,7 +204,7 @@ def select_particles(
     # rank of each candidate within its sbar
     key = jnp.where(candidate & (sbar >= 0), sbar, S)
     order = jnp.argsort(key, stable=True)
-    sorted_key = order_key = key[order]
+    sorted_key = key[order]
     counts = jax.ops.segment_sum(
         jnp.ones((N,), jnp.int32), sorted_key, num_segments=S + 1
     )
