@@ -490,7 +490,11 @@ def search_mesh_2d(
     exits are delegated to ``boundary_handler``; particles still walking when
     ``max_iters`` is hit are deleted, as the reference does at its loop limit.
     """
-    elem0 = jnp.where(active, elem_init.astype(jnp.int32), INVALID)
+    # clamp garbage starts so returned ids are always valid mesh elements
+    elem0 = jnp.where(
+        active, jnp.clip(elem_init.astype(jnp.int32), 0, mesh.nelems - 1),
+        INVALID,
+    )
     done0 = ~active
     step = _walk_step_2d(mesh, boundary_handler)
     return _run_walk(
@@ -517,7 +521,10 @@ def search_mesh_3d(
     ``method='intersection'``: clip the orig→dest segment against the tet's
     face planes and cross the exit face (the Möller–Trumbore trace of
     adjacency.tpp:232-364; robust on sliver tets, one 20-col gather)."""
-    elem0 = jnp.where(active, elem_init.astype(jnp.int32), INVALID)
+    elem0 = jnp.where(
+        active, jnp.clip(elem_init.astype(jnp.int32), 0, mesh.nelems - 1),
+        INVALID,
+    )
     done0 = ~active
     if method == "intersection":
         step = _walk_step_3d_mt(mesh, boundary_handler)
@@ -551,7 +558,10 @@ def search_mesh_2d_accel(
     guess = grid.guess(x_tgt)
     step = _walk_step_2d(mesh, boundary_handler, use_guess=True)
     elem0 = jnp.where(active, guess, INVALID)
-    fallback = jnp.where(active, elem_prev.astype(jnp.int32), INVALID)
+    fallback = jnp.where(
+        active, jnp.clip(elem_prev.astype(jnp.int32), 0, mesh.nelems - 1),
+        INVALID,
+    )
     return _run_walk(
         step, elem0, _components(x_tgt), done0=~active,
         orig=_components(x_orig), max_iters=max_iters,
