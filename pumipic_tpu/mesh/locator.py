@@ -45,6 +45,69 @@ class LocatorGrid2D:
         return self.cell_elem[ix * self.ny + iy]
 
 
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class LocatorGrid3D:
+    origin: jax.Array      # (3,)
+    inv_h: jax.Array       # (3,)
+    cell_elem: jax.Array   # (nx*ny*nz,)
+    nx: int = _static_field(default=1)
+    ny: int = _static_field(default=1)
+    nz: int = _static_field(default=1)
+
+    def guess(self, pts: jax.Array) -> jax.Array:
+        rel = (pts - self.origin) * self.inv_h
+        ix = jnp.clip(rel[:, 0].astype(jnp.int32), 0, self.nx - 1)
+        iy = jnp.clip(rel[:, 1].astype(jnp.int32), 0, self.ny - 1)
+        iz = jnp.clip(rel[:, 2].astype(jnp.int32), 0, self.nz - 1)
+        return self.cell_elem[(ix * self.ny + iy) * self.nz + iz]
+
+
+def build_locator_grid_3d(coords: np.ndarray, elem2verts: np.ndarray,
+                          cells_per_elem: float = 2.0) -> LocatorGrid3D:
+    """3D analog of :func:`build_locator_grid` (tet meshes)."""
+    coords = np.asarray(coords, np.float64)
+    ev = np.asarray(elem2verts, np.int64)
+    E = ev.shape[0]
+    cent = coords[ev].mean(axis=1)
+
+    lo = coords.min(axis=0)
+    hi = coords.max(axis=0)
+    extent = np.maximum(hi - lo, 1e-30)
+    n_cells = max(int(E * cells_per_elem), 64)
+    # proportional cell counts per axis
+    scale = (n_cells / np.prod(extent)) ** (1.0 / 3.0)
+    nx, ny, nz = (max(int(e * scale), 1) for e in extent)
+    h = extent / np.array([nx, ny, nz])
+
+    ijk = np.clip(((cent - lo) / h).astype(np.int64),
+                  0, np.array([nx - 1, ny - 1, nz - 1]))
+    grid = np.full((nx, ny, nz), -1, np.int64)
+    grid[ijk[:, 0], ijk[:, 1], ijk[:, 2]] = np.arange(E)
+
+    while (grid < 0).any():
+        empty = grid < 0
+        filled_any = False
+        for ax in (0, 1, 2):
+            for s in (1, -1):
+                shifted = np.roll(grid, s, axis=ax)
+                idx = [slice(None)] * 3
+                idx[ax] = 0 if s == 1 else -1
+                shifted[tuple(idx)] = -1
+                newfill = empty & (grid < 0) & (shifted >= 0)
+                grid = np.where(empty & (grid < 0), shifted, grid)
+                filled_any = filled_any or bool(newfill.any())
+        if not filled_any:
+            raise ValueError("3d locator grid flood fill failed")
+
+    return LocatorGrid3D(
+        origin=jnp.asarray(lo, jnp.float32),
+        inv_h=jnp.asarray(1.0 / h, jnp.float32),
+        cell_elem=jnp.asarray(grid.reshape(-1), LID_DTYPE),
+        nx=nx, ny=ny, nz=nz,
+    )
+
+
 def build_locator_grid(coords: np.ndarray, elem2verts: np.ndarray,
                        cells_per_elem: float = 4.0) -> LocatorGrid2D:
     """Host build: bucket element centroids into ~cells_per_elem*E cells and

@@ -38,6 +38,7 @@ class PushSearchConfig:
     distance: float = 0.05       # reference: domain height / 20
     structure: str = "scs"
     max_search_iters: int = 100
+    use_locator: bool = True
 
 
 class PseudoPushAndSearch:
@@ -71,14 +72,28 @@ class PseudoPushAndSearch:
 
     def _make_step(self):
         mesh, cfg, direction = self.mesh, self.cfg, self.direction
+        locator = None
+        if cfg.use_locator:
+            from pumipic_tpu.mesh.locator import build_locator_grid_3d
+
+            locator = build_locator_grid_3d(
+                np.asarray(mesh.coords), np.asarray(mesh.elem2verts)
+            )
 
         @jax.jit
         def step(ptcls):
             x = ptcls.get("x")
             xtgt = push_ops.straight_line_push(x, direction, cfg.distance)
-            res = search_ops.search_mesh_3d(
-                mesh, x, xtgt, ptcls.elem, ptcls.active, cfg.max_search_iters
-            )
+            if locator is not None:
+                res = search_ops.search_mesh_3d_accel(
+                    mesh, locator, x, xtgt, ptcls.elem, ptcls.active,
+                    cfg.max_search_iters,
+                )
+            else:
+                res = search_ops.search_mesh_3d(
+                    mesh, x, xtgt, ptcls.elem, ptcls.active,
+                    cfg.max_search_iters,
+                )
             ptcls2 = ptcls.set("x", res.dest).rebuild(res.elem_ids)
             return ptcls2, res.iters
 

@@ -569,6 +569,39 @@ def search_mesh_2d_accel(
     )
 
 
+@partial(jax.jit, static_argnames=("max_iters", "boundary_handler", "method"))
+def search_mesh_3d_accel(
+    mesh: Mesh3D,
+    grid,
+    x_orig: jax.Array,
+    x_tgt: jax.Array,
+    elem_prev: jax.Array,
+    active: jax.Array,
+    max_iters: int = 200,
+    boundary_handler: Callable[[BoundaryCtx], BoundaryResult] = remove_on_exit,
+    method: str = "bcc",
+) -> SearchResult:
+    """Grid-accelerated 3D search (see :func:`search_mesh_2d_accel`).
+
+    ``grid``: a :class:`pumipic_tpu.mesh.locator.LocatorGrid3D` for ``mesh``.
+    """
+    guess = grid.guess(x_tgt)
+    if method == "intersection":
+        step = _walk_step_3d_mt(mesh, boundary_handler, use_guess=True)
+    else:
+        step = _walk_step_3d(mesh, boundary_handler, use_guess=True)
+    elem0 = jnp.where(active, guess, INVALID)
+    fallback = jnp.where(
+        active, jnp.clip(elem_prev.astype(jnp.int32), 0, mesh.nelems - 1),
+        INVALID,
+    )
+    return _run_walk(
+        step, elem0, _components(x_tgt), done0=~active,
+        orig=_components(x_orig), max_iters=max_iters,
+        fallback=fallback, fg0=active,
+    )
+
+
 def search_mesh_2d_pt(
     mesh: Mesh2D,
     pt: jax.Array,

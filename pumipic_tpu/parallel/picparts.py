@@ -430,6 +430,10 @@ def _pad_stack_meshes(meshes, E_max: int, V_max: int):
         face2verts=stack("face2verts", Ned_max, 0),
         face2elems=stack("face2elems", Ned_max, -1),
         elem_volume=stack("elem_volume", E_max, 0.0),
+        walk_planes=stack(
+            "walk_planes", E_max,
+            float(np.array(-1, np.int32).view(np.float32)),
+        ),
         nfaces=Ned_max,
         **common,
     )

@@ -373,3 +373,68 @@ def test_reduce_comm_array_vector_field():
         valid = vg[r] >= 0
         np.testing.assert_allclose(out[r][valid, 0], copies[vg[r][valid]])
         np.testing.assert_allclose(out[r][valid, 1], 2 * copies[vg[r][valid]])
+
+
+def test_picparts_3d():
+    """3D picparts: build, invariants, and buffered migration on a tet mesh."""
+    from pumipic_tpu.mesh.core import Mesh3D
+
+    coords, tets = gen.box_tet_mesh(6, 6, 6)
+    owners = ppm.partition_rcb(coords, tets, R)
+    pp = ppm.build_picparts(
+        coords, tets, owners, R, ppm.PicPartsInput(), None, mesh_cls=Mesh3D
+    )
+    eg = np.asarray(pp.elem_gid)
+    eo = np.asarray(pp.elem_owner)
+    covered = np.zeros(tets.shape[0], bool)
+    for r in range(R):
+        valid = eg[r] >= 0
+        np.testing.assert_array_equal(eo[r][valid], owners[eg[r][valid]])
+        covered[eg[r][valid]] = True
+    assert covered.all()
+
+    # migration of unsafe particles to owners, 3D
+    mesh = make_device_mesh(R)
+    sharding = NamedSharding(mesh, P(RANK_AXIS))
+    pp_d = jax.device_put(pp, sharding)
+    es = np.asarray(pp.elem_safe)
+    n_cap = 32
+    state_h = {
+        "elem": np.full((R, n_cap), -1, np.int32),
+        "active": np.zeros((R, n_cap), bool),
+    }
+    total = 0
+    for r in range(R):
+        unsafe_l = np.nonzero(~es[r] & (eg[r] >= 0))[0][:8]
+        for i, le in enumerate(unsafe_l):
+            state_h["elem"][r, i] = le
+            state_h["active"][r, i] = True
+            total += 1
+    state = {k: jax.device_put(jnp.asarray(v), sharding)
+             for k, v in state_h.items()}
+
+    @jax.jit
+    @lambda f: jax.shard_map(
+        f, mesh=mesh, in_specs=(P(RANK_AXIS), P(RANK_AXIS)),
+        out_specs=P(), check_vma=False,
+    )
+    def run(pp_l, s):
+        lpp = ppm.local_view(pp_l)
+        s = ppm.local_view(s)
+        me = jax.lax.axis_index(RANK_AXIS).astype(jnp.int32)
+        dest = mig.set_unsafe_procs(
+            lpp.elem_safe, lpp.elem_owner, s["elem"], s["active"], me
+        )
+        res = mig.migrate(
+            s, s["elem"], dest, lpp.elem_gid, lpp.elem_gid_sorted,
+            lpp.elem_gid_perm, me, R, 16,
+        )
+        return {
+            "alive": jax.lax.psum(
+                jnp.sum(res.state["active"].astype(jnp.int32)), RANK_AXIS),
+            "overflow": jax.lax.pmax(res.overflow.astype(jnp.int32), RANK_AXIS),
+        }
+
+    stats = run(pp_d, state)
+    assert int(stats["overflow"]) == 0
+    assert int(stats["alive"]) == total

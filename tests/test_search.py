@@ -222,3 +222,28 @@ def test_search_2d_pt():
     assert int(e) >= 0
     e2 = search.search_mesh_2d_pt(m, [2.5, 0.5], 0)
     assert int(e2) == -1
+
+
+def test_search_3d_accel_matches_plain():
+    from pumipic_tpu.mesh.locator import build_locator_grid_3d
+
+    coords, tets = gen.box_tet_mesh(5, 5, 5)
+    m = Mesh3D.from_arrays(coords, tets)
+    grid = build_locator_grid_3d(coords, tets)
+    rng = np.random.default_rng(9)
+    n = 256
+    elems = rng.integers(0, m.nelems, n)
+    orig = np.asarray(m.elem_centroids)[elems]
+    tgt = orig + rng.normal(scale=0.15, size=(n, 3))  # some exit the box
+    res_plain = search.search_mesh_3d(
+        m, jnp.asarray(orig), jnp.asarray(tgt),
+        jnp.asarray(elems, jnp.int32), jnp.ones(n, bool), 100,
+    )
+    res_accel = search.search_mesh_3d_accel(
+        m, grid, jnp.asarray(orig), jnp.asarray(tgt),
+        jnp.asarray(elems, jnp.int32), jnp.ones(n, bool), 100,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_plain.elem_ids), np.asarray(res_accel.elem_ids)
+    )
+    assert (np.asarray(res_plain.elem_ids) == -1).sum() > 0
