@@ -37,11 +37,14 @@ class LocatorGrid2D:
     nx: int = _static_field(default=1)
     ny: int = _static_field(default=1)
 
-    def guess(self, pts: jax.Array) -> jax.Array:
-        """(N,2) points -> (N,) element guesses (clamped to the grid)."""
-        rel = (pts - self.origin) * self.inv_h
-        ix = jnp.clip(rel[:, 0].astype(jnp.int32), 0, self.nx - 1)
-        iy = jnp.clip(rel[:, 1].astype(jnp.int32), 0, self.ny - 1)
+    def guess(self, pts) -> jax.Array:
+        """Points -> (N,) element guesses (clamped to the grid).  Accepts an
+        (N,2) array or a tuple of per-component (N,) arrays."""
+        px, py = (pts[0], pts[1]) if isinstance(pts, tuple) else (pts[:, 0], pts[:, 1])
+        rx = (px - self.origin[0]) * self.inv_h[0]
+        ry = (py - self.origin[1]) * self.inv_h[1]
+        ix = jnp.clip(rx.astype(jnp.int32), 0, self.nx - 1)
+        iy = jnp.clip(ry.astype(jnp.int32), 0, self.ny - 1)
         return self.cell_elem[ix * self.ny + iy]
 
 
@@ -55,11 +58,14 @@ class LocatorGrid3D:
     ny: int = _static_field(default=1)
     nz: int = _static_field(default=1)
 
-    def guess(self, pts: jax.Array) -> jax.Array:
-        rel = (pts - self.origin) * self.inv_h
-        ix = jnp.clip(rel[:, 0].astype(jnp.int32), 0, self.nx - 1)
-        iy = jnp.clip(rel[:, 1].astype(jnp.int32), 0, self.ny - 1)
-        iz = jnp.clip(rel[:, 2].astype(jnp.int32), 0, self.nz - 1)
+    def guess(self, pts) -> jax.Array:
+        if isinstance(pts, tuple):
+            px, py, pz = pts
+        else:
+            px, py, pz = pts[:, 0], pts[:, 1], pts[:, 2]
+        ix = jnp.clip(((px - self.origin[0]) * self.inv_h[0]).astype(jnp.int32), 0, self.nx - 1)
+        iy = jnp.clip(((py - self.origin[1]) * self.inv_h[1]).astype(jnp.int32), 0, self.ny - 1)
+        iz = jnp.clip(((pz - self.origin[2]) * self.inv_h[2]).astype(jnp.int32), 0, self.nz - 1)
         return self.cell_elem[(ix * self.ny + iy) * self.nz + iz]
 
 

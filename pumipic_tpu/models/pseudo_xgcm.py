@@ -334,7 +334,8 @@ def make_dp_setup(mesh: Mesh2D, cfg: XGCmConfig, device_mesh, seed: int = ELEMEN
     phi, b = push_ops.elliptical_setup(jnp.asarray(pos), cfg.h, cfg.k, cfg.d)
 
     state = {
-        "x": jnp.asarray(pos, jnp.float32),
+        "x0": jnp.asarray(pos[:, 0], jnp.float32),
+        "x1": jnp.asarray(pos[:, 1], jnp.float32),
         "phi": phi.astype(jnp.float32),
         "b": b.astype(jnp.float32),
         "elem": jnp.asarray(ptcl_elems, LID_DTYPE),
@@ -353,22 +354,25 @@ def make_dp_setup(mesh: Mesh2D, cfg: XGCmConfig, device_mesh, seed: int = ELEMEN
     def per_device_step(s):
         elem, active = s["elem"], s["active"]
         cid = mesh.class_id[jnp.maximum(elem, 0)]
-        xtgt, phi_new = push_ops.elliptical_push(
+        # flat component state end to end: no (N,2) intermediates
+        tx, ty, phi_new = push_ops.elliptical_push_components(
             s["phi"], s["b"], cid, cfg.deg_per_push, cfg.h, cfg.k, cfg.d
         )
-        xtgt = jnp.where(active[:, None], xtgt, s["x"])
+        xtgt = (jnp.where(active, tx, s["x0"]), jnp.where(active, ty, s["x1"]))
+        orig = (s["x0"], s["x1"])
         if locator is not None:
             res = search_ops.search_mesh_2d_accel(
-                mesh, locator, s["x"], xtgt, elem, active,
+                mesh, locator, orig, xtgt, elem, active,
                 cfg.max_search_iters,
             )
         else:
             res = search_ops.search_mesh_2d(
-                mesh, s["x"], xtgt, elem, active, cfg.max_search_iters
+                mesh, orig, xtgt, elem, active, cfg.max_search_iters
             )
         new_active = res.elem_ids >= 0
         new_state = {
-            "x": res.dest,
+            "x0": res.dest_c[0],
+            "x1": res.dest_c[1],
             "phi": jnp.where(active, phi_new, s["phi"]),
             "b": s["b"],
             "elem": res.elem_ids,
@@ -450,7 +454,8 @@ def make_picparts_setup(
         int(max((own_of_ptcl == r).sum() for r in range(R)) * 1.5) + 8, 64
     )
     state_h = {
-        "x": np.zeros((R, n_cap, 2), np.float32),
+        "x0": np.zeros((R, n_cap), np.float32),
+        "x1": np.zeros((R, n_cap), np.float32),
         "phi": np.zeros((R, n_cap), np.float32),
         "b": np.zeros((R, n_cap), np.float32),
         "pid": np.full((R, n_cap), -1, np.int32),
@@ -463,7 +468,8 @@ def make_picparts_setup(
         g2l = np.full(gmesh.nelems, -1, np.int64)
         valid = elem_gid_h[r] >= 0
         g2l[elem_gid_h[r][valid]] = np.nonzero(valid)[0]
-        state_h["x"][r, :n] = pos[sel]
+        state_h["x0"][r, :n] = pos[sel, 0]
+        state_h["x1"][r, :n] = pos[sel, 1]
         state_h["phi"][r, :n] = phi[sel]
         state_h["b"][r, :n] = b[sel]
         state_h["pid"][r, :n] = sel
@@ -510,16 +516,18 @@ def make_picparts_setup(
 
         elem, active = s["elem"], s["active"]
         cid = lmesh.class_id[jnp.maximum(elem, 0)]
-        xtgt, phi_new = push_ops.elliptical_push(
+        tx, ty, phi_new = push_ops.elliptical_push_components(
             s["phi"], s["b"], cid, cfg.deg_per_push, cfg.h, cfg.k, cfg.d
         )
-        xtgt = jnp.where(active[:, None], xtgt, s["x"])
+        xtgt = (jnp.where(active, tx, s["x0"]), jnp.where(active, ty, s["x1"]))
         res = search_ops.search_mesh_2d(
-            lmesh, s["x"], xtgt, elem, active, cfg.max_search_iters
+            lmesh, (s["x0"], s["x1"]), xtgt, elem, active,
+            cfg.max_search_iters,
         )
 
         mid = {
-            "x": res.dest,
+            "x0": res.dest_c[0],
+            "x1": res.dest_c[1],
             "phi": jnp.where(active, phi_new, s["phi"]),
             "b": s["b"],
             "pid": s["pid"],

@@ -41,6 +41,27 @@ def elliptical_setup(
     return phi, b
 
 
+def elliptical_push_components(
+    phi: jax.Array,
+    b: jax.Array,
+    elem_class_id: jax.Array,
+    deg: float,
+    h: float,
+    k: float,
+    d: float,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Component form of :func:`elliptical_push`: returns (x, y, new_phi)
+    as separate (N,) arrays — the TPU-preferred flat layout (any (N,2)
+    intermediate tile-pads 64x; see docs/PERFORMANCE.md)."""
+    cid = jnp.maximum(elem_class_id, 1).astype(phi.dtype)
+    center_factor = jnp.where(elem_class_id == 1, 0.01, 1.0)
+    dist_by_class = center_factor / cid
+    deg_p = deg * dist_by_class
+    rad = phi + deg_p * jnp.pi / 180.0
+    a = b * d
+    return a * jnp.cos(rad) + h, b * jnp.sin(rad) + k, rad
+
+
 def elliptical_push(
     phi: jax.Array,
     b: jax.Array,
@@ -55,14 +76,8 @@ def elliptical_push(
     elem_class_id: (N,) class id of each particle's current element.
     Returns (new_xy (N,2), new_phi (N,)).
     """
-    cid = jnp.maximum(elem_class_id, 1).astype(phi.dtype)
-    center_factor = jnp.where(elem_class_id == 1, 0.01, 1.0)
-    dist_by_class = center_factor / cid
-    deg_p = deg * dist_by_class
-    rad = phi + deg_p * jnp.pi / 180.0
-    a = b * d
-    xy = jnp.stack([a * jnp.cos(rad) + h, b * jnp.sin(rad) + k], axis=-1)
-    return xy, rad
+    x, y, rad = elliptical_push_components(phi, b, elem_class_id, deg, h, k, d)
+    return jnp.stack([x, y], axis=-1), rad
 
 
 def boris_push(

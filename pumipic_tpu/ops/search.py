@@ -112,9 +112,16 @@ def reflect_on_exit_2d(ctx: BoundaryCtx) -> BoundaryResult:
 
 class SearchResult(NamedTuple):
     elem_ids: jax.Array   # (N,) parent element per particle; INVALID if removed
-    dest: jax.Array       # (N, dim) final destination (handlers may move it)
+    dest_c: Tuple[jax.Array, ...]  # per-component (N,) final destination
     iters: jax.Array      # () number of walk steps taken
     all_found: jax.Array  # () bool: everyone finished within the loop limit
+
+    @property
+    def dest(self) -> jax.Array:
+        """(N, dim) stacked destination.  Prefer ``dest_c`` inside jitted
+        code — a stacked (N, dim<128) intermediate tile-pads its lanes to
+        128 on TPU (docs/PERFORMANCE.md)."""
+        return jnp.stack(self.dest_c, axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -458,14 +465,15 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
     # loop-limit fallback: delete unfinished walkers (adjacency.hpp:1126-1149)
     elem = jnp.where(done, elem, INVALID)
     return SearchResult(
-        elem_ids=elem,
-        dest=jnp.stack(dest, axis=-1),
-        iters=it,
-        all_found=all_found,
+        elem_ids=elem, dest_c=dest, iters=it, all_found=all_found
     )
 
 
-def _components(x: jax.Array) -> Tuple[jax.Array, ...]:
+def _components(x) -> Tuple[jax.Array, ...]:
+    """Split an (N, dim) array into per-component (N,) arrays; tuples pass
+    through (callers may keep flat state end to end)."""
+    if isinstance(x, tuple):
+        return x
     return tuple(x[:, i] for i in range(x.shape[1]))
 
 
