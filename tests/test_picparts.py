@@ -438,3 +438,109 @@ def test_picparts_3d():
     stats = run(pp_d, state)
     assert int(stats["overflow"]) == 0
     assert int(stats["alive"]) == total
+
+
+def test_buffer_modes_minimum_none():
+    coords, tris, cls = _full_mesh()
+    owners = ppm.partition_rcb(coords, tris, R)
+    # NONE: picpart == core, safe == core
+    pp_none = ppm.build_picparts(
+        coords, tris, owners, R,
+        ppm.PicPartsInput(ppm.BufferMethod.NONE), cls,
+    )
+    eg = np.asarray(pp_none.elem_gid)
+    es = np.asarray(pp_none.elem_safe)
+    for r in range(R):
+        valid = eg[r] >= 0
+        np.testing.assert_array_equal(np.sort(eg[r][valid]),
+                                      np.nonzero(owners == r)[0])
+        assert es[r][valid].all()
+    # MINIMUM: one buffer layer, safe == core only
+    pp_min = ppm.build_picparts(
+        coords, tris, owners, R,
+        ppm.PicPartsInput(ppm.BufferMethod.MINIMUM), cls,
+    )
+    eg = np.asarray(pp_min.elem_gid)
+    es = np.asarray(pp_min.elem_safe)
+    for r in range(R):
+        valid = eg[r] >= 0
+        gids = eg[r][valid]
+        core = owners[gids] == r
+        # strictly more than core, and safe exactly on core
+        assert core.sum() == (owners == r).sum()
+        assert (~core).sum() > 0
+        np.testing.assert_array_equal(es[r][valid], core)
+
+
+def test_reduce_comm_array_bcast():
+    """BCAST: owner's value overwrites every copy (no fan-in reduce)."""
+    coords, tris, owners, pp = _build()
+    mesh = make_device_mesh(R)
+    sharding = NamedSharding(mesh, P(RANK_AXIS))
+    pp_d = jax.device_put(pp, sharding)
+    vg = np.asarray(pp.vert_gid)
+    vo = np.asarray(pp.vert_owner)
+    # every rank writes its own rank id; after BCAST copies hold owner's id
+    field = np.where(vg >= 0, float(1), 0) * np.arange(R)[:, None]
+    field = jax.device_put(jnp.asarray(field, jnp.float32), sharding)
+
+    @jax.jit
+    @lambda f: jax.shard_map(
+        f, mesh=mesh, in_specs=(P(RANK_AXIS), P(RANK_AXIS)),
+        out_specs=P(RANK_AXIS), check_vma=False,
+    )
+    def run(pp_l, fld):
+        lpp = ppm.local_view(pp_l)
+        return red.reduce_comm_array(
+            lpp.vert_send_ids, lpp.vert_recv_ids, fld[0], red.Op.BCAST
+        )[None]
+
+    out = np.asarray(run(pp_d, field))
+    for r in range(R):
+        valid = vg[r] >= 0
+        np.testing.assert_allclose(out[r][valid], vo[r][valid].astype(float))
+
+
+def test_checkpoint_resume_continuation():
+    """Checkpoint mid-run, restore, and verify the continuation matches an
+    uninterrupted run exactly (the file_rw + resume semantics)."""
+    from pumipic_tpu.io import checkpoint as ckpt
+    from pumipic_tpu.models.pseudo_xgcm import (
+        GyroConfig, XGCmConfig, make_picparts_setup,
+    )
+    import tempfile
+
+    coords, tris, cls = _full_mesh()
+    mesh = make_device_mesh(R)
+    cfg = XGCmConfig(
+        num_ptcls=400, mdl_face=4, deg_per_push=5.0,
+        gyro=GyroConfig(rmax=0.05, num_rings=2, points_per_ring=4),
+        max_search_iters=64,
+    )
+    pp, state, gyro_map, step = make_picparts_setup(coords, tris, cls, cfg, mesh)
+
+    # run 2 steps, checkpoint, run 2 more
+    for _ in range(2):
+        state, fwd, stats = step(state)
+    with tempfile.TemporaryDirectory() as d:
+        ppath = ckpt.write_picparts(f"{d}/pp", pp)
+        spath = ckpt.write_particles(f"{d}/state", state, step=2)
+        ref_state = state
+        for _ in range(2):
+            ref_state, ref_fwd, _ = step(ref_state)
+
+        # restore and continue
+        state2, at_step = ckpt.read_particles(spath)
+        assert at_step == 2
+        from jax.sharding import NamedSharding, PartitionSpec as P2
+        sharding = NamedSharding(mesh, P2(RANK_AXIS))
+        state2 = {k: jax.device_put(jnp.asarray(v), sharding)
+                  for k, v in state2.items()}
+        for _ in range(2):
+            state2, fwd2, _ = step(state2)
+    np.testing.assert_allclose(
+        np.asarray(ref_fwd), np.asarray(fwd2), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref_state["elem"]), np.asarray(state2["elem"])
+    )
