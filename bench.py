@@ -40,6 +40,7 @@ def main():
     )
     from pumipic_tpu.parallel.mesh_axis import make_device_mesh
 
+    mode = os.environ.get("BENCH_MODE", "dp")  # dp | picparts
     mesh = make_default_mesh(mesh_elems)
     cfg = XGCmConfig(
         num_ptcls=num_ptcls,
@@ -49,7 +50,26 @@ def main():
         gyro=GyroConfig(),
     )
     device_mesh = make_device_mesh()
-    state, step = make_dp_setup(mesh, cfg, device_mesh)
+
+    if mode == "picparts":
+        # full spatial decomposition: BFS picparts + migration + owner
+        # reductions (multi-chip path; also runs at R=1)
+        from pumipic_tpu.models.pseudo_xgcm import make_picparts_setup
+        from pumipic_tpu.mesh.generate import annulus_mesh
+
+        n_rings = max(int(np.sqrt(mesh_elems / 8)), 2)
+        n_sectors = mesh_elems // (2 * n_rings)
+        coords, tris, cls = annulus_mesh(n_rings, n_sectors, 0.3, 1.0)
+        pp, state, gyro_map, pstep = make_picparts_setup(
+            coords, tris, cls, cfg, device_mesh, use_lb=True
+        )
+
+        def step(s):
+            s, fwd, stats = pstep(s)
+            return s, {"fwd": fwd}
+
+    else:
+        state, step = make_dp_setup(mesh, cfg, device_mesh)
 
     # warmup/compile
     state, fields = step(state)
