@@ -37,6 +37,8 @@ class GitrConfig:
     max_search_iters: int = 100
     # deposit on walls (reference default) instead of deleting silently
     count_wall_hits: bool = True
+    # wall interaction: "absorb" (remove + tally) or "reflect" (specular)
+    wall: str = "absorb"
 
 
 class GitrLike:
@@ -101,9 +103,11 @@ class GitrLike:
             x_new, v_new = push_ops.boris_push(
                 x, v, e_here, b_here, cfg.dt, cfg.charge, cfg.amu
             )
+            handler = (search_ops.reflect_on_exit_3d
+                       if cfg.wall == "reflect" else search_ops.remove_on_exit)
             res = search_ops.search_mesh_3d(
                 mesh, x, x_new, elem, active, cfg.max_search_iters,
-                method="intersection",
+                boundary_handler=handler, method="intersection",
             )
             lost = active & (res.elem_ids < 0)
             new_state = {

@@ -110,6 +110,30 @@ def reflect_on_exit_2d(ctx: BoundaryCtx) -> BoundaryResult:
     )
 
 
+def reflect_on_exit_3d(ctx: BoundaryCtx) -> BoundaryResult:
+    """Specular reflection off the boundary face (3D wall handler)."""
+    mesh: Mesh3D = ctx.mesh
+    fv = mesh.face2verts[jnp.maximum(ctx.side, 0)]
+    ax, ay, az = (mesh.coords[fv[:, 0], i] for i in range(3))
+    bx, by, bz = (mesh.coords[fv[:, 1], i] for i in range(3))
+    cx, cy, cz = (mesh.coords[fv[:, 2], i] for i in range(3))
+    # face normal
+    ux, uy, uz = bx - ax, by - ay, bz - az
+    vx, vy, vz = cx - ax, cy - ay, cz - az
+    nx = uy * vz - uz * vy
+    ny = uz * vx - ux * vz
+    nz = ux * vy - uy * vx
+    inv = 1.0 / jnp.maximum(jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-30)
+    nx, ny, nz = nx * inv, ny * inv, nz * inv
+    dx, dy, dz = ctx.dest
+    s = (dx - ax) * nx + (dy - ay) * ny + (dz - az) * nz
+    return BoundaryResult(
+        dest=(dx - 2 * s * nx, dy - 2 * s * ny, dz - 2 * s * nz),
+        elem=ctx.elem,
+        done=jnp.zeros(ctx.elem.shape[0], dtype=bool),
+    )
+
+
 class SearchResult(NamedTuple):
     elem_ids: jax.Array   # (N,) parent element per particle; INVALID if removed
     dest_c: Tuple[jax.Array, ...]  # per-component (N,) final destination

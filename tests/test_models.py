@@ -138,3 +138,17 @@ def test_library_context():
     lib = Library(num_devices=4)
     assert lib.world_size == 4
     lib.finalize()
+
+
+def test_gitr_like_reflecting_walls():
+    from pumipic_tpu.models.gitr_like import GitrConfig, GitrLike
+
+    coords, tets = gen.box_tet_mesh(3, 3, 3, 0.01, 0.01, 0.01)
+    mesh = Mesh3D.from_arrays(coords, tets)
+    cfg = GitrConfig(num_ptcls=200, num_iterations=6, dt=5e-10,
+                     b_field=(0.0, 0.0, 0.5), wall="reflect",
+                     count_wall_hits=False)
+    app = GitrLike(mesh, cfg, seed=4)
+    history = app.run()
+    # reflecting box: no particle is ever lost
+    assert history[-1] == history[0]

@@ -247,3 +247,22 @@ def test_search_3d_accel_matches_plain():
         np.asarray(res_plain.elem_ids), np.asarray(res_accel.elem_ids)
     )
     assert (np.asarray(res_plain.elem_ids) == -1).sum() > 0
+
+
+def test_search_3d_reflect_boundary():
+    coords, tets = gen.box_tet_mesh(4, 4, 4)
+    m = Mesh3D.from_arrays(coords, tets)
+    # aim past the z=1 wall; reflected destination must be back inside
+    orig = jnp.asarray([[0.52, 0.52, 0.9]])
+    tgt = jnp.asarray([[0.52, 0.52, 1.3]])
+    res0 = search.search_mesh_3d(m, orig, orig, jnp.zeros(1, jnp.int32),
+                                 jnp.ones(1, bool))
+    res = search.search_mesh_3d(
+        m, orig, tgt, res0.elem_ids, jnp.ones(1, bool),
+        boundary_handler=search.reflect_on_exit_3d,
+    )
+    assert bool(res.all_found)
+    assert int(res.elem_ids[0]) >= 0
+    np.testing.assert_allclose(
+        np.asarray(res.dest)[0], [0.52, 0.52, 0.7], atol=1e-5
+    )
