@@ -31,11 +31,14 @@ def _static_field(**kw):
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class LocatorGrid2D:
+    """Cell dims ride as data (not static) so per-rank grids can stack along
+    a leading rank axis for the picparts SPMD path."""
+
     origin: jax.Array      # (2,)
     inv_h: jax.Array       # (2,) 1/cell size
-    cell_elem: jax.Array   # (nx*ny,) nearest element per cell
-    nx: int = _static_field(default=1)
-    ny: int = _static_field(default=1)
+    cell_elem: jax.Array   # (<= nx*ny padded,) nearest element per cell
+    nx: jax.Array          # () int32
+    ny: jax.Array          # () int32
 
     def guess(self, pts) -> jax.Array:
         """Points -> (N,) element guesses (clamped to the grid).  Accepts an
@@ -159,6 +162,6 @@ def build_locator_grid(coords: np.ndarray, elem2verts: np.ndarray,
         origin=jnp.asarray(lo, jnp.float32),
         inv_h=jnp.asarray(1.0 / h, jnp.float32),
         cell_elem=jnp.asarray(grid.reshape(-1), LID_DTYPE),
-        nx=nx,
-        ny=ny,
+        nx=jnp.int32(nx),
+        ny=jnp.int32(ny),
     )

@@ -494,6 +494,39 @@ def make_picparts_setup(
         gyro_maps.append(jnp.where(vmask, gm, -1))
     gyro_map = jax.device_put(jnp.stack(gyro_maps), sharding)
 
+    # per-rank locator grids (built from each picpart's VALID entities only;
+    # padded coords would pollute the bounds)
+    locator = None
+    if cfg.use_locator:
+        from pumipic_tpu.mesh.locator import LocatorGrid2D, build_locator_grid
+
+        grids = []
+        eg_h = np.asarray(pp.elem_gid)
+        vg_h = np.asarray(pp.vert_gid)
+        ev_h = np.asarray(pp.mesh.elem2verts)
+        cz_h = np.asarray(pp.mesh.coords)
+        for r in range(R):
+            valid_e = np.nonzero(eg_h[r] >= 0)[0]
+            # local element ids are preserved: build over the valid subset
+            # and scatter guesses back through the subset index
+            sub_ev = ev_h[r][valid_e]
+            g = build_locator_grid(cz_h[r][: (vg_h[r] >= 0).sum()], sub_ev)
+            # cell ids are positions within valid_e == local elem ids when
+            # valid elements are a prefix (they are: padding is appended)
+            grids.append(g)
+        kmax = max(int(g.cell_elem.shape[0]) for g in grids)
+        locator = LocatorGrid2D(
+            origin=jnp.stack([g.origin for g in grids]),
+            inv_h=jnp.stack([g.inv_h for g in grids]),
+            cell_elem=jnp.stack([
+                jnp.pad(g.cell_elem, (0, kmax - g.cell_elem.shape[0]))
+                for g in grids
+            ]),
+            nx=jnp.stack([g.nx for g in grids]),
+            ny=jnp.stack([g.ny for g in grids]),
+        )
+        locator = jax.device_put(locator, sharding)
+
     if migrate_cap is None:
         migrate_cap = max(n_cap // 8, 64)
 
@@ -503,15 +536,16 @@ def make_picparts_setup(
     @_partial(
         jax.shard_map,
         mesh=device_mesh,
-        in_specs=(P(RANK_AXIS), P(RANK_AXIS), P(), P(RANK_AXIS)),
+        in_specs=(P(RANK_AXIS), P(RANK_AXIS), P(), P(RANK_AXIS), P(RANK_AXIS)),
         out_specs=(P(RANK_AXIS), P(RANK_AXIS), P()),
         check_vma=False,
     )
-    def step(pp_l, gmap_l, bt_r, s):
+    def step(pp_l, gmap_l, bt_r, loc_l, s):
         lpp = ppm.local_view(pp_l)
         lmesh = lpp.mesh
         s = ppm.local_view(s)
         gmap = gmap_l[0]
+        lloc = ppm.local_view(loc_l) if loc_l is not None else None
         me = jax.lax.axis_index(RANK_AXIS).astype(jnp.int32)
 
         elem, active = s["elem"], s["active"]
@@ -520,10 +554,16 @@ def make_picparts_setup(
             s["phi"], s["b"], cid, cfg.deg_per_push, cfg.h, cfg.k, cfg.d
         )
         xtgt = (jnp.where(active, tx, s["x0"]), jnp.where(active, ty, s["x1"]))
-        res = search_ops.search_mesh_2d(
-            lmesh, (s["x0"], s["x1"]), xtgt, elem, active,
-            cfg.max_search_iters,
-        )
+        if lloc is not None:
+            res = search_ops.search_mesh_2d_accel(
+                lmesh, lloc, (s["x0"], s["x1"]), xtgt, elem, active,
+                cfg.max_search_iters,
+            )
+        else:
+            res = search_ops.search_mesh_2d(
+                lmesh, (s["x0"], s["x1"]), xtgt, elem, active,
+                cfg.max_search_iters,
+            )
 
         mid = {
             "x0": res.dest_c[0],
@@ -573,7 +613,7 @@ def make_picparts_setup(
             stats,
         )
 
-    return pp, state, gyro_map, lambda s: step(pp, gyro_map, bt, s)
+    return pp, state, gyro_map, lambda s: step(pp, gyro_map, bt, locator, s)
 
 
 def make_default_mesh(nelems_target: int = 25_000) -> Mesh2D:
