@@ -41,7 +41,18 @@ def main():
     from pumipic_tpu.parallel.mesh_axis import make_device_mesh
 
     mode = os.environ.get("BENCH_MODE", "dp")  # dp | picparts
-    mesh = make_default_mesh(mesh_elems)
+    # BENCH_MESH: path to a .msh/.msh.gz file (e.g. data/xgc_like_120k.msh.gz,
+    # the XGC 120k-element workload analog) — exercises the file-ingestion
+    # path instead of the in-memory annulus generator.
+    mesh_path = os.environ.get("BENCH_MESH", "")
+    if mesh_path:
+        from pumipic_tpu.mesh.core import Mesh2D
+        from pumipic_tpu.mesh.gmsh import read_msh
+
+        m_coords, m_tris, m_cls = read_msh(mesh_path)
+        mesh = Mesh2D.from_arrays(m_coords, m_tris, m_cls)
+    else:
+        mesh = make_default_mesh(mesh_elems)
     cfg = XGCmConfig(
         num_ptcls=num_ptcls,
         mdl_face=max(int(np.asarray(mesh.class_id).max()) // 2, 2),
@@ -57,9 +68,12 @@ def main():
         from pumipic_tpu.models.pseudo_xgcm import make_picparts_setup
         from pumipic_tpu.mesh.generate import annulus_mesh
 
-        n_rings = max(int(np.sqrt(mesh_elems / 8)), 2)
-        n_sectors = mesh_elems // (2 * n_rings)
-        coords, tris, cls = annulus_mesh(n_rings, n_sectors, 0.3, 1.0)
+        if mesh_path:
+            coords, tris, cls = m_coords, m_tris, m_cls
+        else:
+            n_rings = max(int(np.sqrt(mesh_elems / 8)), 2)
+            n_sectors = mesh_elems // (2 * n_rings)
+            coords, tris, cls = annulus_mesh(n_rings, n_sectors, 0.3, 1.0)
         pp, state, gyro_map, pstep = make_picparts_setup(
             coords, tris, cls, cfg, device_mesh, use_lb=True
         )

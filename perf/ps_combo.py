@@ -135,6 +135,11 @@ def main():
         jax.block_until_ready(ps3.elem)
         t_migrate = (time.perf_counter() - t0) / args.iters
         record_time(f"{struct} migration churn", t_migrate)
+        # a capacity overflow would silently drop added particles and skew
+        # the structure comparison — fail loudly instead
+        assert not bool(ps3.overflowed), (
+            f"{struct}: migration churn overflowed capacity {ps3.capacity}"
+        )
 
         results[struct] = {
             "pseudo_push_ms": t_push * 1e3,

@@ -1,0 +1,60 @@
+"""smallE_largeP configuration sweep on the TPU — the reference's
+``performance_tests/test_smallE_largeP.sh`` (e in {1000..}, p = e*10000,
+dist in {uniform, gaussian, exponential}, all four structures) run through
+perf/ps_combo.py, recording the per-op baseline table for BASELINE.md
+(ps_combo264.cpp:151-232 / output_compare.py parity).
+
+Usage: PYTHONPATH=/root/repo python perf/sweep.py [--quick]
+Prints one JSON line per configuration and a final markdown table.
+"""
+import json
+import subprocess
+import sys
+import os
+
+HERE = os.path.dirname(__file__)
+
+
+def main():
+    quick = "--quick" in sys.argv
+    elems = [1000] if quick else [1000, 2400]
+    dists = ["uniform", "gaussian", "exponential"]
+    structs = "scs,csr,cabm,dps"
+    iters = 5 if quick else 10
+
+    rows = []
+    for ne in elems:
+        for dist in dists:
+            cmd = [
+                sys.executable, os.path.join(HERE, "ps_combo.py"),
+                "--ne", str(ne), "--np", str(ne * 10_000),
+                "--dist", dist, "--structs", structs, "--iters", str(iters),
+            ]
+            print(f"== ne={ne} np={ne * 10000} dist={dist}", flush=True)
+            out = subprocess.run(
+                cmd, capture_output=True, text=True,
+                env={**os.environ, "PYTHONPATH": os.path.join(HERE, "..")},
+            )
+            line = [l for l in out.stdout.splitlines()
+                    if l.startswith("{")][-1]
+            rec = json.loads(line)
+            print(line, flush=True)
+            for struct, r in rec["results"].items():
+                rows.append({
+                    "ne": ne, "np": ne * 10_000, "dist": dist,
+                    "struct": struct, **{k: v for k, v in r.items()},
+                })
+
+    # markdown table for BASELINE.md
+    print("\n| ne | np | dist | struct | push ms | rebuild ms | "
+          "migrate-churn ms | padded % |")
+    print("|---|---|---|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['ne']} | {r['np']} | {r['dist']} | {r['struct']} | "
+              f"{r['pseudo_push_ms']:.2f} | {r['rebuild_ms']:.2f} | "
+              f"{r['migrate_churn_ms']:.2f} | "
+              f"{100 * r['padded_fraction']:.1f} |")
+
+
+if __name__ == "__main__":
+    main()

@@ -60,9 +60,12 @@ class Mesh2D:
     vert2elem_offsets: jax.Array  # (V+1,) lid CSR
     vert2elem_vals: jax.Array     # (sum deg,) lid
     class_id: jax.Array        # (E,) lid geometric-model classification
-    # packed walk table: ONE row gather per search step.
-    # cols: [ib00 ib01 ib10 ib11, v0x v0y, nbr0..2 (i32 bitcast),
-    #        edge0..2 (i32 bitcast)]
+    # packed walk table: ONE row gather per search step.  All-float row —
+    # barycentric weights as affine forms l_k(x) = A_k·x + c_k, and
+    # neighbor/edge ids stored as f32 (exact for ids < 2^24; an all-float
+    # row fuses into one gather, where int32-bitcast columns forced XLA to
+    # split the gather per consumer — docs/PERFORMANCE.md).
+    # cols: [a11 a12 c1, a21 a22 c2, nbr0..2 (f32), edge0..2 (f32)]
     walk_geom: jax.Array       # (E, 12) f32
     elem_tags: Dict[str, jax.Array]
     vert_tags: Dict[str, jax.Array]
@@ -109,15 +112,20 @@ class Mesh2D:
             class_id = np.ones(ev.shape[0], dtype=np.int64)
 
         # packed per-element walk table (hot-loop fusion: 1 gather/step);
-        # neighbor and edge ids ride along as int32 bitcast to float32
+        # l_k(x) = A_k·x + c_k with c = -inv_basis @ v0; ids as f32
+        if E >= (1 << 24) or a["edge2verts"].shape[0] >= (1 << 24):
+            raise ValueError("mesh too large for f32-packed walk ids (2^24)")
         geom = np.zeros((E, 12), np.float32)
-        geom[:, 0:4] = inv_basis.reshape(E, 4).astype(np.float32)
-        geom[:, 4:6] = p[:, 0].astype(np.float32)
+        c_aff = -np.einsum("eij,ej->ei", inv_basis, p[:, 0])   # (E, 2)
+        geom[:, 0:2] = inv_basis[:, 0, :].astype(np.float32)
+        geom[:, 2] = c_aff[:, 0].astype(np.float32)
+        geom[:, 3:5] = inv_basis[:, 1, :].astype(np.float32)
+        geom[:, 5] = c_aff[:, 1].astype(np.float32)
         e2e = a["edge2elems"][a["elem2edges"]]            # (E, 3, 2)
         self_ids = np.arange(E)[:, None]
         nbrs = np.where(e2e[:, :, 0] == self_ids, e2e[:, :, 1], e2e[:, :, 0])
-        geom[:, 6:9] = nbrs.astype(np.int32).view(np.float32)
-        geom[:, 9:12] = a["elem2edges"].astype(np.int32).view(np.float32)
+        geom[:, 6:9] = nbrs.astype(np.float32)
+        geom[:, 9:12] = a["elem2edges"].astype(np.float32)
         return Mesh2D(
             coords=jnp.asarray(a["coords"], real_dtype),
             elem2verts=jnp.asarray(ev, LID_DTYPE),
@@ -161,10 +169,11 @@ class Mesh3D:
     vert2elem_offsets: jax.Array
     vert2elem_vals: jax.Array
     class_id: jax.Array
-    # packed walk table: cols [ib(9), v0(3), nbr0..3 (i32 bitcast)]
+    # packed walk table (all-float; see Mesh2D.walk_geom):
+    # cols [A1 c1, A2 c2, A3 c3, nbr0..3 (f32)]
     walk_geom: jax.Array   # (E, 16) f32
     # packed face-plane table for the intersection (trace-through) walk:
-    # per face i: [nx, ny, nz, d] outward unit normal, then nbr0..3 bitcast
+    # per face i: [nx, ny, nz, d] outward unit normal, then nbr0..3 (f32)
     walk_planes: jax.Array  # (E, 20) f32
     elem_tags: Dict[str, jax.Array]
     vert_tags: Dict[str, jax.Array]
@@ -211,13 +220,17 @@ class Mesh3D:
         if class_id is None:
             class_id = np.ones(ev.shape[0], dtype=np.int64)
 
+        if E >= (1 << 24) or a["face2verts"].shape[0] >= (1 << 24):
+            raise ValueError("mesh too large for f32-packed walk ids (2^24)")
         geom = np.zeros((E, 16), np.float32)
-        geom[:, 0:9] = inv_basis.reshape(E, 9).astype(np.float32)
-        geom[:, 9:12] = p[:, 0].astype(np.float32)
+        c_aff = -np.einsum("eij,ej->ei", inv_basis, p[:, 0])   # (E, 3)
+        for k in range(3):
+            geom[:, 4 * k:4 * k + 3] = inv_basis[:, k, :].astype(np.float32)
+            geom[:, 4 * k + 3] = c_aff[:, k].astype(np.float32)
         f2e = a["face2elems"][a["elem2faces"]]            # (E, 4, 2)
         self_ids = np.arange(E)[:, None]
         nbrs = np.where(f2e[:, :, 0] == self_ids, f2e[:, :, 1], f2e[:, :, 0])
-        geom[:, 12:16] = nbrs.astype(np.int32).view(np.float32)
+        geom[:, 12:16] = nbrs.astype(np.float32)
 
         # outward unit face planes per element (face i opposite vertex i)
         planes = np.zeros((E, 20), np.float32)
@@ -227,7 +240,7 @@ class Mesh3D:
             nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-300)
             planes[:, 4 * i:4 * i + 3] = nrm.astype(np.float32)
             planes[:, 4 * i + 3] = np.einsum("ei,ei->e", nrm, fa).astype(np.float32)
-        planes[:, 16:20] = nbrs.astype(np.int32).view(np.float32)
+        planes[:, 16:20] = nbrs.astype(np.float32)
         return Mesh3D(
             coords=jnp.asarray(a["coords"], real_dtype),
             elem2verts=jnp.asarray(ev, LID_DTYPE),

@@ -17,12 +17,19 @@ TET_TYPE = 4
 
 def read_msh(path: str, dim: Optional[int] = None
              ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Parse a .msh file; returns (coords, elem2verts, class_id).
+    """Parse a .msh file (transparently gzip-decompressed for ``.gz`` paths);
+    returns (coords, elem2verts, class_id).
 
     ``dim``: force 2 (triangles) or 3 (tets); default = highest present.
     """
-    with open(path) as f:
-        lines = f.read().splitlines()
+    if str(path).endswith(".gz"):
+        import gzip
+
+        with gzip.open(path, "rt") as f:
+            lines = f.read().splitlines()
+    else:
+        with open(path) as f:
+            lines = f.read().splitlines()
     i = 0
 
     def seek(section):
@@ -144,13 +151,20 @@ def _assemble(xyz, id2idx, tris, tri_cls, tets, tet_cls, dim):
 
 def write_msh2(path: str, coords: np.ndarray, elem2verts: np.ndarray,
                class_id: Optional[np.ndarray] = None) -> None:
-    """Write MSH 2.2 ASCII (for round-trip tests and interop)."""
+    """Write MSH 2.2 ASCII (gzip-compressed for ``.gz`` paths; round-trip
+    tests and interop)."""
     V = coords.shape[0]
     E, k = elem2verts.shape
     etype = TRI_TYPE if k == 3 else TET_TYPE
     if class_id is None:
         class_id = np.ones(E, np.int64)
-    with open(path, "w") as f:
+    if str(path).endswith(".gz"):
+        import gzip
+
+        opener = lambda: gzip.open(path, "wt")  # noqa: E731
+    else:
+        opener = lambda: open(path, "w")  # noqa: E731
+    with opener() as f:
         f.write("$MeshFormat\n2.2 0 8\n$EndMeshFormat\n$Nodes\n")
         f.write(f"{V}\n")
         for v in range(V):

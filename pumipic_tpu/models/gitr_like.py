@@ -108,6 +108,7 @@ class GitrLike:
             res = search_ops.search_mesh_3d(
                 mesh, x, x_new, elem, active, cfg.max_search_iters,
                 boundary_handler=handler, method="intersection",
+                record_exit=cfg.count_wall_hits,
             )
             lost = active & (res.elem_ids < 0)
             new_state = {
@@ -116,19 +117,23 @@ class GitrLike:
                 "elem": res.elem_ids,
                 "active": active & (res.elem_ids >= 0),
             }
-            # wall deposition tally: nearest exposed face of the last element
+            # wall flux tally: exact exit face from the walk's recorded
+            # boundary crossing (find_exit_face parity, adjacency.tpp:232-364)
+            # — absorb mode counts each removed particle on the face it left
+            # through (exact flux map); reflect mode counts reflection events,
+            # attributed to the particle's last-hit face within the step.
             if cfg.count_wall_hits:
-                # attribute the hit to the first exposed face of the element
-                # the particle left from (cheap tally; full flux maps use the
-                # boundary handler's side id)
-                e_safe = jnp.maximum(elem, 0)
-                faces = mesh.elem2faces[e_safe]              # (N, 4)
-                exposed = mesh.side_is_exposed[faces]        # (N, 4)
-                first = jnp.argmax(exposed, axis=1)
-                face = jnp.take_along_axis(faces, first[:, None], 1)[:, 0]
-                key = jnp.where(lost, face, mesh.nfaces)
+                hit = lost if cfg.wall == "absorb" else (
+                    active & (res.num_hits > 0)
+                )
+                weight = (jnp.ones_like(res.num_hits, jnp.float32)
+                          if cfg.wall == "absorb"
+                          else res.num_hits.astype(jnp.float32))
+                key = jnp.where(
+                    hit & (res.exit_side >= 0), res.exit_side, mesh.nfaces
+                )
                 wall_hits = wall_hits + jax.ops.segment_sum(
-                    jnp.ones_like(key, jnp.float32), key,
+                    jnp.where(key < mesh.nfaces, weight, 0.0), key,
                     num_segments=mesh.nfaces + 1,
                 )[: mesh.nfaces]
             return new_state, wall_hits

@@ -267,16 +267,19 @@ class PseudoXGCm:
         (RecordTime), particle/memory imbalance (pseudoXGCm.cpp:17-62), and
         optional VTK rendering (render, :64-69)."""
         from pumipic_tpu.utils.memory import memory_imbalance
-        from pumipic_tpu.utils.timing import record_time
+        from pumipic_tpu.utils.timing import prebarrier, record_time
         import time
 
         iters = num_iterations or self.cfg.num_iterations
         fwd = bwd = None
         for i in range(iters):
+            # fence first so queued async work is attributed as prebarrier
+            # (the reference's pumipic_prebarrier around collectives)
+            pre = prebarrier()
             t0 = time.perf_counter()
             self.ptcls, fwd, bwd, walk_iters = self._step(self.ptcls)
             jax.block_until_ready(fwd)
-            record_time("xgcm step", time.perf_counter() - t0)
+            record_time("xgcm step", time.perf_counter() - t0, prebarrier=pre)
             if verbose:
                 from pumipic_tpu.utils.plog import print_info
 
@@ -413,11 +416,16 @@ def make_picparts_setup(
     seed: int = ELEMENT_SEED,
     use_lb: bool = False,
     lb_tol: float = 1.05,
+    neighbor_migration: bool = True,
 ):
     """Distributed pseudoXGCm over BFS-buffered PICparts: per step —
-    push → local search → safe-zone migration (bucketed all_to_all) →
-    gyro scatter → reduceCommArray(SUM) gyroSync.  This is the complete
-    reference pipeline (pseudoXGCm.cpp:504-534) as one SPMD jitted step.
+    push → local search → safe-zone migration → gyro scatter →
+    reduceCommArray(SUM) gyroSync.  This is the complete reference
+    pipeline (pseudoXGCm.cpp:504-534) as one SPMD jitted step.
+
+    ``neighbor_migration=True`` (default) runs the Distributor-scoped
+    ppermute exchange (payload O(neighbors), SCS_migrate.h:41-62);
+    False falls back to the world all_to_all.  Results are bit-identical.
 
     Returns (picparts, state, step) with state sharded P('ranks').
     """
@@ -435,6 +443,11 @@ def make_picparts_setup(
     owners = ppm.partition_rcb(coords, elem2verts, R)
     pp = ppm.build_picparts(coords, elem2verts, owners, R, inp, class_id)
     bt = lbm.build_balancer(pp, R) if use_lb else None
+    nplan = None
+    if neighbor_migration:
+        from pumipic_tpu.parallel import distributor as dstm
+
+        nplan = mig.build_neighbor_plan(dstm.from_picparts(pp))
 
     # --- host-side particle seeding on the GLOBAL mesh, routed to owners
     gmesh = Mesh2D.from_arrays(coords, elem2verts, class_id)
@@ -536,11 +549,12 @@ def make_picparts_setup(
     @_partial(
         jax.shard_map,
         mesh=device_mesh,
-        in_specs=(P(RANK_AXIS), P(RANK_AXIS), P(), P(RANK_AXIS), P(RANK_AXIS)),
+        in_specs=(P(RANK_AXIS), P(RANK_AXIS), P(), P(), P(RANK_AXIS),
+                  P(RANK_AXIS)),
         out_specs=(P(RANK_AXIS), P(RANK_AXIS), P()),
         check_vma=False,
     )
-    def step(pp_l, gmap_l, bt_r, loc_l, s):
+    def step(pp_l, gmap_l, bt_r, nplan_r, loc_l, s):
         lpp = ppm.local_view(pp_l)
         lmesh = lpp.mesh
         s = ppm.local_view(s)
@@ -582,10 +596,12 @@ def make_picparts_setup(
             dest = lbm.repartition(
                 bt_r, bt_r.sbar_of_elem[me], res.elem_ids,
                 mid["active"], dest, me, lb_tol,
+                elem_owner=lpp.elem_owner,
             )
         mres = mig.migrate(
             mid, res.elem_ids, dest, lpp.elem_gid,
             lpp.elem_gid_sorted, lpp.elem_gid_perm, me, R, migrate_cap,
+            plan=nplan_r,
         )
         s2 = mres.state
 
@@ -605,7 +621,13 @@ def make_picparts_setup(
             "overflow": jax.lax.pmax(
                 mres.overflow.astype(jnp.int32), RANK_AXIS
             ),
+            "unresolved": jax.lax.psum(mres.num_recv_unresolved, RANK_AXIS),
+            "illegal_dest": jax.lax.psum(mres.num_illegal_dest, RANK_AXIS),
             "imbalance": imb,
+            # per-rank telemetry for summarize_across_devices
+            # (SummarizeTimeAcrossProcesses analog, ppTiming.cpp:220-338)
+            "alive_per_rank": jax.lax.all_gather(nloc, RANK_AXIS),
+            "sent_per_rank": jax.lax.all_gather(mres.num_sent, RANK_AXIS),
         }
         return (
             jax.tree_util.tree_map(lambda a: a[None], s2),
@@ -613,7 +635,9 @@ def make_picparts_setup(
             stats,
         )
 
-    return pp, state, gyro_map, lambda s: step(pp, gyro_map, bt, locator, s)
+    return pp, state, gyro_map, (
+        lambda s: step(pp, gyro_map, bt, nplan, locator, s)
+    )
 
 
 def make_default_mesh(nelems_target: int = 25_000) -> Mesh2D:

@@ -25,11 +25,28 @@ import jax.numpy as jnp
 from pumipic_tpu.utils.types import LID_DTYPE
 
 
+def count_per_key(key: jax.Array, num_keys: int) -> jax.Array:
+    """Histogram of int keys in [0, num_keys) (entries >= num_keys ignored).
+
+    Sort + diff-of-searchsorted instead of ``segment_sum``: on TPU the
+    particle-rate scatter-add runs ~125M adds/s while a radix sort + a
+    mesh-rate binary search is ~30% cheaper at 10M keys (perf/walk_opt.py)."""
+    sk = jnp.sort(key)
+    bounds = jnp.searchsorted(
+        sk, jnp.arange(num_keys + 1, dtype=key.dtype)
+    )
+    return jnp.diff(bounds)
+
+
 def particles_per_element(
     elem: jax.Array, active: jax.Array, num_elems: int, weights: jax.Array | None = None
 ) -> jax.Array:
-    """Count (or weight-sum) particles per element — deterministic segment_sum."""
-    w = jnp.where(active, 1.0 if weights is None else weights, 0.0)
+    """Count (or weight-sum) particles per element.  Counts use the sorted
+    histogram; weighted sums use a deterministic segment_sum."""
+    if weights is None:
+        key = jnp.where(active, elem, num_elems).astype(jnp.int32)
+        return count_per_key(key, num_elems).astype(jnp.float32)
+    w = jnp.where(active, weights, 0.0)
     seg = jnp.where(active, elem, num_elems)  # inactive -> overflow bucket
     out = jax.ops.segment_sum(w, seg, num_segments=num_elems + 1)
     return out[:num_elems]
@@ -65,10 +82,8 @@ def accumulate_to_rings(
         # gyroScatter.hpp:185): ring pair is the same for every particle
         rd = min(max(int(1.125) - 1, 0), R - 2)
         ru = rd + 1
-        seg = jnp.where(active, elem, num_elems)
-        counts = jax.ops.segment_sum(
-            jnp.ones(elem.shape, jnp.float32), seg, num_segments=num_elems + 1
-        )[:num_elems]
+        key = jnp.where(active, elem, num_elems).astype(jnp.int32)
+        counts = count_per_key(key, num_elems).astype(jnp.float32)
         elem_ring = (
             jnp.zeros((num_elems, R), jnp.float32)
             .at[:, rd].add(counts)

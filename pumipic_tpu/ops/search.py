@@ -8,21 +8,28 @@ Reference parity:
   Möller–Trumbore intersection path.
 - ``trace_particle_through_mesh`` (``src/pumipic_adjacency.tpp:460-615``):
   unified driver with a user-pluggable boundary handler (default
-  ``RemoveParticleOnGeometricModelExit``, ``:617-639``).
+  ``RemoveParticleOnGeometricModelExit``, ``:617-639``) and exit intersection
+  points (``find_exit_face``, ``:232-364``) — exposed here via
+  ``record_exit=True`` → ``SearchResult.exit_side`` / ``hit_c`` /
+  ``num_hits``.
 
 TPU-first redesign:
 
 - The whole walk is ``lax.while_loop``s whose body is a fully vectorized step
   over particles: ONE packed-row gather (``Mesh*.walk_geom`` holds the
-  element's inverse affine basis + origin + neighbor/edge ids) →
-  barycentric FMAs → argmin side → dual-graph crossing.  The reference
-  launches three kernels per step and reads a device-to-host min every
-  iteration (adjacency.hpp:1120-1123); here convergence tests live in the
-  loop condition, so the chip never stalls on the host.
+  element's barycentric **affine forms** ``l_k(x) = A_k·x + c_k`` plus
+  neighbor/edge ids *stored as floats* — ids < 2^24 are exact in f32, and an
+  all-float row lets XLA fuse every consumer of the gather without the
+  bitcast splits that tripled gather traffic in round 1) → FMAs → argmin
+  side → dual-graph crossing.  The reference launches three kernels per step
+  and reads a device-to-host min every iteration (adjacency.hpp:1120-1123);
+  here convergence tests live in the loop condition, so the chip never
+  stalls on the host.
 - **Straggler compaction pyramid**: full width only while most walkers are
-  live, then N/8 → N/64 → 2048-wide loops, each level compacted from the
+  live, then geometrically narrower loops, each level compacted from the
   previous level's arrays via stable argsort (bounded ``nonzero`` is ~20x
-  slower on TPU) and merged back once at the end.
+  slower on TPU) and merged back once at the end.  ``widths`` overrides the
+  pyramid for tuning.
 - **Flat state**: positions ride as separate (N,) component arrays.  On TPU
   any (N, k<128) intermediate tile-pads its lane dimension to 128 (up to
   10.7x memory for k=12, 64x for k=2), so the hot loop never materializes
@@ -54,9 +61,17 @@ MAX_LEVELS = 3       # per-level fixed costs beat gather savings beyond this
 # Containment tolerance: the reference compares exact zeros in f64
 # (adjacency.hpp all_positive) and area-scales a tolerance in the .tpp path
 # (compute_tolerance_from_area).  In f32 an exactly-on-edge point can be
-# "outside" both neighboring elements and ping-pong forever; this slack
-# breaks the tie.
-BCC_TOL = 1e-6
+# "outside" both neighboring elements and ping-pong forever.  The slack must
+# cover the FLOAT EVALUATION ERROR of the affine form l = A·x + c, which
+# scales with the term magnitudes (|A|·|x| ≈ |x|/h blows up on sliver
+# elements) — so the tolerance is RELATIVE to the accumulated |terms|, with
+# a small absolute floor.
+BCC_REL_TOL = 8.0 * 2.0 ** -24      # ~8 ulps of the largest FMA term
+BCC_ABS_TOL = 1e-7
+# Intersection-walk plane tolerance is scaled by |plane offset| so it stays
+# meaningful on meshes with coordinates >> 1 (the reference's
+# compute_tolerance_from_area plays the same role, adjacency.tpp:419-428).
+MT_TOL = 1e-6
 
 
 class BoundaryCtx(NamedTuple):
@@ -67,6 +82,11 @@ class BoundaryCtx(NamedTuple):
     orig: Tuple[jax.Array, ...]   # per-component (N,) walk origin
     dest: Tuple[jax.Array, ...]   # per-component (N,) current destination
     mesh: object
+    # boundary intersection point and segment parameter (find_exit_face,
+    # adjacency.tpp:232-364); None unless the handler sets ``needs_hit=True``
+    # or the search was called with ``record_exit``
+    hit: Optional[Tuple[jax.Array, ...]] = None
+    t: Optional[jax.Array] = None
 
 
 class BoundaryResult(NamedTuple):
@@ -139,6 +159,11 @@ class SearchResult(NamedTuple):
     dest_c: Tuple[jax.Array, ...]  # per-component (N,) final destination
     iters: jax.Array      # () number of walk steps taken
     all_found: jax.Array  # () bool: everyone finished within the loop limit
+    # with record_exit=True (find_exit_face parity, adjacency.tpp:232-364):
+    exit_side: Optional[jax.Array] = None  # (N,) side of last real boundary
+    #                                        hit; -1 if the walk never hit one
+    hit_c: Optional[Tuple[jax.Array, ...]] = None  # (N,) boundary crossing pt
+    num_hits: Optional[jax.Array] = None   # (N,) real boundary hits taken
 
     @property
     def dest(self) -> jax.Array:
@@ -149,191 +174,134 @@ class SearchResult(NamedTuple):
 
 
 # ---------------------------------------------------------------------------
-# walk engine
+# walk cores: per-dimension geometry.  Each returns
+#   (inside, next_elem, side, w_dest, w_orig_or_t)
+# where w_dest/w_orig feed the exit-parameter computation (2D/3D BCC:
+# t = w_orig / (w_orig - w_dest) of the crossed side's weight function;
+# 3D MT: t is returned directly in w_orig_or_t and w_dest is None).
 # ---------------------------------------------------------------------------
 
-def _walk_step_2d(mesh: Mesh2D, boundary_handler, use_guess: bool = False):
-    """One vectorized walk step, width-agnostic.  State arrays are all (N,)."""
-
-    def step(elem, dest, done, fg, orig, fallback):
+def _core_2d(mesh: Mesh2D):
+    def core(e_safe, dest, orig, need_t):
         dx, dy = dest
-        e_safe = jnp.maximum(elem, 0)
-
-        # single packed gather:
-        # [ib00 ib01 ib10 ib11, v0x v0y, nbr0..2(i32), edge0..2(i32)]
+        # affine row: [a11 a12 c1, a21 a22 c2, nbr0..2, edge0..2] (all f32;
+        # ids as floats so every consumer fuses off one gather)
         g = mesh.walk_geom[e_safe]                 # (N, 12)
-        rx = dx - g[:, 4]
-        ry = dy - g[:, 5]
-        l1 = g[:, 0] * rx + g[:, 1] * ry
-        l2 = g[:, 2] * rx + g[:, 3] * ry
+        l1 = g[:, 0] * dx + g[:, 1] * dy + g[:, 2]
+        l2 = g[:, 3] * dx + g[:, 4] * dy + g[:, 5]
         w0 = 1.0 - l1 - l2
-        inside = (w0 >= -BCC_TOL) & (l1 >= -BCC_TOL) & (l2 >= -BCC_TOL)
+        m1 = jnp.abs(g[:, 0] * dx) + jnp.abs(g[:, 1] * dy) + jnp.abs(g[:, 2])
+        m2 = jnp.abs(g[:, 3] * dx) + jnp.abs(g[:, 4] * dy) + jnp.abs(g[:, 5])
+        t1 = BCC_REL_TOL * m1 + BCC_ABS_TOL
+        t2 = BCC_REL_TOL * m2 + BCC_ABS_TOL
+        inside = (w0 >= -(t1 + t2)) & (l1 >= -t1) & (l2 >= -t2)
 
         # most negative vertex weight -> cross the opposite edge
         # (vertex k opposite edge (k+1)%3)
         wmin = jnp.minimum(w0, l1)
         kmin = jnp.where(w0 <= l1, 0, 1)
         kmin = jnp.where(l2 < wmin, 2, kmin)
+        wmin = jnp.minimum(wmin, l2)
         exit_local = (kmin + 1) % 3
-
-        nbr3 = jax.lax.bitcast_convert_type(g[:, 6:9], jnp.int32)
         next_elem = jnp.where(
-            exit_local == 0, nbr3[:, 0],
-            jnp.where(exit_local == 1, nbr3[:, 1], nbr3[:, 2]),
-        )
-        exposed = next_elem == INVALID
+            exit_local == 0, g[:, 6],
+            jnp.where(exit_local == 1, g[:, 7], g[:, 8]),
+        ).astype(jnp.int32)
+        side = jnp.where(
+            exit_local == 0, g[:, 9],
+            jnp.where(exit_local == 1, g[:, 10], g[:, 11]),
+        ).astype(jnp.int32)
+        t = None
+        if need_t:
+            ox, oy = orig
+            l1o = g[:, 0] * ox + g[:, 1] * oy + g[:, 2]
+            l2o = g[:, 3] * ox + g[:, 4] * oy + g[:, 5]
+            w0o = 1.0 - l1o - l2o
+            wo = jnp.where(kmin == 0, w0o, jnp.where(kmin == 1, l1o, l2o))
+            t = wo / jnp.where(wo - wmin == 0, 1.0, wo - wmin)
+        return inside, next_elem, side, t
 
-        walking = ~done
-        hits_boundary = walking & ~inside & exposed
-
-        # side id for handlers (same gathered row, no extra memory traffic;
-        # dead-code-eliminated when the handler ignores it)
-        edge3 = jax.lax.bitcast_convert_type(g[:, 9:12], jnp.int32)
-        edge = jnp.where(
-            exit_local == 0, edge3[:, 0],
-            jnp.where(exit_local == 1, edge3[:, 1], edge3[:, 2]),
-        )
-        bres = boundary_handler(
-            BoundaryCtx(elem=elem, side=edge, orig=orig, dest=dest, mesh=mesh)
-        )
-
-        if use_guess:
-            retry = hits_boundary & fg
-            real_hit = hits_boundary & ~fg
-            new_elem = jnp.where(
-                walking & ~inside,
-                jnp.where(retry, fallback,
-                          jnp.where(exposed, bres.elem, next_elem)),
-                elem,
-            )
-            new_done = done | (walking & inside) | (real_hit & bres.done)
-            new_fg = fg & ~retry & ~(walking & inside)
-            if bres.dest is not None:
-                dest = tuple(
-                    jnp.where(real_hit, bd, d)
-                    for bd, d in zip(bres.dest, dest)
-                )
-            return new_elem, dest, new_done, new_fg
-
-        new_elem = jnp.where(
-            walking & ~inside,
-            jnp.where(exposed, bres.elem, next_elem),
-            elem,
-        )
-        new_done = done | (walking & inside) | (hits_boundary & bres.done)
-        if bres.dest is not None:
-            dest = tuple(
-                jnp.where(hits_boundary, bd, d)
-                for bd, d in zip(bres.dest, dest)
-            )
-        return new_elem, dest, new_done, fg
-
-    return step
+    return core
 
 
-def _walk_step_3d(mesh: Mesh3D, boundary_handler, use_guess: bool = False):
-    """BCC-descent tet walk step."""
-
-    def step(elem, dest, done, fg, orig, fallback):
+def _core_3d_bcc(mesh: Mesh3D):
+    def core(e_safe, dest, orig, need_t):
         dx, dy, dz = dest
-        e_safe = jnp.maximum(elem, 0)
-
-        g = mesh.walk_geom[e_safe]          # (N, 16): [ib(9) v0(3) nbr(4,i32)]
-        rx = dx - g[:, 9]
-        ry = dy - g[:, 10]
-        rz = dz - g[:, 11]
-        l1 = g[:, 0] * rx + g[:, 1] * ry + g[:, 2] * rz
-        l2 = g[:, 3] * rx + g[:, 4] * ry + g[:, 5] * rz
-        l3 = g[:, 6] * rx + g[:, 7] * ry + g[:, 8] * rz
+        # affine row: [A1 c1, A2 c2, A3 c3, nbr0..3] (N, 16)
+        g = mesh.walk_geom[e_safe]
+        l1 = g[:, 0] * dx + g[:, 1] * dy + g[:, 2] * dz + g[:, 3]
+        l2 = g[:, 4] * dx + g[:, 5] * dy + g[:, 6] * dz + g[:, 7]
+        l3 = g[:, 8] * dx + g[:, 9] * dy + g[:, 10] * dz + g[:, 11]
         w0 = 1.0 - l1 - l2 - l3
+        m1 = (jnp.abs(g[:, 0] * dx) + jnp.abs(g[:, 1] * dy)
+              + jnp.abs(g[:, 2] * dz) + jnp.abs(g[:, 3]))
+        m2 = (jnp.abs(g[:, 4] * dx) + jnp.abs(g[:, 5] * dy)
+              + jnp.abs(g[:, 6] * dz) + jnp.abs(g[:, 7]))
+        m3 = (jnp.abs(g[:, 8] * dx) + jnp.abs(g[:, 9] * dy)
+              + jnp.abs(g[:, 10] * dz) + jnp.abs(g[:, 11]))
+        t1 = BCC_REL_TOL * m1 + BCC_ABS_TOL
+        t2 = BCC_REL_TOL * m2 + BCC_ABS_TOL
+        t3 = BCC_REL_TOL * m3 + BCC_ABS_TOL
         inside = (
-            (w0 >= -BCC_TOL) & (l1 >= -BCC_TOL)
-            & (l2 >= -BCC_TOL) & (l3 >= -BCC_TOL)
+            (w0 >= -(t1 + t2 + t3)) & (l1 >= -t1)
+            & (l2 >= -t2) & (l3 >= -t3)
         )
 
         wmin = w0
-        kmin = jnp.zeros_like(elem)
+        kmin = jnp.zeros(e_safe.shape, jnp.int32)
         for k, lk in ((1, l1), (2, l2), (3, l3)):
             take = lk < wmin
             wmin = jnp.where(take, lk, wmin)
             kmin = jnp.where(take, k, kmin)
         exit_local = kmin
-
-        nbr4 = jax.lax.bitcast_convert_type(g[:, 12:16], jnp.int32)
         next_elem = jnp.where(
-            exit_local == 0, nbr4[:, 0],
+            exit_local == 0, g[:, 12],
             jnp.where(
-                exit_local == 1, nbr4[:, 1],
-                jnp.where(exit_local == 2, nbr4[:, 2], nbr4[:, 3]),
+                exit_local == 1, g[:, 13],
+                jnp.where(exit_local == 2, g[:, 14], g[:, 15]),
             ),
-        )
-        exposed = next_elem == INVALID
-
-        walking = ~done
-        hits_boundary = walking & ~inside & exposed
-
+        ).astype(jnp.int32)
         face4 = mesh.elem2faces[e_safe]
-        face = jnp.take_along_axis(face4, exit_local[:, None], axis=1)[:, 0]
-        bres = boundary_handler(
-            BoundaryCtx(elem=elem, side=face, orig=orig, dest=dest, mesh=mesh)
-        )
-
-        if use_guess:
-            retry = hits_boundary & fg
-            real_hit = hits_boundary & ~fg
-            new_elem = jnp.where(
-                walking & ~inside,
-                jnp.where(retry, fallback,
-                          jnp.where(exposed, bres.elem, next_elem)),
-                elem,
+        side = jnp.take_along_axis(face4, exit_local[:, None], axis=1)[:, 0]
+        t = None
+        if need_t:
+            ox, oy, oz = orig
+            l1o = g[:, 0] * ox + g[:, 1] * oy + g[:, 2] * oz + g[:, 3]
+            l2o = g[:, 4] * ox + g[:, 5] * oy + g[:, 6] * oz + g[:, 7]
+            l3o = g[:, 8] * ox + g[:, 9] * oy + g[:, 10] * oz + g[:, 11]
+            w0o = 1.0 - l1o - l2o - l3o
+            wo = jnp.where(
+                kmin == 0, w0o,
+                jnp.where(kmin == 1, l1o, jnp.where(kmin == 2, l2o, l3o)),
             )
-            new_done = done | (walking & inside) | (real_hit & bres.done)
-            new_fg = fg & ~retry & ~(walking & inside)
-            if bres.dest is not None:
-                dest = tuple(
-                    jnp.where(real_hit, bd, d)
-                    for bd, d in zip(bres.dest, dest)
-                )
-            return new_elem, dest, new_done, new_fg
+            t = wo / jnp.where(wo - wmin == 0, 1.0, wo - wmin)
+        return inside, next_elem, side, t
 
-        new_elem = jnp.where(
-            walking & ~inside,
-            jnp.where(exposed, bres.elem, next_elem),
-            elem,
-        )
-        new_done = done | (walking & inside) | (hits_boundary & bres.done)
-        if bres.dest is not None:
-            dest = tuple(
-                jnp.where(hits_boundary, bd, d)
-                for bd, d in zip(bres.dest, dest)
-            )
-        return new_elem, dest, new_done, fg
-
-    return step
+    return core
 
 
-def _walk_step_3d_mt(mesh: Mesh3D, boundary_handler, use_guess: bool = False):
-    """Intersection (trace-through) step: clip the orig→dest segment against
+def _core_3d_mt(mesh: Mesh3D):
+    """Intersection (trace-through) core: clip the orig→dest segment against
     the current tet's outward face planes and cross the exit face — the
     reference's Möller–Trumbore path (``search_mesh_3d``,
     adjacency.hpp:314-555; ``find_exit_face`` adjacency.tpp:232-364).
     Robust on sliver tets where greedy BCC descent can ping-pong."""
 
-    def step(elem, dest, done, fg, orig, fallback):
+    def core(e_safe, dest, orig, need_t):
         dx, dy, dz = dest
         ox, oy, oz = orig
-        e_safe = jnp.maximum(elem, 0)
         g = mesh.walk_planes[e_safe]              # (N, 20)
         vx, vy, vz = dx - ox, dy - oy, dz - oz    # segment direction
 
-        inside = jnp.ones(elem.shape, bool)
-        t_exit = jnp.full(elem.shape, jnp.inf, dx.dtype)
-        exit_local = jnp.zeros(elem.shape, jnp.int32)
+        inside = jnp.ones(e_safe.shape, bool)
+        t_exit = jnp.full(e_safe.shape, jnp.inf, dx.dtype)
+        exit_local = jnp.zeros(e_safe.shape, jnp.int32)
         for i in range(4):
             n_x, n_y, n_z, off = (g[:, 4 * i], g[:, 4 * i + 1],
                                   g[:, 4 * i + 2], g[:, 4 * i + 3])
             s_dest = n_x * dx + n_y * dy + n_z * dz
-            inside = inside & (s_dest <= off + 1e-7)
+            # scale-aware slack (reference compute_tolerance_from_area)
+            inside = inside & (s_dest <= off + MT_TOL * (1.0 + jnp.abs(off)))
             n_dot_d = n_x * vx + n_y * vy + n_z * vz
             s_orig = n_x * ox + n_y * oy + n_z * oz
             t_i = (off - s_orig) / jnp.where(n_dot_d == 0, 1.0, n_dot_d)
@@ -341,89 +309,136 @@ def _walk_step_3d_mt(mesh: Mesh3D, boundary_handler, use_guess: bool = False):
             t_exit = jnp.where(valid, t_i, t_exit)
             exit_local = jnp.where(valid, i, exit_local)
 
-        nbr4 = jax.lax.bitcast_convert_type(g[:, 16:20], jnp.int32)
         next_elem = jnp.where(
-            exit_local == 0, nbr4[:, 0],
+            exit_local == 0, g[:, 16],
             jnp.where(
-                exit_local == 1, nbr4[:, 1],
-                jnp.where(exit_local == 2, nbr4[:, 2], nbr4[:, 3]),
+                exit_local == 1, g[:, 17],
+                jnp.where(exit_local == 2, g[:, 18], g[:, 19]),
             ),
-        )
+        ).astype(jnp.int32)
         # a segment that never exits along its direction is at its parent
         inside = inside | ~jnp.isfinite(t_exit)
+
+        face4 = mesh.elem2faces[e_safe]
+        side = jnp.take_along_axis(face4, exit_local[:, None], axis=1)[:, 0]
+        t = jnp.where(jnp.isfinite(t_exit), t_exit, 1.0) if need_t else None
+        return inside, next_elem, side, t
+
+    return core
+
+
+# ---------------------------------------------------------------------------
+# walk engine
+# ---------------------------------------------------------------------------
+
+def _make_step(core, mesh, boundary_handler, use_guess: bool,
+               record_exit: bool):
+    """One vectorized walk step, width-agnostic.  State arrays are all (N,).
+
+    ``rec`` threads the optional exit-recording state
+    (side, num_hits, hit components...) through the walk."""
+    needs_hit = record_exit or getattr(boundary_handler, "needs_hit", False)
+
+    def step(elem, dest, done, fg, orig, fallback, rec):
+        e_safe = jnp.maximum(elem, 0)
+        inside, next_elem, side, t = core(e_safe, dest, orig, needs_hit)
         exposed = next_elem == INVALID
 
         walking = ~done
         hits_boundary = walking & ~inside & exposed
-
-        face4 = mesh.elem2faces[e_safe]
-        face = jnp.take_along_axis(face4, exit_local[:, None], axis=1)[:, 0]
-        bres = boundary_handler(
-            BoundaryCtx(elem=elem, side=face, orig=orig, dest=dest, mesh=mesh)
-        )
-
         if use_guess:
             retry = hits_boundary & fg
             real_hit = hits_boundary & ~fg
+        else:
+            retry = jnp.zeros_like(hits_boundary)
+            real_hit = hits_boundary
+
+        hit = None
+        if needs_hit:
+            tc = jnp.clip(t, 0.0, 1.0)
+            hit = tuple(o + tc * (d - o) for o, d in zip(orig, dest))
+
+        bres = boundary_handler(
+            BoundaryCtx(elem=elem, side=side, orig=orig, dest=dest,
+                        mesh=mesh, hit=hit, t=t)
+        )
+
+        if use_guess:
             new_elem = jnp.where(
                 walking & ~inside,
                 jnp.where(retry, fallback,
                           jnp.where(exposed, bres.elem, next_elem)),
                 elem,
             )
-            new_done = done | (walking & inside) | (real_hit & bres.done)
             new_fg = fg & ~retry & ~(walking & inside)
-            if bres.dest is not None:
-                dest = tuple(
-                    jnp.where(real_hit, bd, d)
-                    for bd, d in zip(bres.dest, dest)
-                )
-            return new_elem, dest, new_done, new_fg
-
-        new_elem = jnp.where(
-            walking & ~inside,
-            jnp.where(exposed, bres.elem, next_elem),
-            elem,
-        )
-        new_done = done | (walking & inside) | (hits_boundary & bres.done)
+        else:
+            new_elem = jnp.where(
+                walking & ~inside,
+                jnp.where(exposed, bres.elem, next_elem),
+                elem,
+            )
+            new_fg = fg
+        new_done = done | (walking & inside) | (real_hit & bres.done)
         if bres.dest is not None:
             dest = tuple(
-                jnp.where(hits_boundary, bd, d)
-                for bd, d in zip(bres.dest, dest)
+                jnp.where(real_hit, bd, d) for bd, d in zip(bres.dest, dest)
             )
-        return new_elem, dest, new_done, fg
+        if record_exit:
+            side_rec, nhits = rec[0], rec[1]
+            hit_rec = rec[2:]
+            side_rec = jnp.where(real_hit, side, side_rec)
+            nhits = nhits + real_hit.astype(nhits.dtype)
+            hit_rec = tuple(
+                jnp.where(real_hit, h, hr) for h, hr in zip(hit, hit_rec)
+            )
+            rec = (side_rec, nhits) + hit_rec
+        return new_elem, dest, new_done, new_fg, rec
 
     return step
 
 
 def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
-              fallback=None, fg0=None) -> SearchResult:
+              fallback=None, fg0=None, record_exit: bool = False,
+              widths: Optional[Tuple[int, ...]] = None) -> SearchResult:
     """Pyramid walk: run at full width only while most walkers are live, then
     repeatedly shrink the working width, each time compacting the survivors
     of the PREVIOUS level (one O(N) argsort total); all levels' results
     scatter back at the end, shallow to deep, so deeper (fresher) state wins.
 
     ``dest0``/``orig`` are tuples of per-component (N,) arrays (see module
-    docstring on TPU lane padding).
+    docstring on TPU lane padding).  ``widths`` overrides the default
+    pyramid (entries must be decreasing and < N).
     """
     n = elem0.shape[0]
     if fallback is None:
         fallback = elem0
     if fg0 is None:
         fg0 = jnp.zeros((n,), bool)
+    if record_exit:
+        rec0 = (
+            jnp.full((n,), INVALID, jnp.int32),
+            jnp.zeros((n,), jnp.int32),
+        ) + tuple(jnp.asarray(d) for d in dest0)
+    else:
+        rec0 = ()
 
-    # width pyramid: n/8, n/64, ... down to a 2048-wide tail loop
-    widths = []
-    w = n
-    while w > 2048 and len(widths) < MAX_LEVELS:
-        w = max(w // COMPACT_DIV, 2048)
-        widths.append(w)
+    if widths is None:
+        # default width pyramid: n/8, n/64, ... down to a 2048-wide tail loop
+        widths = []
+        w = n
+        while w > 2048 and len(widths) < MAX_LEVELS:
+            w = max(w // COMPACT_DIV, 2048)
+            widths.append(w)
+    else:
+        widths = [w for w in widths if w < n]
 
     def make_body(orig_arr, fb_arr):
         def body(s):
-            elem, dest, done, fg, it = s
-            elem, dest, done, fg = step(elem, dest, done, fg, orig_arr, fb_arr)
-            return elem, dest, done, fg, it + 1
+            elem, dest, done, fg, rec, it = s
+            elem, dest, done, fg, rec = step(
+                elem, dest, done, fg, orig_arr, fb_arr, rec
+            )
+            return elem, dest, done, fg, rec, it + 1
 
         return body
 
@@ -431,21 +446,20 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
     thresh0 = widths[0] if widths else 0
 
     def cond_full(s):
-        elem, dest, done, fg, it = s
+        elem, dest, done, fg, rec, it = s
         undone = jnp.sum(~done)
         return (it < max_iters) & (undone > thresh0)
 
-    elem, dest, done, fg, it = jax.lax.while_loop(
+    elem, dest, done, fg, rec, it = jax.lax.while_loop(
         cond_full, make_body(orig, fallback),
-        (elem0, dest0, done0, fg0, jnp.int32(0)),
+        (elem0, dest0, done0, fg0, rec0, jnp.int32(0)),
     )
 
     # compacted levels, each extracted from the level above
-    prev = (elem, dest, done, fg, orig, fallback)
-    prev_n = n
+    prev = (elem, dest, done, fg, rec, orig, fallback)
     levels = []                       # (global_idx, state) per level
     for li, m in enumerate(widths):
-        p_elem, p_dest, p_done, p_fg, p_orig, p_fb = prev
+        p_elem, p_dest, p_done, p_fg, p_rec, p_orig, p_fb = prev
         next_thresh = widths[li + 1] if li + 1 < len(widths) else 0
 
         # stable argsort(done) puts undone slots first in slot order — the
@@ -456,6 +470,7 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
         s_dest = tuple(d[sidx] for d in p_dest)
         s_done = ~in_range
         s_fg = p_fg[sidx] & in_range
+        s_rec = tuple(r[sidx] for r in p_rec)
         s_orig = tuple(o[sidx] for o in p_orig)
         s_fb = p_fb[sidx]
         # compose to global slot ids (out-of-range -> n, dropped at merge)
@@ -466,28 +481,35 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
             gidx = jnp.where(in_range, prev_gidx[sidx], n)
 
         def cond(s, _t=next_thresh):
-            e, d, dn, f, i = s
+            e, d, dn, f, r, i = s
             return (i < max_iters) & (jnp.sum(~dn) > _t)
 
-        s_elem, s_dest, s_done, s_fg, it = jax.lax.while_loop(
+        s_elem, s_dest, s_done, s_fg, s_rec, it = jax.lax.while_loop(
             cond, make_body(s_orig, s_fb),
-            (s_elem, s_dest, s_done, s_fg, it),
+            (s_elem, s_dest, s_done, s_fg, s_rec, it),
         )
-        levels.append((gidx, (s_elem, s_dest, s_done)))
-        prev = (s_elem, s_dest, s_done, s_fg, s_orig, s_fb)
-        prev_n = m
+        levels.append((gidx, (s_elem, s_dest, s_done, s_rec)))
+        prev = (s_elem, s_dest, s_done, s_fg, s_rec, s_orig, s_fb)
 
     # merge: shallow -> deep so fresher (deeper) values overwrite
-    for gidx, (s_elem, s_dest, s_done) in levels:
+    for gidx, (s_elem, s_dest, s_done, s_rec) in levels:
         elem = elem.at[gidx].set(s_elem, mode="drop")
         dest = tuple(
             d.at[gidx].set(sd, mode="drop") for d, sd in zip(dest, s_dest)
         )
         done = done.at[gidx].set(s_done, mode="drop")
+        rec = tuple(
+            r.at[gidx].set(sr, mode="drop") for r, sr in zip(rec, s_rec)
+        )
 
     all_found = jnp.all(done)
     # loop-limit fallback: delete unfinished walkers (adjacency.hpp:1126-1149)
     elem = jnp.where(done, elem, INVALID)
+    if record_exit:
+        return SearchResult(
+            elem_ids=elem, dest_c=dest, iters=it, all_found=all_found,
+            exit_side=rec[0], num_hits=rec[1], hit_c=rec[2:],
+        )
     return SearchResult(
         elem_ids=elem, dest_c=dest, iters=it, all_found=all_found
     )
@@ -505,7 +527,8 @@ def _components(x) -> Tuple[jax.Array, ...]:
 # public API
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("max_iters", "boundary_handler"))
+@partial(jax.jit, static_argnames=(
+    "max_iters", "boundary_handler", "record_exit", "widths"))
 def search_mesh_2d(
     mesh: Mesh2D,
     x_orig: jax.Array,
@@ -514,6 +537,8 @@ def search_mesh_2d(
     active: jax.Array,
     max_iters: int = 200,
     boundary_handler: Callable[[BoundaryCtx], BoundaryResult] = remove_on_exit,
+    record_exit: bool = False,
+    widths: Optional[Tuple[int, ...]] = None,
 ) -> SearchResult:
     """Walk every active particle from ``elem_init`` to the element containing
     ``x_tgt``.  Inactive particles get ``elem_ids == INVALID``.
@@ -528,13 +553,16 @@ def search_mesh_2d(
         INVALID,
     )
     done0 = ~active
-    step = _walk_step_2d(mesh, boundary_handler)
+    step = _make_step(_core_2d(mesh), mesh, boundary_handler, False,
+                      record_exit)
     return _run_walk(
-        step, elem0, _components(x_tgt), done0, _components(x_orig), max_iters
+        step, elem0, _components(x_tgt), done0, _components(x_orig),
+        max_iters, record_exit=record_exit, widths=widths,
     )
 
 
-@partial(jax.jit, static_argnames=("max_iters", "boundary_handler", "method"))
+@partial(jax.jit, static_argnames=(
+    "max_iters", "boundary_handler", "method", "record_exit", "widths"))
 def search_mesh_3d(
     mesh: Mesh3D,
     x_orig: jax.Array,
@@ -544,6 +572,8 @@ def search_mesh_3d(
     max_iters: int = 200,
     boundary_handler: Callable[[BoundaryCtx], BoundaryResult] = remove_on_exit,
     method: str = "bcc",
+    record_exit: bool = False,
+    widths: Optional[Tuple[int, ...]] = None,
 ) -> SearchResult:
     """Tet-mesh walk with the same boundary/loop-limit semantics as the
     reference's ``search_mesh`` (adjacency.hpp:558-768).
@@ -558,16 +588,16 @@ def search_mesh_3d(
         INVALID,
     )
     done0 = ~active
-    if method == "intersection":
-        step = _walk_step_3d_mt(mesh, boundary_handler)
-    else:
-        step = _walk_step_3d(mesh, boundary_handler)
+    core = _core_3d_mt(mesh) if method == "intersection" else _core_3d_bcc(mesh)
+    step = _make_step(core, mesh, boundary_handler, False, record_exit)
     return _run_walk(
-        step, elem0, _components(x_tgt), done0, _components(x_orig), max_iters
+        step, elem0, _components(x_tgt), done0, _components(x_orig),
+        max_iters, record_exit=record_exit, widths=widths,
     )
 
 
-@partial(jax.jit, static_argnames=("max_iters", "boundary_handler"))
+@partial(jax.jit, static_argnames=(
+    "max_iters", "boundary_handler", "record_exit", "widths"))
 def search_mesh_2d_accel(
     mesh: Mesh2D,
     grid,
@@ -577,6 +607,8 @@ def search_mesh_2d_accel(
     active: jax.Array,
     max_iters: int = 200,
     boundary_handler: Callable[[BoundaryCtx], BoundaryResult] = remove_on_exit,
+    record_exit: bool = False,
+    widths: Optional[Tuple[int, ...]] = None,
 ) -> SearchResult:
     """Grid-accelerated 2D search: walk from a background-grid guess of the
     DESTINATION (1-2 hops) instead of the previous element (one hop per
@@ -588,7 +620,8 @@ def search_mesh_2d_accel(
     ``grid``: a :class:`pumipic_tpu.mesh.locator.LocatorGrid2D` for ``mesh``.
     """
     guess = grid.guess(x_tgt)
-    step = _walk_step_2d(mesh, boundary_handler, use_guess=True)
+    step = _make_step(_core_2d(mesh), mesh, boundary_handler, True,
+                      record_exit)
     elem0 = jnp.where(active, guess, INVALID)
     fallback = jnp.where(
         active, jnp.clip(elem_prev.astype(jnp.int32), 0, mesh.nelems - 1),
@@ -597,11 +630,13 @@ def search_mesh_2d_accel(
     return _run_walk(
         step, elem0, _components(x_tgt), done0=~active,
         orig=_components(x_orig), max_iters=max_iters,
-        fallback=fallback, fg0=active,
+        fallback=fallback, fg0=active, record_exit=record_exit,
+        widths=widths,
     )
 
 
-@partial(jax.jit, static_argnames=("max_iters", "boundary_handler", "method"))
+@partial(jax.jit, static_argnames=(
+    "max_iters", "boundary_handler", "method", "record_exit", "widths"))
 def search_mesh_3d_accel(
     mesh: Mesh3D,
     grid,
@@ -612,16 +647,16 @@ def search_mesh_3d_accel(
     max_iters: int = 200,
     boundary_handler: Callable[[BoundaryCtx], BoundaryResult] = remove_on_exit,
     method: str = "bcc",
+    record_exit: bool = False,
+    widths: Optional[Tuple[int, ...]] = None,
 ) -> SearchResult:
     """Grid-accelerated 3D search (see :func:`search_mesh_2d_accel`).
 
     ``grid``: a :class:`pumipic_tpu.mesh.locator.LocatorGrid3D` for ``mesh``.
     """
     guess = grid.guess(x_tgt)
-    if method == "intersection":
-        step = _walk_step_3d_mt(mesh, boundary_handler, use_guess=True)
-    else:
-        step = _walk_step_3d(mesh, boundary_handler, use_guess=True)
+    core = _core_3d_mt(mesh) if method == "intersection" else _core_3d_bcc(mesh)
+    step = _make_step(core, mesh, boundary_handler, True, record_exit)
     elem0 = jnp.where(active, guess, INVALID)
     fallback = jnp.where(
         active, jnp.clip(elem_prev.astype(jnp.int32), 0, mesh.nelems - 1),
@@ -630,7 +665,8 @@ def search_mesh_3d_accel(
     return _run_walk(
         step, elem0, _components(x_tgt), done0=~active,
         orig=_components(x_orig), max_iters=max_iters,
-        fallback=fallback, fg0=active,
+        fallback=fallback, fg0=active, record_exit=record_exit,
+        widths=widths,
     )
 
 
@@ -658,13 +694,16 @@ def trace_particle_through_mesh(
     active: jax.Array,
     max_iters: int = 200,
     boundary_handler: Callable[[BoundaryCtx], BoundaryResult] = remove_on_exit,
+    record_exit: bool = False,
 ) -> SearchResult:
     """Unified 2D/3D driver (``trace_particle_through_mesh``,
     adjacency.tpp:460-615): dispatches on mesh dimension."""
     if mesh.dim == 2:
         return search_mesh_2d(
-            mesh, x_orig, x_tgt, elem_init, active, max_iters, boundary_handler
+            mesh, x_orig, x_tgt, elem_init, active, max_iters,
+            boundary_handler, record_exit,
         )
     return search_mesh_3d(
-        mesh, x_orig, x_tgt, elem_init, active, max_iters, boundary_handler
+        mesh, x_orig, x_tgt, elem_init, active, max_iters, boundary_handler,
+        record_exit=record_exit,
     )

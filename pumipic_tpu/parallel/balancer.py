@@ -4,25 +4,32 @@ Reference parity: ``ParticleBalancer`` (``src/pumipic_lb.hpp:33-114``,
 ``pumipic_lb.cpp``) — build time: compute **sbars**, the distinct
 sets-of-ranks whose safe zones overlap an element; build an EnGPar N-graph
 whose hyperedges are sbars and vertices are (sbar × member-rank).  Run time
-(``repartition``): accumulate particle weight per (sbar, rank) counting
-forced migrations at their destination (``addWeights``, lb.hpp:128-205), run
-EnGPar's diffusive weight balancer to a tolerance, then greedily relabel
-particles' target ranks against the per-sbar send plan
-(``selectParticles``, lb.hpp:229-287).
+(``repartition``): accumulate particle weight per (sbar, rank) with
+forced-migration weight counted at its *destination* rank as immovable
+(``addWeights``, lb.hpp:128-205: per-peer weight exchange lands on the
+rank-private vertex), run EnGPar's diffusive weight balancer **to a
+tolerance** (``balance``, pumipic_lb.cpp:496-530 →
+``engpar::balanceWeights(tol, step_factor)``), then greedily relabel
+particles' target ranks against the per-sbar send plan, non-core-destined
+particles first (``selectParticles``, lb.hpp:229-287).  An array-based
+``partition`` variant does initial placement from per-element counts
+(lb.hpp:289-350).
 
 TPU-native redesign (no EnGPar): the sbar map and the hyperedge pair list
 are host preprocessing; at run time every rank computes the SAME diffusion
-plan from an all-gathered (rank × sbar) weight matrix — a fixed-iteration
-Jacobi flow relaxation over the pair edges, fully jitted, zero extra
-communication beyond one ``all_gather`` of S floats — and applies its own
-slice of the plan with a rank-within-sbar selection (the same sort machinery
-as rebuild).  Deterministic: every rank derives identical flows.
+plan from an all-gathered (rank × sbar) weight matrix — a
+tolerance-terminated Jacobi flow relaxation over the pair edges, fully
+jitted, zero extra communication beyond one ``all_gather`` of S floats and
+one ``psum`` of R floats — and applies its own slice of the plan with a
+rank-within-sbar interval lookup (O(N log P) time, O(N) memory; the same
+sort machinery as rebuild).  Deterministic: every rank derives identical
+flows.
 """
 from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -129,15 +136,18 @@ def build_balancer(pp, num_ranks: int) -> BalancerTables:
 
 def plan_flows(
     bt: BalancerTables,
-    w_sr: jax.Array,          # (R, S) weight per (rank, sbar), all-gathered
-    w_fixed: jax.Array,       # (R,) immovable weight per rank
+    w_sr: jax.Array,          # (R, S) movable weight per (rank, sbar)
+    w_fixed: jax.Array,       # (R,) immovable weight per rank (dest-attributed)
     tol: float = 1.05,
-    num_iters: int = 32,
+    max_iters: int = 256,
     alpha: float = 0.5,
 ) -> jax.Array:
-    """Jacobi flow relaxation over the sbar pair edges: returns integer
-    particle flows per edge (the EnGPar balanceWeights replacement).  Pure
-    function of replicated inputs → identical on every rank."""
+    """Tolerance-terminated Jacobi flow relaxation over the sbar pair edges
+    (the ``engpar::balanceWeights(input, tol, step_factor)`` replacement,
+    pumipic_lb.cpp:496-530): iterate until ``max(w)/avg <= tol`` or the
+    movable weight stops flowing, bounded by ``max_iters``.  Returns integer
+    particle flows per edge.  Pure function of replicated inputs → identical
+    on every rank."""
     R, S = w_sr.shape
     P = bt.num_edges
     src, dst, sb = bt.edge_src, bt.edge_dst, bt.edge_sbar
@@ -147,10 +157,19 @@ def plan_flows(
     )
     outdeg = jnp.maximum(outdeg, 1.0)
 
-    def body(t, carry):
-        w, avail, flows = carry
-        total = jnp.sum(w)
-        avg = total / R
+    total = jnp.sum(w_fixed) + jnp.sum(w_sr)
+    avg = jnp.maximum(total / R, 1e-30)
+
+    def cond(carry):
+        w, avail, flows, it, moved = carry
+        imb = jnp.max(w) / avg
+        # stop on convergence OR stall (single-hop diffusion can bottom out
+        # above tol when overloaded sbars have no under-loaded members;
+        # further spreading happens on the next app step's re-plan)
+        return (it < max_iters) & (imb > tol) & ((it == 0) | (moved > 1e-3))
+
+    def body(carry):
+        w, avail, flows, it, _ = carry
         surplus = w[src] - avg
         deficit = avg - w[dst]
         f = alpha * jnp.minimum(surplus, deficit) / outdeg[src]
@@ -158,13 +177,63 @@ def plan_flows(
         w = w + jax.ops.segment_sum(f, dst, num_segments=R) \
               - jax.ops.segment_sum(f, src, num_segments=R)
         avail = avail.at[src, sb].add(-f)
-        return w, avail, flows + f
+        return w, avail, flows + f, it + 1, jnp.sum(f)
 
     w0 = w_fixed + jnp.sum(w_sr, axis=1)
-    _, _, flows = jax.lax.fori_loop(
-        0, num_iters, body, (w0, w_sr, jnp.zeros((P,), jnp.float32))
+    _, _, flows, _, _ = jax.lax.while_loop(
+        cond, body,
+        (w0, w_sr, jnp.zeros((P,), jnp.float32), jnp.int32(0),
+         jnp.float32(0)),
     )
     return jnp.floor(flows).astype(jnp.int32)
+
+
+def _edge_intervals(bt: BalancerTables, flows: jax.Array, me: jax.Array):
+    """Per-outgoing-edge [start, end) candidate-rank intervals within each
+    sbar, plus the global flow prefix used for the interval lookup."""
+    S = bt.num_sbars
+    Pmax = bt.my_edge_idx.shape[1]
+
+    mye = bt.my_edge_idx[me]                       # (Pmax,), sorted by sbar
+    mye_valid = mye >= 0
+    mye_c = jnp.maximum(mye, 0)
+    e_sbar = jnp.where(mye_valid, bt.edge_sbar[mye_c], S)
+    e_dst = jnp.where(mye_valid, bt.edge_dst[mye_c], -1)
+    e_flow = jnp.where(mye_valid, flows[mye_c], 0)
+
+    # global cumulative flow over my edges; per-sbar base = flow before the
+    # sbar's first edge.  A candidate (sbar s, rank r) maps to global
+    # position base(s) + r; its edge is the interval containing it.
+    cumsum = jnp.cumsum(e_flow)                    # (Pmax,)
+    sbar_first = jax.ops.segment_min(
+        jnp.arange(Pmax, dtype=jnp.int32), e_sbar, num_segments=S + 1
+    )  # first edge position per sbar (Pmax where sbar has no edge here)
+    first_c = jnp.minimum(sbar_first[:S], Pmax - 1)
+    sbar_base = jnp.where(
+        (sbar_first[:S] < Pmax) & (sbar_first[:S] > 0),
+        cumsum[jnp.maximum(first_c - 1, 0)], 0,
+    )
+    # total flow out of each sbar (for candidate-rank bounds)
+    sbar_total = jax.ops.segment_sum(
+        e_flow, jnp.minimum(e_sbar, S), num_segments=S + 1
+    )[:S]
+    return e_dst, cumsum, sbar_base, sbar_total
+
+
+def rank_within_key(key: jax.Array, num_keys: int) -> jax.Array:
+    """Stable rank of each item among items sharing its key (items with
+    key == num_keys are ignored).  O(N log N) sort, O(N) memory."""
+    N = key.shape[0]
+    order = jnp.argsort(key, stable=True)
+    sorted_key = key[order]
+    counts = jax.ops.segment_sum(
+        jnp.ones((N,), jnp.int32), sorted_key, num_segments=num_keys + 1
+    )
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)])
+    rank_sorted = jnp.arange(N, dtype=jnp.int32) - starts[
+        jnp.minimum(sorted_key, num_keys)
+    ]
+    return jnp.zeros((N,), jnp.int32).at[order].set(rank_sorted)
 
 
 def select_particles(
@@ -174,61 +243,48 @@ def select_particles(
     candidate: jax.Array,     # (N,) bool: active & staying home
     dest_rank: jax.Array,     # (N,) current destinations
     me: jax.Array,
+    noncore: Optional[jax.Array] = None,  # (N,) bool: elem owned elsewhere
 ) -> jax.Array:
     """Relabel up to flow[e] candidates per outgoing edge (selectParticles,
-    lb.hpp:229-287).  Returns updated dest_rank."""
-    N = sbar.shape[0]
+    lb.hpp:229-287).  Non-core-destined candidates are selected first, as
+    the reference's two-pass greedy does.  Returns updated dest_rank.
+
+    O(N) memory: candidates are ranked within their sbar (noncore first)
+    and assigned to edges by a single searchsorted interval lookup against
+    the per-sbar flow prefix — no (N × P) mask."""
     S = bt.num_sbars
-    Pmax = bt.my_edge_idx.shape[1]
+    e_dst, cumsum, sbar_base, sbar_total = _edge_intervals(bt, flows, me)
 
-    mye = bt.my_edge_idx[me]                       # (Pmax,)
-    mye_valid = mye >= 0
-    mye_c = jnp.maximum(mye, 0)
-    e_sbar = jnp.where(mye_valid, bt.edge_sbar[mye_c], S)
-    e_dst = jnp.where(mye_valid, bt.edge_dst[mye_c], -1)
-    e_flow = jnp.where(mye_valid, flows[mye_c], 0)
+    is_cand = candidate & (sbar >= 0)
+    if noncore is None:
+        key = jnp.where(is_cand, sbar, S)
+        rank_in_sbar = rank_within_key(key, S)
+    else:
+        # order: within each sbar, non-core candidates first (reference
+        # selectNonCoreParticles pass).  Rank over the composite key, then
+        # re-rank against per-sbar starts.
+        key2 = jnp.where(is_cand, sbar * 2 + (~noncore).astype(sbar.dtype),
+                         2 * S)
+        rank2 = rank_within_key(key2, 2 * S)
+        # core candidates sit after all non-core ones of the same sbar
+        n_noncore = jax.ops.segment_sum(
+            (is_cand & noncore).astype(jnp.int32),
+            jnp.where(is_cand, sbar, S), num_segments=S + 1,
+        )[:S]
+        sb_c = jnp.maximum(sbar, 0)
+        rank_in_sbar = jnp.where(
+            is_cand & ~noncore, rank2 + n_noncore[sb_c], rank2
+        )
 
-    # per-sbar prefix of my edges (my_edge_idx is sorted by sbar)
-    cumsum = jnp.cumsum(e_flow)
-    sbar_first = jax.ops.segment_min(
-        jnp.arange(Pmax, dtype=jnp.int32), e_sbar, num_segments=S + 1
-    )  # first edge position per sbar
-    base = jnp.where(
-        sbar_first[jnp.minimum(e_sbar, S)] > 0,
-        cumsum[jnp.maximum(sbar_first[jnp.minimum(e_sbar, S)] - 1, 0)],
-        0,
+    sb_c = jnp.maximum(sbar, 0)
+    in_plan = is_cand & (rank_in_sbar < sbar_total[sb_c])
+    gpos = sbar_base[sb_c] + rank_in_sbar
+    edge = jnp.searchsorted(cumsum, gpos, side="right")
+    edge = jnp.minimum(edge, e_dst.shape[0] - 1)
+    chosen_dst = jnp.where(in_plan, e_dst[edge], -1)
+    return jnp.where(chosen_dst >= 0, chosen_dst, dest_rank).astype(
+        dest_rank.dtype
     )
-    e_start = jnp.concatenate([jnp.zeros(1, e_flow.dtype), cumsum[:-1]]) - base
-    e_end = e_start + e_flow
-
-    # rank of each candidate within its sbar
-    key = jnp.where(candidate & (sbar >= 0), sbar, S)
-    order = jnp.argsort(key, stable=True)
-    sorted_key = key[order]
-    counts = jax.ops.segment_sum(
-        jnp.ones((N,), jnp.int32), sorted_key, num_segments=S + 1
-    )
-    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)])
-    rank_sorted = jnp.arange(N, dtype=jnp.int32) - starts[
-        jnp.minimum(sorted_key, S)
-    ]
-    rank_in_sbar = jnp.zeros((N,), jnp.int32).at[order].set(rank_sorted)
-
-    # assign: candidate i in sbar s goes to edge e iff s==e_sbar and
-    # e_start <= rank < e_end  (N x Pmax mask)
-    ps = sbar[:, None]
-    pr = rank_in_sbar[:, None]
-    hit = (
-        candidate[:, None]
-        & (ps >= 0)
-        & (ps == e_sbar[None, :])
-        & (pr >= e_start[None, :])
-        & (pr < e_end[None, :])
-    )
-    chosen_dst = jnp.max(
-        jnp.where(hit, e_dst[None, :], -1), axis=1
-    )
-    return jnp.where(chosen_dst >= 0, chosen_dst, dest_rank).astype(dest_rank.dtype)
 
 
 def repartition(
@@ -239,11 +295,13 @@ def repartition(
     dest_rank: jax.Array,            # (N,) from set_unsafe_procs
     me: jax.Array,
     tol: float = 1.05,
+    elem_owner: Optional[jax.Array] = None,  # (E,) for noncore-first priority
     axis_name: str = RANK_AXIS,
 ) -> jax.Array:
-    """Full LB pass inside shard_map: weight accumulation (forced migrations
-    counted at their destination, addWeights analog), diffusion plan,
-    particle selection.  Returns updated dest_rank."""
+    """Full LB pass inside shard_map (repartition, lb.hpp:352-362): weight
+    accumulation with forced migrations counted at their destination
+    (addWeights analog), tolerance-terminated diffusion plan, particle
+    selection.  Returns updated dest_rank."""
     S = bt.num_sbars
     R = jax.lax.axis_size(axis_name)
 
@@ -253,22 +311,81 @@ def repartition(
         -1,
     )
     staying = active & (dest_rank == me)
+    leaving = active & (dest_rank != me)
 
-    # local movable weight per sbar; weight headed elsewhere is "fixed" at
-    # its destination for planning purposes
+    # movable weight: staying particles in sbar elements, per sbar
     keys = jnp.where(staying & (sbar >= 0), sbar, S)
     w_local = jax.ops.segment_sum(
         jnp.ones_like(keys, jnp.float32), keys, num_segments=S + 1
     )[:S]
-    fixed_local = jnp.sum(
-        (active & ((sbar < 0) | ~staying)).astype(jnp.float32)
-    )
+
+    # immovable weight, attributed where it will LAND (addWeights
+    # lb.hpp:128-205: forced weight is exchanged to the destination rank):
+    #   - my particles forced to rank r count toward r,
+    #   - my staying particles outside any sbar count toward me.
+    forced_to = jax.ops.segment_sum(
+        jnp.ones_like(keys, jnp.float32),
+        jnp.where(leaving, dest_rank, R), num_segments=R + 1,
+    )[:R]
+    immovable_here = jnp.sum((staying & (sbar < 0)).astype(jnp.float32))
+    fixed_vec = forced_to + immovable_here * (
+        jnp.arange(R) == me
+    ).astype(jnp.float32)
+    w_fixed = jax.lax.psum(fixed_vec, axis_name)           # (R,) replicated
 
     w_sr = jax.lax.all_gather(w_local, axis_name)          # (R, S)
-    w_fixed = jax.lax.all_gather(fixed_local, axis_name)   # (R,)
 
     flows = plan_flows(bt, w_sr, w_fixed, tol)
-    return select_particles(bt, flows, sbar, staying, dest_rank, me)
+    noncore = None
+    if elem_owner is not None:
+        noncore = (
+            active & (new_elem >= 0)
+            & (elem_owner[jnp.maximum(new_elem, 0)] != me)
+        )
+    return select_particles(bt, flows, sbar, staying, dest_rank, me, noncore)
+
+
+def partition(
+    bt: BalancerTables,
+    sbar_of_elem_local: jax.Array,   # (E,)
+    ptcls_per_elem: jax.Array,       # (E,) int
+    num_ptcls: int,                  # static: sum of ptcls_per_elem (padded)
+    me: jax.Array,
+    tol: float = 1.05,
+    axis_name: str = RANK_AXIS,
+) -> jax.Array:
+    """Array-based initial-placement variant (``ParticleBalancer::partition``,
+    lb.hpp:289-350): from per-element particle counts, plan a balance and
+    return a (num_ptcls,) destination-rank array in element-major particle
+    order (entries past the true total are this rank).  Call inside
+    shard_map."""
+    E = ptcls_per_elem.shape[0]
+    ppe = jnp.maximum(ptcls_per_elem.astype(jnp.int32), 0)
+    offsets = jnp.cumsum(ppe)                          # inclusive
+    total = offsets[E - 1]
+
+    # expand to element-major particle order: pid -> elem
+    pid = jnp.arange(num_ptcls, dtype=jnp.int32)
+    elem = jnp.searchsorted(offsets, pid, side="right").astype(jnp.int32)
+    valid = pid < total
+    elem = jnp.where(valid, jnp.minimum(elem, E - 1), 0)
+
+    sbar = jnp.where(valid, sbar_of_elem_local[elem], -1)
+    S = bt.num_sbars
+    keys = jnp.where(sbar >= 0, sbar, S)
+    w_local = jax.ops.segment_sum(
+        jnp.ones((num_ptcls,), jnp.float32) * valid, keys,
+        num_segments=S + 1,
+    )[:S]
+    immovable = jnp.sum(((sbar < 0) & valid).astype(jnp.float32))
+    R = jax.lax.axis_size(axis_name)
+    fixed_vec = immovable * (jnp.arange(R) == me).astype(jnp.float32)
+    w_fixed = jax.lax.psum(fixed_vec, axis_name)
+    w_sr = jax.lax.all_gather(w_local, axis_name)
+
+    flows = plan_flows(bt, w_sr, w_fixed, tol)
+    dest0 = jnp.full((num_ptcls,), me, jnp.int32)
+    return select_particles(bt, flows, sbar, valid, dest0, me)
 
 
 def ptcl_imbalance(num_local: jax.Array, axis_name: str = RANK_AXIS):

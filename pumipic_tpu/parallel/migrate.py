@@ -7,24 +7,41 @@ that element's owner; ranks exchange counts then per-member views; receivers
 translate global element ids to local ids and rebuild.
 
 TPU-native: the ragged Isend/Irecv exchange becomes a **fixed-capacity
-bucketed all_to_all**: each rank packs up to ``cap`` departing particles per
-destination into a (R, cap, F) buffer (slot = dest-rank-relative rank,
-computed with the same sort machinery as rebuild), one ``lax.all_to_all``
-moves every bucket in one collective, and arrivals translate GID→LID with a
-binary search over the picpart's sorted global ids (the reference's
-``Kokkos::UnorderedMap`` lookup, SCS_buildFns.h:102-113).  Overflow (more
-than ``cap`` leavers to one destination) is detected and reported, not
-silently dropped — the caller grows ``cap`` and re-runs (same recompile
-economics as particle-structure capacity growth).
+bucketed exchange**: each rank packs up to ``cap`` departing particles per
+destination (slot = dest-rank-relative rank, computed with the same sort
+machinery as rebuild), the buckets move in one collective, and arrivals
+translate GID→LID with a binary search over the picpart's sorted global ids
+(the reference's ``Kokkos::UnorderedMap`` lookup, SCS_buildFns.h:102-113).
+Overflow (more than ``cap`` leavers to one destination) is detected and
+reported, not silently dropped — the caller grows ``cap`` and re-runs (same
+recompile economics as particle-structure capacity growth).  Arrivals whose
+element is absent from the receiving picpart are likewise counted
+(``num_recv_unresolved``) rather than silently lost.
 
-All functions run INSIDE shard_map on local views.
+Two collectives are provided:
+
+- **world**: one ``lax.all_to_all`` with an (R, cap, F) buffer — simplest,
+  payload O(R · cap) per rank.
+- **neighbor-scoped** (the reference's ``Distributor`` subset exchange,
+  SCS_migrate.h:41-62, psDistributor.hpp:9-137): the buffered-peer digraph
+  is edge-colored on the host into ``rounds ≤ ~max-degree`` partial
+  permutations; migration runs one ``lax.ppermute`` per round with a
+  (rounds, cap, F) buffer — payload O(neighbors · cap), independent of R.
+  Arrivals are re-ordered by source rank before placement, so results are
+  bit-identical to the world path.
+
+All functions run INSIDE shard_map on local views (except the host-side
+``build_neighbor_plan``).
 """
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Tuple
+import dataclasses
+from dataclasses import dataclass
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pumipic_tpu.parallel.mesh_axis import RANK_AXIS
 
@@ -36,6 +53,9 @@ class MigrateResult(NamedTuple):
     num_sent: jax.Array           # () particles that left this rank
     num_recv: jax.Array           # () particles that arrived
     overflow: jax.Array           # () bool: a destination bucket overflowed
+    num_recv_unresolved: jax.Array  # () arrivals whose elem gid is unknown
+    num_illegal_dest: jax.Array   # () dests outside the neighbor plan (0 for
+    #                                 the world collective)
 
 
 def set_unsafe_procs(
@@ -64,101 +84,157 @@ def gid_to_lid(gid_sorted: jax.Array, gid_perm: jax.Array, gids: jax.Array
     return jnp.where(found & (gids >= 0), gid_perm[pos_c], INVALID).astype(jnp.int32)
 
 
-def migrate(
-    state: Dict[str, jax.Array],   # flat particle arrays incl "elem","active"
-    new_elem: jax.Array,           # (N,) post-search local element (-1 = lost)
-    dest_rank: jax.Array,          # (N,) from set_unsafe_procs
-    elem_gid: jax.Array,           # (E,) local -> global element id
-    gid_sorted: jax.Array,         # (E,)
-    gid_perm: jax.Array,           # (E,)
-    my_rank: jax.Array,
-    num_ranks: int,
-    cap: int,
-    axis_name: str = RANK_AXIS,
-) -> MigrateResult:
-    """Bucketed all_to_all migration (call inside shard_map).
+# ---------------------------------------------------------------------------
+# neighbor plan (Distributor-scoped exchange schedule)
+# ---------------------------------------------------------------------------
 
-    ``state`` fields ride in a single packed f32 buffer (ints bitcast), so
-    the collective is ONE all_to_all regardless of member count — the
-    reference sends one message per member type per neighbor
-    (SCS_migrate.h:147-175).
-    """
-    N = new_elem.shape[0]
-    R, K = num_ranks, cap
-    active = state["active"] & (new_elem >= 0)
-    leaving = active & (dest_rank != my_rank)
-    staying = active & ~leaving
+def _static_field(**kw):
+    return dataclasses.field(metadata=dict(static=True), **kw)
 
-    # slot within destination bucket: order leavers by dest, rank them
-    key = jnp.where(leaving, dest_rank, R)
-    order = jnp.argsort(key, stable=True)          # leavers grouped by dest
-    sorted_key = key[order]
-    # counts per dest and start offsets
-    counts = jax.ops.segment_sum(
-        jnp.ones((N,), jnp.int32), sorted_key, num_segments=R + 1
-    )[:R]
-    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)])
-    rank_in_dest = jnp.arange(N, dtype=jnp.int32) - starts[
-        jnp.minimum(sorted_key, R)
-    ]
-    # slot in (R*K) send buffer; >=K overflows (dropped + flagged)
-    slot_sorted = jnp.where(
-        (sorted_key < R) & (rank_in_dest < K),
-        sorted_key * K + rank_in_dest,
-        R * K,
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class NeighborPlan:
+    """Edge-colored exchange schedule over the buffered-peer digraph.
+
+    Round k is a partial permutation: every rank sends to at most one peer
+    and receives from at most one.  ``perms`` is the static (src, dst) pair
+    list per round consumed by ``lax.ppermute``."""
+
+    round_of_dest: jax.Array   # (R, R) int32: round on which r sends to s;
+    #                             -1 = s is not a neighbor of r
+    src_of_round: jax.Array    # (R, rounds) int32: who sends to r on round k
+    #                             (-1 = nobody)
+    perms: tuple = _static_field(default=())   # per-round ((src, dst), ...)
+    num_rounds: int = _static_field(default=0)
+    max_out_degree: int = _static_field(default=0)
+
+
+def build_neighbor_plan(distributor) -> NeighborPlan:
+    """Greedy bipartite edge coloring of the directed neighbor graph
+    (senders × receivers): each color class is a partial permutation.
+    For a graph with max in/out degree Δ this uses ≤ 2Δ-1 rounds (usually
+    ≈ Δ); the reference's per-neighbor Isend/Irecv achieves the same
+    O(neighbors) payload (SCS_migrate.h:41-62)."""
+    nb = np.asarray(distributor.is_neighbor)
+    R = nb.shape[0]
+    edges = [(r, s) for r in range(R) for s in range(R)
+             if r != s and nb[r, s]]
+    # sort for deterministic coloring
+    edges.sort()
+    colors = {}
+    src_used: Dict[int, set] = {r: set() for r in range(R)}
+    dst_used: Dict[int, set] = {r: set() for r in range(R)}
+    for e in edges:
+        r, s = e
+        c = 0
+        while c in src_used[r] or c in dst_used[s]:
+            c += 1
+        colors[e] = c
+        src_used[r].add(c)
+        dst_used[s].add(c)
+    rounds = max(colors.values(), default=-1) + 1
+
+    round_of_dest = np.full((R, R), -1, np.int32)
+    src_of_round = np.full((R, max(rounds, 1)), -1, np.int32)
+    perms = [[] for _ in range(rounds)]
+    for (r, s), c in colors.items():
+        round_of_dest[r, s] = c
+        src_of_round[s, c] = r
+        perms[c].append((r, s))
+    max_out = int(max((len(v) for v in src_used.values()), default=0))
+    return NeighborPlan(
+        round_of_dest=jnp.asarray(round_of_dest),
+        src_of_round=jnp.asarray(src_of_round),
+        perms=tuple(tuple(p) for p in perms),
+        num_rounds=rounds,
+        max_out_degree=max_out,
     )
-    slot = jnp.zeros((N,), jnp.int32).at[order].set(slot_sorted)
-    overflow = jnp.any(counts > K)
-    num_sent = jnp.sum(leaving.astype(jnp.int32))
 
-    # pack payload: gid + every field, as f32 lanes (ints bitcast)
-    def to_lanes(arr):
-        if arr.ndim == 1:
-            arr = arr[:, None]
-        if arr.dtype == jnp.float32:
-            return arr
-        if arr.dtype == jnp.int32:
-            return jax.lax.bitcast_convert_type(arr, jnp.float32)
-        if arr.dtype == jnp.bool_:
-            return arr.astype(jnp.float32)
-        raise TypeError(f"unsupported migrate dtype {arr.dtype}")
 
-    gid = jnp.where(leaving, elem_gid[jnp.maximum(new_elem, 0)], INVALID)
-    payload_parts = [to_lanes(gid.astype(jnp.int32))]
+# ---------------------------------------------------------------------------
+# payload packing / arrival placement (shared by both collectives)
+# ---------------------------------------------------------------------------
+
+def _to_lanes(arr):
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    if arr.dtype == jnp.float32:
+        return arr
+    if arr.dtype == jnp.int32:
+        return jax.lax.bitcast_convert_type(arr, jnp.float32)
+    if arr.dtype == jnp.bool_:
+        return arr.astype(jnp.float32)
+    raise TypeError(f"unsupported migrate dtype {arr.dtype}")
+
+
+def _pack_payload(state, leaving, gid):
+    """Pack gid + every field into (N, F) f32 lanes (ints bitcast), so the
+    collective moves ONE buffer regardless of member count — the reference
+    sends one message per member type per neighbor (SCS_migrate.h:147-175)."""
+    payload_parts = [_to_lanes(gid.astype(jnp.int32))]
     field_slices = {}
     off = 1
     for name in sorted(state.keys()):
         if name in ("elem", "active"):
             continue
-        lanes = to_lanes(state[name])
+        lanes = _to_lanes(state[name])
         field_slices[name] = (off, off + lanes.shape[1], state[name].dtype,
                               state[name].ndim)
         off += lanes.shape[1]
         payload_parts.append(lanes)
-    payload = jnp.concatenate(payload_parts, axis=1)   # (N, F)
-    F = payload.shape[1]
+    return jnp.concatenate(payload_parts, axis=1), field_slices
 
-    send = jnp.full((R * K, F), jnp.float32(0), jnp.float32)
-    # invalid gid marker for empty slots
-    send = send.at[:, 0].set(
-        jax.lax.bitcast_convert_type(jnp.full((R * K,), INVALID, jnp.int32),
-                                     jnp.float32)
+
+def _bucket_slots(key: jax.Array, num_buckets: int, cap: int):
+    """Slot within the (num_buckets * cap) send buffer for each particle
+    (key = bucket id, or >= num_buckets for non-leavers).  Stable argsort
+    groups leavers by bucket; per-bucket rank >= cap overflows."""
+    N = key.shape[0]
+    order = jnp.argsort(key, stable=True)
+    sorted_key = key[order]
+    counts = jax.ops.segment_sum(
+        jnp.ones((N,), jnp.int32), sorted_key, num_segments=num_buckets + 1
+    )[:num_buckets]
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)])
+    rank_in_bucket = jnp.arange(N, dtype=jnp.int32) - starts[
+        jnp.minimum(sorted_key, num_buckets)
+    ]
+    slot_sorted = jnp.where(
+        (sorted_key < num_buckets) & (rank_in_bucket < cap),
+        sorted_key * cap + rank_in_bucket,
+        num_buckets * cap,
     )
-    send = send.at[slot].set(payload, mode="drop")
-    send = send.reshape(R, K, F)
+    slot = jnp.zeros((N,), jnp.int32).at[order].set(slot_sorted)
+    overflow = jnp.any(counts > cap)
+    return slot, overflow
 
-    recv = jax.lax.all_to_all(
-        send, axis_name, split_axis=0, concat_axis=0, tiled=False
-    ).reshape(R * K, F)
 
+def _fill_send(payload, slot, num_buckets: int, cap: int):
+    F = payload.shape[1]
+    send = jnp.zeros((num_buckets * cap, F), jnp.float32)
+    send = send.at[:, 0].set(
+        jax.lax.bitcast_convert_type(
+            jnp.full((num_buckets * cap,), INVALID, jnp.int32), jnp.float32
+        )
+    )
+    return send.at[slot].set(payload, mode="drop")
+
+
+def _place_arrivals(state, staying, new_elem, recv, field_slices,
+                    gid_sorted, gid_perm):
+    """Translate arrival gids and place them into free slots (stayers keep
+    theirs); stable argsort compaction instead of bounded nonzero."""
+    N = new_elem.shape[0]
     arr_gid = jax.lax.bitcast_convert_type(recv[:, 0], jnp.int32)
-    arr_valid = arr_gid >= 0
+    present = arr_gid >= 0
     arr_lid = gid_to_lid(gid_sorted, gid_perm, arr_gid)
-    arr_valid = arr_valid & (arr_lid >= 0)
+    arr_valid = present & (arr_lid >= 0)
+    # routing bugs surface as a count, not silent loss (the reference
+    # asserts on unknown gids at the receiver)
+    num_unresolved = jnp.sum((present & (arr_lid < 0)).astype(jnp.int32))
     num_recv = jnp.sum(arr_valid.astype(jnp.int32))
 
-    # place arrivals into free slots (stayers keep theirs); stable argsort
-    # compaction instead of bounded nonzero (much cheaper on TPU)
     free = jnp.argsort(staying, stable=True).astype(jnp.int32)
     n_free = jnp.sum((~staying).astype(jnp.int32))
     arr_pos = jnp.cumsum(arr_valid.astype(jnp.int32)) - 1
@@ -191,10 +267,126 @@ def migrate(
             state[name], jnp.zeros_like(state[name]),
         )
         new_state[name] = kept.at[arr_slot].set(vals, mode="drop")
+    return new_state, num_recv, num_unresolved, recv_overflow
 
+
+# ---------------------------------------------------------------------------
+# collectives
+# ---------------------------------------------------------------------------
+
+def migrate(
+    state: Dict[str, jax.Array],   # flat particle arrays incl "elem","active"
+    new_elem: jax.Array,           # (N,) post-search local element (-1 = lost)
+    dest_rank: jax.Array,          # (N,) from set_unsafe_procs
+    elem_gid: jax.Array,           # (E,) local -> global element id
+    gid_sorted: jax.Array,         # (E,)
+    gid_perm: jax.Array,           # (E,)
+    my_rank: jax.Array,
+    num_ranks: int,
+    cap: int,
+    axis_name: str = RANK_AXIS,
+    plan: Optional[NeighborPlan] = None,
+) -> MigrateResult:
+    """Bucketed migration (call inside shard_map).  With ``plan`` the
+    exchange runs neighbor-scoped ppermute rounds (payload O(neighbors·cap));
+    without it, one world all_to_all (payload O(R·cap))."""
+    if plan is not None and plan.num_rounds > 0:
+        return _migrate_neighbors(
+            state, new_elem, dest_rank, elem_gid, gid_sorted, gid_perm,
+            my_rank, num_ranks, cap, plan, axis_name,
+        )
+
+    N = new_elem.shape[0]
+    R, K = num_ranks, cap
+    active = state["active"] & (new_elem >= 0)
+    leaving = active & (dest_rank != my_rank)
+    staying = active & ~leaving
+
+    key = jnp.where(leaving, dest_rank, R)
+    slot, overflow = _bucket_slots(key, R, K)
+    num_sent = jnp.sum(leaving.astype(jnp.int32))
+
+    gid = jnp.where(leaving, elem_gid[jnp.maximum(new_elem, 0)], INVALID)
+    payload, field_slices = _pack_payload(state, leaving, gid)
+    send = _fill_send(payload, slot, R, K).reshape(R, K, -1)
+
+    recv = jax.lax.all_to_all(
+        send, axis_name, split_axis=0, concat_axis=0, tiled=False
+    ).reshape(R * K, -1)
+
+    new_state, num_recv, num_unresolved, recv_overflow = _place_arrivals(
+        state, staying, new_elem, recv, field_slices, gid_sorted, gid_perm
+    )
     return MigrateResult(
         state=new_state,
         num_sent=num_sent,
         num_recv=num_recv,
         overflow=overflow | recv_overflow,
+        num_recv_unresolved=num_unresolved,
+        num_illegal_dest=jnp.int32(0),
+    )
+
+
+def _migrate_neighbors(
+    state, new_elem, dest_rank, elem_gid, gid_sorted, gid_perm,
+    my_rank, num_ranks, cap, plan: NeighborPlan, axis_name,
+):
+    """Neighbor-scoped exchange: one masked ppermute per edge-color round.
+
+    Buckets are indexed by ROUND (each round this rank sends to at most one
+    peer), so the send buffer is (rounds, cap, F).  Arrivals are re-ordered
+    by source rank before placement so the final state is bit-identical to
+    the world all_to_all path.  Particles routed to a non-neighbor stay home
+    and are counted in ``num_illegal_dest`` (Distributor validation,
+    psDistributor.hpp)."""
+    N = new_elem.shape[0]
+    K = cap
+    D = plan.num_rounds
+    active = state["active"] & (new_elem >= 0)
+    wants_leave = active & (dest_rank != my_rank)
+
+    dest_c = jnp.clip(dest_rank, 0, num_ranks - 1)
+    round_of = plan.round_of_dest[my_rank, dest_c]        # (N,)
+    illegal = wants_leave & (round_of < 0)
+    leaving = wants_leave & (round_of >= 0)
+    staying = active & ~leaving
+    num_illegal = jnp.sum(illegal.astype(jnp.int32))
+
+    key = jnp.where(leaving, round_of, D)
+    slot, overflow = _bucket_slots(key, D, K)
+    num_sent = jnp.sum(leaving.astype(jnp.int32))
+
+    gid = jnp.where(leaving, elem_gid[jnp.maximum(new_elem, 0)], INVALID)
+    payload, field_slices = _pack_payload(state, leaving, gid)
+    send = _fill_send(payload, slot, D, K).reshape(D, K, -1)
+
+    # one partial-permutation ppermute per round; non-receivers get zeros
+    # (gid bitcast 0 -> 0 >= 0 is "present"!), so mask rounds with no sender
+    # to this rank via src_of_round.
+    recvs = []
+    for k in range(D):
+        r_k = jax.lax.ppermute(send[k], axis_name, perm=list(plan.perms[k]))
+        has_src = plan.src_of_round[my_rank, k] >= 0
+        invalid_col = jax.lax.bitcast_convert_type(
+            jnp.full((K,), INVALID, jnp.int32), jnp.float32
+        )
+        r_k = jnp.where(has_src, r_k, r_k.at[:, 0].set(invalid_col))
+        recvs.append(r_k)
+    recv = jnp.stack(recvs)                                # (D, K, F)
+
+    # re-order rounds by source rank for world-path-identical placement
+    srcs = plan.src_of_round[my_rank]                      # (D,)
+    order = jnp.argsort(jnp.where(srcs >= 0, srcs, num_ranks))
+    recv = recv[order].reshape(D * K, -1)
+
+    new_state, num_recv, num_unresolved, recv_overflow = _place_arrivals(
+        state, staying, new_elem, recv, field_slices, gid_sorted, gid_perm
+    )
+    return MigrateResult(
+        state=new_state,
+        num_sent=num_sent,
+        num_recv=num_recv,
+        overflow=overflow | recv_overflow,
+        num_recv_unresolved=num_unresolved,
+        num_illegal_dest=num_illegal,
     )

@@ -54,11 +54,18 @@ class BufferMethod(Enum):
 
 @dataclass(frozen=True)
 class PicPartsInput:
-    """``pumipic::Input`` analog (src/pumipic_input.hpp:8-77)."""
+    """``pumipic::Input`` analog (src/pumipic_input.hpp:8-77).
+
+    ``bridge_dim``: entity dimension over which BFS buffer/safe layers grow
+    (pumipic_input.hpp:20-26) — 0 = vertex bridges (default), 1 = edge
+    bridges, 2 = face bridges (3D meshes only).  Higher bridge dims grow
+    buffers more slowly (fewer elements share an edge/face than a vertex).
+    """
 
     buffer_method: BufferMethod = BufferMethod.BFS
     buffer_layers: int = 3
     safe_layers: int = 1
+    bridge_dim: int = 0
 
 
 def _static_field(**kw):
@@ -185,31 +192,57 @@ def _elem_adjacency_via_verts(elem2verts: np.ndarray, nverts: int):
     return v_sorted, e_sorted, starts, ends
 
 
-def _bfs_layers(elem2verts: np.ndarray, nverts: int, seed_mask: np.ndarray,
+def _bridge_keys(elem2verts: np.ndarray, nverts: int, bridge_dim: int):
+    """Per-element bridge-entity ids for the BFS frontier: (E, K) key array +
+    key count.  bridge_dim 0 = vertices (keys are vertex ids), 1 = edges,
+    2 = faces (sorted vertex tuples, deduplicated globally)."""
+    if bridge_dim == 0:
+        return np.asarray(elem2verts, np.int64), nverts
+    k = elem2verts.shape[1]
+    dim = k - 1
+    if not 0 < bridge_dim < dim:
+        raise ValueError(
+            f"bridge_dim {bridge_dim} invalid for {dim}D simplices"
+        )
+    from itertools import combinations
+
+    tuples = []
+    for combo in combinations(range(k), bridge_dim + 1):
+        tuples.append(np.sort(elem2verts[:, combo], axis=1))
+    sides = np.concatenate(tuples)                       # (E * C, b+1)
+    uniq, inv = np.unique(sides, axis=0, return_inverse=True)
+    E = elem2verts.shape[0]
+    C = len(tuples)
+    keys = inv.reshape(C, E).T.copy()                    # (E, C)
+    return np.asarray(keys, np.int64), uniq.shape[0]
+
+
+def _bfs_layers(elem_keys: np.ndarray, nkeys: int, seed_mask: np.ndarray,
                 max_layers: int) -> np.ndarray:
-    """BFS distance (in vertex-bridge hops) from the seed element set,
+    """BFS distance (in bridge-entity hops) from the seed element set,
     capped at max_layers (+inf beyond).  Vectorized frontier sweep — the
     host analog of the reference's layered BFS device kernels
-    (part_construct.cpp:387-437)."""
+    (part_construct.cpp:387-437).  ``elem_keys``: (E, K) bridge-entity ids
+    from :func:`_bridge_keys` (the native path treats them like vertex ids)."""
     from pumipic_tpu import native
 
     nd = native.bfs_layers(
-        np.asarray(elem2verts, np.int64), nverts,
+        np.asarray(elem_keys, np.int64), nkeys,
         np.asarray(seed_mask, np.uint8), max_layers,
     )
     if nd is not None:
         return np.where(nd <= max_layers, nd, np.iinfo(np.int32).max)
 
-    E = elem2verts.shape[0]
+    E = elem_keys.shape[0]
     dist = np.full(E, np.iinfo(np.int32).max, np.int64)
     dist[seed_mask] = 0
     frontier = seed_mask.copy()
     for layer in range(1, max_layers + 1):
-        # vertices touched by the frontier
-        vmask = np.zeros(nverts, bool)
-        vmask[elem2verts[frontier].reshape(-1)] = True
-        # elements touching those vertices
-        emask = vmask[elem2verts].any(axis=1)
+        # bridge entities touched by the frontier
+        vmask = np.zeros(nkeys, bool)
+        vmask[elem_keys[frontier].reshape(-1)] = True
+        # elements touching those entities
+        emask = vmask[elem_keys].any(axis=1)
         new = emask & (dist > layer)
         if not new.any():
             break
@@ -245,6 +278,7 @@ def build_picparts(
         np.minimum.at(vert_owner_g, elem2verts[:, k], owners)
 
     # per-rank picpart element sets
+    bridge_keys, n_keys = _bridge_keys(elem2verts, V_g, inp.bridge_dim)
     local_elems: List[np.ndarray] = []
     local_safe: List[np.ndarray] = []
     for r in range(num_ranks):
@@ -258,7 +292,7 @@ def build_picparts(
         else:
             layers = (1 if inp.buffer_method == BufferMethod.MINIMUM
                       else inp.buffer_layers)
-            dist = _bfs_layers(elem2verts, V_g, core, layers)
+            dist = _bfs_layers(bridge_keys, n_keys, core, layers)
             sel = dist <= layers
             safe_layers = (0 if inp.buffer_method == BufferMethod.MINIMUM
                            else min(inp.safe_layers, layers - 1))
@@ -392,6 +426,21 @@ def _pad_stack_meshes(meshes, E_max: int, V_max: int):
             np.stack([pad_to(getattr(m, field), n, fill) for m in meshes])
         )
 
+    def stack_rows(field, n, pad_row):
+        """Pad with an explicit per-row pattern (for the walk tables, whose
+        padded rows must be inert under the all-float layout)."""
+        row = np.asarray(pad_row, np.float32)
+
+        def pad(m):
+            a = np.asarray(getattr(m, field))
+            if a.shape[0] == n:
+                return a
+            return np.concatenate(
+                [a, np.broadcast_to(row, (n - a.shape[0], row.shape[0]))]
+            )
+
+        return jnp.asarray(np.stack([pad(m) for m in meshes]))
+
     common = dict(
         coords=stack("coords", V_max, 0.0),
         elem2verts=stack("elem2verts", E_max, 0),
@@ -405,11 +454,13 @@ def _pad_stack_meshes(meshes, E_max: int, V_max: int):
         ])),
         vert2elem_vals=stack("vert2elem_vals", v2e_max, 0),
         class_id=stack("class_id", E_max, -1),
-        # padded walk rows: NaN geometry + bitcast(-1) neighbors makes a
-        # padded element inert and self-cleaning (any walker entering one is
-        # treated as hitting an exposed side)
-        walk_geom=stack(
-            "walk_geom", E_max, float(np.array(-1, np.int32).view(np.float32))
+        # padded walk rows are inert and self-cleaning: weights evaluate
+        # negative everywhere (never "inside") and all neighbors are -1, so
+        # any walker entering one is treated as hitting an exposed side
+        walk_geom=stack_rows(
+            "walk_geom", E_max,
+            ([0, 0, -1, 0, 0, -1] + [-1] * 6) if is2d
+            else ([0, 0, 0, -1] * 3 + [-1] * 4),
         ),
         elem_tags={},
         vert_tags={},
@@ -430,9 +481,12 @@ def _pad_stack_meshes(meshes, E_max: int, V_max: int):
         face2verts=stack("face2verts", Ned_max, 0),
         face2elems=stack("face2elems", Ned_max, -1),
         elem_volume=stack("elem_volume", E_max, 0.0),
-        walk_planes=stack(
+        # padded plane rows: two opposing x-planes at -inf offset guarantee
+        # any moving segment "exits" through a -1 neighbor immediately
+        walk_planes=stack_rows(
             "walk_planes", E_max,
-            float(np.array(-1, np.int32).view(np.float32)),
+            [1, 0, 0, -1e30, -1, 0, 0, -1e30,
+             0, 0, 0, -1e30, 0, 0, 0, -1e30] + [-1] * 4,
         ),
         nfaces=Ned_max,
         **common,

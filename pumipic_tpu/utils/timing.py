@@ -114,13 +114,54 @@ def print_additional_time_info(msg: str, level: int = 1) -> None:
     _REGISTRY.print_additional_time_info(msg, level)
 
 
+# ---------------------------------------------------------------------------
+# prebarrier fence + cross-device summary
+# ---------------------------------------------------------------------------
+
+class DeviceFence:
+    """The reference's ``prebarrier`` (prebarrier.cpp:1-21, an MPI_Barrier
+    timed before collectives to separate load imbalance from comm time).
+
+    TPU analog: enqueue a trivial elementwise op on EVERY device and block
+    until all are ready — the wait time is exactly how long the busiest
+    device's queue still had to drain (the async-dispatch skew the MPI
+    barrier would have absorbed)."""
+
+    def __init__(self, devices=None):
+        self.devices = list(devices or jax.devices())
+        self._bufs = [
+            jax.device_put(jax.numpy.zeros((), jax.numpy.float32), d)
+            for d in self.devices
+        ]
+        self._fn = jax.jit(lambda x: x + 1.0)
+
+    def __call__(self) -> float:
+        t0 = time.perf_counter()
+        jax.block_until_ready([self._fn(b) for b in self._bufs])
+        return time.perf_counter() - t0
+
+
+_FENCE: Optional[DeviceFence] = None
+
+
+def prebarrier() -> float:
+    """Time a fence across all devices; returns seconds waited."""
+    global _FENCE
+    if _FENCE is None:
+        _FENCE = DeviceFence()
+    return _FENCE()
+
+
 @contextmanager
-def timed(name: str, block_on=None):
+def timed(name: str, block_on=None, with_prebarrier: bool = False):
     """Context manager that records wall time for ``name``.
 
     ``block_on``: optional array/pytree whose readiness gates the stop stamp
     (callers pass the output of a jitted op so async dispatch is accounted).
+    ``with_prebarrier``: fence all devices first and record the wait as the
+    op's prebarrier time (ppTiming's RecordTime prebarrier argument).
     """
+    pre = prebarrier() if with_prebarrier else 0.0
     t0 = time.perf_counter()
     holder = {}
     try:
@@ -129,7 +170,33 @@ def timed(name: str, block_on=None):
         target = holder.get("block_on", block_on)
         if target is not None:
             jax.block_until_ready(target)
-        _REGISTRY.record(name, time.perf_counter() - t0)
+        _REGISTRY.record(name, time.perf_counter() - t0, prebarrier=pre)
+
+
+def summarize_across_devices(
+    per_device: Dict[str, "object"],
+    print_fn: Callable[[str], None] = print,
+) -> str:
+    """``SummarizeTimeAcrossProcesses`` analog (ppTiming.cpp:220-338): one
+    controller drives all chips, so the cross-rank MPI reduction becomes a
+    table over per-device values the caller gathered (step times, particle
+    counts, migration counts...).  Prints min/avg/max and imbalance per op
+    so load imbalance is visible at a glance."""
+    import numpy as np
+
+    lines = ["Cross-device summary (op, min, avg, max, imb):"]
+    for name in sorted(per_device):
+        v = np.asarray(jax.device_get(per_device[name]), dtype=np.float64)
+        avg = float(v.mean()) if v.size else 0.0
+        imb = float(v.max() / avg) if avg > 0 else 1.0
+        lines.append(
+            f"  {name:<40s} min={v.min():.6g} avg={avg:.6g} "
+            f"max={v.max():.6g} imb={imb:.3f}"
+        )
+    out = "\n".join(lines)
+    if print_fn is not None:
+        print_fn(out)
+    return out
 
 
 @contextmanager

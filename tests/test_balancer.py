@@ -134,3 +134,296 @@ def test_picparts_step_with_lb():
         assert int(stats["overflow"]) == 0
         assert int(stats["alive"]) > 0
         assert float(stats["imbalance"]) >= 1.0
+
+
+def _full_sbar_tables(R=4):
+    """Synthetic BalancerTables: one sbar containing every rank (pure-function
+    tests of plan_flows/select_particles, no picparts needed)."""
+    edges = [(0, a, b) for a in range(R) for b in range(R) if a != b]
+    edges.sort(key=lambda e: (e[1], e[0]))
+    my_edge_idx = np.full((R, R - 1), -1, np.int64)
+    for r in range(R):
+        idx = [i for i, e in enumerate(edges) if e[1] == r]
+        my_edge_idx[r, : len(idx)] = idx
+    e_arr = np.asarray(edges, np.int64)
+    return lbm.BalancerTables(
+        sbar_of_elem=jnp.zeros((R, 4), jnp.int32),
+        edge_sbar=jnp.asarray(e_arr[:, 0], jnp.int32),
+        edge_src=jnp.asarray(e_arr[:, 1], jnp.int32),
+        edge_dst=jnp.asarray(e_arr[:, 2], jnp.int32),
+        my_edge_idx=jnp.asarray(my_edge_idx, jnp.int32),
+        num_sbars=1,
+        num_edges=len(edges),
+    )
+
+
+def test_plan_flows_tolerance_terminated():
+    """plan_flows iterates until max/avg <= tol (pumipic_lb.cpp:496-530
+    engpar::balanceWeights(tol)) and is a no-op when already within tol."""
+    bt = _full_sbar_tables(4)
+    w_sr = jnp.asarray([[400.0], [0.0], [0.0], [0.0]])
+    w_fixed = jnp.zeros(4, jnp.float32)
+
+    flows = np.asarray(lbm.plan_flows(bt, w_sr, w_fixed, tol=1.05))
+    src = np.asarray(bt.edge_src)
+    dst = np.asarray(bt.edge_dst)
+    w_after = np.array([400.0, 0, 0, 0])
+    np.add.at(w_after, dst, flows)
+    np.add.at(w_after, src, -flows)
+    assert w_after.max() / 100.0 <= 1.06, w_after
+
+    # already balanced within a loose tolerance -> zero flows
+    flows2 = np.asarray(lbm.plan_flows(bt, w_sr, w_fixed, tol=4.5))
+    assert flows2.sum() == 0
+
+
+def test_plan_flows_fixed_weight_respected():
+    """Destination-attributed fixed weight keeps diffusion from overloading a
+    rank that is already receiving forced migrations (addWeights parity,
+    lb.hpp:128-205)."""
+    bt = _full_sbar_tables(4)
+    # rank 0: 100 movable; rank 1: already holds 100 immovable (forced
+    # arrivals). avg = 50 -> rank 1 must receive nothing.
+    w_sr = jnp.asarray([[100.0], [0.0], [0.0], [0.0]])
+    w_fixed = jnp.asarray([0.0, 100.0, 0.0, 0.0])
+    flows = np.asarray(lbm.plan_flows(bt, w_sr, w_fixed, tol=1.05))
+    dst = np.asarray(bt.edge_dst)
+    assert flows[dst == 1].sum() == 0, flows
+    assert flows[(dst == 2) | (dst == 3)].sum() > 0
+
+
+def test_select_particles_interval_assignment():
+    """O(N)-memory interval selection honors per-edge flows exactly."""
+    R = 4
+    # rank 0 has edges: sbar0 -> ranks 1,2,3 ; craft flows 5, 3, 0
+    bt = _full_sbar_tables(R)
+    mye = np.asarray(bt.my_edge_idx)[0]
+    flows = np.zeros(bt.num_edges, np.int32)
+    e_dst = np.asarray(bt.edge_dst)
+    want = {1: 5, 2: 3, 3: 0}
+    for ei in mye:
+        flows[ei] = want[int(e_dst[ei])]
+
+    N = 30
+    sbar = jnp.zeros((N,), jnp.int32)
+    cand = jnp.ones((N,), bool)
+    dest = jnp.zeros((N,), jnp.int32)
+    out = np.asarray(lbm.select_particles(
+        bt, jnp.asarray(flows), sbar, cand, dest, jnp.int32(0)
+    ))
+    binc = np.bincount(out, minlength=R)
+    assert binc[1] == 5 and binc[2] == 3 and binc[3] == 0, binc
+    assert binc[0] == N - 8
+
+
+def test_select_particles_noncore_first():
+    """Non-core-destined candidates are relabeled before core ones
+    (selectNonCoreParticles pass, lb.hpp:243-268)."""
+    bt = _full_sbar_tables(4)
+    mye = np.asarray(bt.my_edge_idx)[0]
+    flows = np.zeros(bt.num_edges, np.int32)
+    flows[mye[0]] = 4   # move exactly 4 particles
+    N = 20
+    sbar = jnp.zeros((N,), jnp.int32)
+    cand = jnp.ones((N,), bool)
+    noncore = jnp.asarray(np.arange(N) >= 16)   # last 4 are non-core
+    dest = jnp.zeros((N,), jnp.int32)
+    out = np.asarray(lbm.select_particles(
+        bt, jnp.asarray(flows), sbar, cand, dest, jnp.int32(0),
+        noncore=noncore,
+    ))
+    moved = out != 0
+    assert moved.sum() == 4
+    assert moved[16:].all(), out      # the non-core ones moved first
+
+
+def test_repartition_forced_weight_at_destination():
+    """Forced migrations count at their destination: a rank already receiving
+    forced particles is not additionally loaded by the LB plan."""
+    coords, tris, owners, pp, bt = _setup()
+    mesh = make_device_mesh(R)
+    sharding = NamedSharding(mesh, P(RANK_AXIS))
+    pp_d = jax.device_put(pp, sharding)
+
+    so = np.asarray(bt.sbar_of_elem)
+    # movable particles go in rank-0 sbars that can reach ranks OTHER than 1
+    # (else there is nowhere legal to shed load and the test is vacuous)
+    e_sb = np.asarray(bt.edge_sbar)
+    e_src = np.asarray(bt.edge_src)
+    e_dst = np.asarray(bt.edge_dst)
+    sb0x = e_sb[(e_src == 0) & (e_dst > 1)]
+    assert len(sb0x) > 0
+    cand_elems = np.nonzero(np.isin(so[0], sb0x))[0]
+
+    n_cap = 512
+    n_stay, n_forced = 100, 100
+    state_h = {
+        "elem": np.full((R, n_cap), -1, np.int32),
+        "active": np.zeros((R, n_cap), bool),
+        "dest": np.zeros((R, n_cap), np.int32),
+    }
+    rng = np.random.default_rng(1)
+    state_h["elem"][0, :n_stay + n_forced] = rng.choice(
+        cand_elems, n_stay + n_forced
+    )
+    state_h["active"][0, :n_stay + n_forced] = True
+    state_h["dest"][0, n_stay:n_stay + n_forced] = 1   # forced to rank 1
+    state = {k: jax.device_put(jnp.asarray(v), sharding)
+             for k, v in state_h.items()}
+
+    @jax.jit
+    @lambda f: jax.shard_map(
+        f, mesh=mesh, in_specs=(P(RANK_AXIS), P(), P(RANK_AXIS)),
+        out_specs=P(), check_vma=False,
+    )
+    def run(pp_l, bt_r, s):
+        s = ppm.local_view(s)
+        me = jax.lax.axis_index(RANK_AXIS).astype(jnp.int32)
+        dest = lbm.repartition(
+            bt_r, bt_r.sbar_of_elem[me], s["elem"], s["active"],
+            s["dest"], me,
+        )
+        load = jnp.zeros((R,), jnp.int32).at[
+            jnp.where(s["active"], dest, R)
+        ].add(1, mode="drop")
+        return jax.lax.psum(load, RANK_AXIS)
+
+    loads = np.asarray(run(pp_d, bt, state))
+    assert loads.sum() == n_stay + n_forced
+    # rank 1 already has 100 forced (avg = 50): the plan must not add to it
+    assert loads[1] <= n_forced, loads
+    # and the movable half still spreads off rank 0
+    assert loads[0] < n_stay, loads
+
+
+def test_partition_initial_placement():
+    """Array-based partition() (lb.hpp:289-350): per-element counts on one
+    rank spread to its sbar peers before particles exist."""
+    coords, tris, owners, pp, bt = _setup()
+    mesh = make_device_mesh(R)
+    sharding = NamedSharding(mesh, P(RANK_AXIS))
+
+    so = np.asarray(bt.sbar_of_elem)
+    E = so.shape[1]
+    ppe_h = np.zeros((R, E), np.int32)
+    cand = np.nonzero(so[0] >= 0)[0]
+    ppe_h[0, cand[:20]] = 10           # 200 particles, all on rank 0
+    ppe = jax.device_put(jnp.asarray(ppe_h), sharding)
+    NP = 256
+
+    @jax.jit
+    @lambda f: jax.shard_map(
+        f, mesh=mesh, in_specs=(P(), P(RANK_AXIS)), out_specs=P(),
+        check_vma=False,
+    )
+    def run(bt_r, ppe_l):
+        me = jax.lax.axis_index(RANK_AXIS).astype(jnp.int32)
+        dest = lbm.partition(
+            bt_r, bt_r.sbar_of_elem[me], ppe_l[0], NP, me, tol=1.05
+        )
+        total = jnp.sum(ppe_l[0])
+        valid = jnp.arange(NP) < total
+        load = jnp.zeros((R,), jnp.int32).at[
+            jnp.where(valid, dest, R)
+        ].add(1, mode="drop")
+        return jax.lax.psum(load, RANK_AXIS)
+
+    loads = np.asarray(run(bt, ppe))
+    assert loads.sum() == 200
+    # single-hop topology bound: the seeded sbars reach only 2 of the 3
+    # peers, so the best any one plan can do is spread over the reachable
+    # members at the global average
+    imb = loads.max() / (loads.sum() / R)
+    assert imb < 2.1, loads
+    assert (loads[1:] > 0).sum() >= 2, loads
+
+
+def test_lb_large_n_memory():
+    """1M-particle selection runs within memory (O(N) interval lookup — the
+    round-1 (N × Pmax) mask would need tens of GB at this scale)."""
+    bt = _full_sbar_tables(4)
+    N = 1_000_000
+    mye = np.asarray(bt.my_edge_idx)[0]
+    flows = np.zeros(bt.num_edges, np.int32)
+    flows[mye[0]] = 250_000
+    sbar = jnp.zeros((N,), jnp.int32)
+    cand = jnp.ones((N,), bool)
+    dest = jnp.zeros((N,), jnp.int32)
+    out = lbm.select_particles(
+        bt, jnp.asarray(flows), sbar, cand, dest, jnp.int32(0)
+    )
+    moved = int(jnp.sum(out != 0))
+    assert moved == 250_000
+
+
+def test_all_on_one_rank_spreads_in_three_steps():
+    """Seed every particle on one rank; repeated LB+migrate steps must reach
+    imbalance <= 1.1 within 3 steps (the EnGPar-quality bar).
+
+    LB can only relabel a particle to ranks whose safe zones cover its
+    element (selectParticles targets sbar members, lb.hpp:253), so this
+    quality bar needs deep buffer/safe overlap; shallow overlap bottoms out
+    at a topology-limited fixed point exactly as the reference would."""
+    coords, tris, cls = gen.annulus_mesh(6, 32, 0.3, 1.0)
+    owners = ppm.partition_rcb(coords, tris, R)
+    pp = ppm.build_picparts(
+        coords, tris, owners, R,
+        ppm.PicPartsInput(buffer_layers=12, safe_layers=10), cls,
+    )
+    bt = lbm.build_balancer(pp, R)
+    mesh = make_device_mesh(R)
+    sharding = NamedSharding(mesh, P(RANK_AXIS))
+    pp_d = jax.device_put(pp, sharding)
+
+    so = np.asarray(bt.sbar_of_elem)
+    cand_elems = np.nonzero(so[0] >= 0)[0]
+    n_cap = 2048
+    n0 = 1200
+    state_h = {
+        "elem": np.full((R, n_cap), -1, np.int32),
+        "active": np.zeros((R, n_cap), bool),
+        "x0": np.zeros((R, n_cap), np.float32),
+    }
+    rng = np.random.default_rng(3)
+    state_h["elem"][0, :n0] = rng.choice(cand_elems, n0)
+    state_h["active"][0, :n0] = True
+    state = {k: jax.device_put(jnp.asarray(v), sharding)
+             for k, v in state_h.items()}
+
+    @jax.jit
+    @lambda f: jax.shard_map(
+        f, mesh=mesh, in_specs=(P(RANK_AXIS), P(), P(RANK_AXIS)),
+        out_specs=(P(RANK_AXIS), P()), check_vma=False,
+    )
+    def lb_step(pp_l, bt_r, s):
+        lpp = ppm.local_view(pp_l)
+        s = ppm.local_view(s)
+        me = jax.lax.axis_index(RANK_AXIS).astype(jnp.int32)
+        dest0 = mig.set_unsafe_procs(
+            lpp.elem_safe, lpp.elem_owner, s["elem"], s["active"], me
+        )
+        dest = lbm.repartition(
+            bt_r, bt_r.sbar_of_elem[me], s["elem"], s["active"], dest0,
+            me, 1.05, elem_owner=lpp.elem_owner,
+        )
+        mres = mig.migrate(
+            s, s["elem"], dest, lpp.elem_gid, lpp.elem_gid_sorted,
+            lpp.elem_gid_perm, me, R, n_cap,
+        )
+        nloc = jnp.sum(mres.state["active"].astype(jnp.int32))
+        _, _, imb = lbm.ptcl_imbalance(nloc)
+        alive = jax.lax.psum(nloc, RANK_AXIS)
+        return (
+            jax.tree_util.tree_map(lambda a: a[None], mres.state),
+            {"imb": imb, "alive": alive,
+             "overflow": jax.lax.pmax(mres.overflow.astype(jnp.int32),
+                                      RANK_AXIS)},
+        )
+
+    imb = None
+    for i in range(3):
+        state, stats = lb_step(pp_d, bt, state)
+        assert int(stats["overflow"]) == 0
+        assert int(stats["alive"]) == n0, (i, stats)
+        imb = float(stats["imb"])
+    assert imb <= 1.1, imb

@@ -108,3 +108,65 @@ def test_golden_particle_file(tmp_path):
     ps_b = SellCSigma(ne, d["ptcl_elems"],
                       fields={"pos": jnp.asarray(d["pos"], jnp.float32)})
     np.testing.assert_array_equal(np.asarray(ps_a.ppe()), np.asarray(ps_b.ppe()))
+
+
+def test_osh_roundtrip(tmp_path):
+    """Omega_h-style .osh directory round-trip: compressed + uncompressed,
+    tags, classification (pumipic_file.cpp:46-207 design)."""
+    import numpy as np
+    from pumipic_tpu.io import osh
+    from pumipic_tpu.mesh import generate as gen
+
+    coords, tris, cls = gen.tokamak_mesh(6, 24)
+    vt = {"potential": np.linspace(0, 1, coords.shape[0])}
+    et = {"bfield": np.random.default_rng(0).normal(
+        size=(tris.shape[0], 3))}
+
+    for compress in (True, False):
+        path = str(tmp_path / f"mesh_c{compress}.osh")
+        osh.write_osh(path, coords, tris, cls, vert_tags=vt, elem_tags=et,
+                      compress=compress)
+        c2, ev2, cls2, vt2, et2 = osh.read_osh(path)
+        np.testing.assert_allclose(c2, coords)
+        np.testing.assert_array_equal(ev2, tris)
+        np.testing.assert_array_equal(cls2, cls)
+        np.testing.assert_allclose(vt2["potential"], vt["potential"])
+        np.testing.assert_allclose(et2["bfield"], et["bfield"])
+
+
+def test_osh_multipart_and_dispatch(tmp_path):
+    import numpy as np
+    from pumipic_tpu.io import osh
+    from pumipic_tpu.mesh import generate as gen
+
+    coords, tris, cls = gen.annulus_mesh(3, 12, 0.3, 1.0)
+    path = str(tmp_path / "multi.osh")
+    half = tris.shape[0] // 2
+    osh.write_osh(path, coords, tris[:half], cls[:half], nparts=2, rank=0)
+    osh.write_osh(path, coords, tris[half:], cls[half:], nparts=2, rank=1)
+    _, ev0, _, _, _ = osh.read_osh(path, rank=0)
+    _, ev1, _, _, _ = osh.read_osh(path, rank=1)
+    assert ev0.shape[0] + ev1.shape[0] == tris.shape[0]
+    import pytest
+    with pytest.raises(ValueError):
+        osh.read_osh(path, rank=2)
+
+    # load_mesh dispatch: .osh and .msh.gz through one entry point
+    c, ev, cl = osh.load_mesh(path)
+    np.testing.assert_array_equal(ev, tris[:half])
+    from pumipic_tpu.mesh.gmsh import write_msh2
+    gz = str(tmp_path / "round.msh.gz")
+    write_msh2(gz, coords, tris, cls)
+    c3, ev3, cl3 = osh.load_mesh(gz)
+    assert ev3.shape == tris.shape
+    np.testing.assert_array_equal(cl3, cls)
+
+
+def test_osh_rejects_garbage(tmp_path):
+    import pytest
+    from pumipic_tpu.io import osh
+
+    bad = tmp_path / "bad.osh"
+    bad.write_bytes(b"\x00\x01 definitely not a mesh")
+    with pytest.raises(ValueError):
+        osh.read_osh(str(bad))

@@ -3,6 +3,7 @@
 Mirrors the reference's reliance on Omega_h invariants (manifoldness,
 exposed-side marking, measures) that pumi-pic assumes.
 """
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -91,3 +92,68 @@ def test_tags_roundtrip():
     assert m2.get_tag(2, "has_particles").shape == (m.nelems,)
     m3 = m2.set_tag(0, "w", jnp.ones(m.nverts))
     assert m3.get_tag(0, "w").shape == (m.nverts,)
+
+
+def test_tokamak_mesh_valid():
+    """XGC-like D-shaped mesh: conforming, positively oriented, flux-band
+    classified, with the sliver elements real XGC meshes have."""
+    coords, tris, cls = gen.tokamak_mesh(16, 48)
+    m = Mesh2D.from_arrays(coords, tris, cls)
+    area = np.asarray(m.elem_area)
+    assert (area > 0).all()
+    assert cls.min() == 1 and cls.max() == 16
+    # ragged ring counts -> genuinely irregular triangles (sliver presence)
+    ev = np.asarray(m.elem2verts)
+    p = np.asarray(m.coords)[ev]
+    e = np.stack([
+        np.linalg.norm(p[:, 1] - p[:, 0], axis=1),
+        np.linalg.norm(p[:, 2] - p[:, 1], axis=1),
+        np.linalg.norm(p[:, 0] - p[:, 2], axis=1),
+    ])
+    aspect = e.max(axis=0) / e.min(axis=0)
+    assert aspect.max() > 5.0
+    # conforming: every interior edge has exactly 2 elements
+    e2e = np.asarray(m.edge2elems)
+    exposed = np.asarray(m.side_is_exposed)
+    assert ((e2e >= 0).sum(axis=1) == np.where(exposed, 1, 2)).all()
+
+
+def test_xgc_mesh_file_loads_and_search_oracle():
+    """The shipped XGC-like 24k mesh file loads through the gzip'd Gmsh path
+    and the search proves containment on it (the 120k config is the same
+    generator/format at scale; see scripts/make_xgc_mesh.py and BENCH_MESH)."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", "data",
+                        "xgc_like_24k.msh.gz")
+    from pumipic_tpu.mesh.gmsh import read_msh
+    from pumipic_tpu.mesh.locator import build_locator_grid
+    from pumipic_tpu.ops import search as search_ops
+
+    coords, tris, cls = read_msh(path)
+    assert tris.shape[0] > 20_000
+    m = Mesh2D.from_arrays(coords, tris, cls)
+    assert (np.asarray(m.elem_area) > 0).all()
+
+    # oracle containment: locate random points inside random elements, then
+    # verify the walk's answer contains them exactly
+    rng = np.random.default_rng(11)
+    n = 2000
+    el = rng.integers(0, m.nelems, n)
+    w = rng.dirichlet(np.ones(3), size=n)
+    pts = np.einsum("nk,nkd->nd", w, coords[tris[el]]).astype(np.float32)
+    grid = build_locator_grid(coords, tris)
+    res = search_ops.search_mesh_2d_accel(
+        m, grid,
+        (jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1])),
+        (jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1])),
+        jnp.zeros((n,), jnp.int32), jnp.ones((n,), bool), 200,
+    )
+    got = np.asarray(res.elem_ids)
+    assert (got >= 0).all()
+    # containment oracle (points strictly inside, so the found element must
+    # contain them; ties on shared edges can legitimately pick a neighbor)
+    g = np.asarray(m.walk_geom)
+    l1 = g[got, 0] * pts[:, 0] + g[got, 1] * pts[:, 1] + g[got, 2]
+    l2 = g[got, 3] * pts[:, 0] + g[got, 4] * pts[:, 1] + g[got, 5]
+    w0 = 1.0 - l1 - l2
+    assert (np.minimum(np.minimum(l1, l2), w0) > -1e-4).all()

@@ -544,3 +544,173 @@ def test_checkpoint_resume_continuation():
     np.testing.assert_array_equal(
         np.asarray(ref_state["elem"]), np.asarray(state2["elem"])
     )
+
+
+@pytest.mark.parametrize("method,layers,safe", [
+    (ppm.BufferMethod.BFS, 3, 1),
+    (ppm.BufferMethod.MINIMUM, 1, 0),
+    (ppm.BufferMethod.NONE, 0, 0),
+])
+def test_neighbor_migrate_matches_world(method, layers, safe):
+    """Neighbor-scoped ppermute migration (Distributor subset exchange,
+    SCS_migrate.h:41-62) is bit-identical to the world all_to_all, with a
+    payload that scales with the neighbor count, not R."""
+    from pumipic_tpu.parallel import distributor as dst
+
+    coords, tris, owners, pp = _build(method, layers, safe)
+    mesh = make_device_mesh(R)
+    sharding = NamedSharding(mesh, P(RANK_AXIS))
+    pp_d = jax.device_put(pp, sharding)
+
+    dist = dst.from_picparts(pp)
+    plan = mig.build_neighbor_plan(dist)
+    # payload scaling: rounds bounded by neighbor degree, not world size
+    deg = int(np.asarray(dist.is_neighbor).sum(axis=1).max()) - 1
+    assert plan.num_rounds <= max(2 * deg - 1, 1)
+
+    eg = np.asarray(pp.elem_gid)
+    es = np.asarray(pp.elem_safe)
+    n_cap = 64
+    state_h = {
+        "x": np.zeros((R, n_cap, 2), np.float32),
+        "pid": np.full((R, n_cap), -1, np.int32),
+        "elem": np.full((R, n_cap), -1, np.int32),
+        "active": np.zeros((R, n_cap), bool),
+    }
+    pid = 0
+    for r in range(R):
+        valid = np.nonzero(eg[r] >= 0)[0]
+        unsafe_first = valid[np.argsort(es[r][valid])]  # unsafe first
+        for i, le in enumerate(unsafe_first[:16]):
+            state_h["pid"][r, i] = pid
+            state_h["elem"][r, i] = le
+            state_h["active"][r, i] = True
+            state_h["x"][r, i] = (pid * 0.5, -pid)
+            pid += 1
+    total = pid
+    state = {k: jax.device_put(jnp.asarray(v), sharding)
+             for k, v in state_h.items()}
+
+    def make_run(use_plan):
+        @jax.jit
+        @lambda f: jax.shard_map(
+            f, mesh=mesh, in_specs=(P(RANK_AXIS), P(RANK_AXIS)),
+            out_specs=(P(RANK_AXIS), P()), check_vma=False,
+        )
+        def run(pp_l, s):
+            lpp = ppm.local_view(pp_l)
+            s = ppm.local_view(s)
+            me = jax.lax.axis_index(RANK_AXIS).astype(jnp.int32)
+            dest = mig.set_unsafe_procs(
+                lpp.elem_safe, lpp.elem_owner, s["elem"], s["active"], me
+            )
+            res = mig.migrate(
+                s, s["elem"], dest, lpp.elem_gid, lpp.elem_gid_sorted,
+                lpp.elem_gid_perm, me, R, 32,
+                plan=plan if use_plan else None,
+            )
+            stats = {
+                "alive": jax.lax.psum(
+                    jnp.sum(res.state["active"].astype(jnp.int32)), RANK_AXIS),
+                "overflow": jax.lax.pmax(
+                    res.overflow.astype(jnp.int32), RANK_AXIS),
+                "illegal": jax.lax.psum(res.num_illegal_dest, RANK_AXIS),
+                "unresolved": jax.lax.psum(res.num_recv_unresolved, RANK_AXIS),
+            }
+            return jax.tree_util.tree_map(lambda a: a[None], res.state), stats
+
+        return run
+
+    out_w, st_w = make_run(False)(pp_d, state)
+    out_n, st_n = make_run(True)(pp_d, state)
+    assert int(st_w["overflow"]) == 0 and int(st_n["overflow"]) == 0
+    assert int(st_n["illegal"]) == 0
+    assert int(st_w["unresolved"]) == 0 and int(st_n["unresolved"]) == 0
+    assert int(st_w["alive"]) == total and int(st_n["alive"]) == total
+    for k in out_w:
+        np.testing.assert_array_equal(
+            np.asarray(out_w[k]), np.asarray(out_n[k]), err_msg=k
+        )
+
+
+def test_neighbor_plan_coloring():
+    """Every directed neighbor edge gets exactly one round; rounds are
+    partial permutations (each rank <=1 send and <=1 recv per round)."""
+    from pumipic_tpu.parallel import distributor as dst
+
+    coords, tris, owners, pp = _build()
+    plan = mig.build_neighbor_plan(dst.from_picparts(pp))
+    rod = np.asarray(plan.round_of_dest)
+    nb = np.asarray(dst.from_picparts(pp).is_neighbor)
+    for r in range(R):
+        for s in range(R):
+            if r != s and nb[r, s]:
+                assert rod[r, s] >= 0
+            else:
+                assert rod[r, s] == -1
+    for k, perm in enumerate(plan.perms):
+        srcs = [p[0] for p in perm]
+        dsts = [p[1] for p in perm]
+        assert len(set(srcs)) == len(srcs)
+        assert len(set(dsts)) == len(dsts)
+        for s, d in perm:
+            assert int(np.asarray(plan.src_of_round)[d, k]) == s
+
+
+@pytest.mark.parametrize("bridge_dim", [0, 1])
+def test_bridge_dim_buffers(bridge_dim):
+    """BFS bridge dimension option (pumipic_input.hpp:20-26): edge bridges
+    grow buffers no faster than vertex bridges, and every picpart still
+    contains its core + a conforming buffer."""
+    coords, tris, cls = _full_mesh()
+    owners = ppm.partition_rcb(coords, tris, R)
+    pp = ppm.build_picparts(
+        coords, tris, owners, R,
+        ppm.PicPartsInput(ppm.BufferMethod.BFS, 2, 1, bridge_dim=bridge_dim),
+        cls,
+    )
+    eg = np.asarray(pp.elem_gid)
+    es = np.asarray(pp.elem_safe)
+    for r in range(R):
+        valid = eg[r] >= 0
+        core = np.isin(eg[r], np.nonzero(owners == r)[0])
+        assert core[valid].sum() == (owners == r).sum()
+        assert es[r][core].all()
+    return pp
+
+
+def test_edge_bridge_grows_slower():
+    coords, tris, cls = _full_mesh()
+    owners = ppm.partition_rcb(coords, tris, R)
+    sizes = {}
+    for bd in (0, 1):
+        pp = ppm.build_picparts(
+            coords, tris, owners, R,
+            ppm.PicPartsInput(ppm.BufferMethod.BFS, 2, 1, bridge_dim=bd), cls,
+        )
+        eg = np.asarray(pp.elem_gid)
+        sizes[bd] = (eg >= 0).sum()
+    # an edge is shared by <= 2 triangles, a vertex by ~6: edge-bridged
+    # buffers must be strictly smaller for the same layer count
+    assert sizes[1] < sizes[0], sizes
+
+
+def test_bridge_dim_3d_face():
+    from pumipic_tpu.mesh.core import Mesh3D
+
+    coords, tets = gen.box_tet_mesh(4, 4, 4)
+    owners = ppm.partition_rcb(coords, tets, R)
+    for bd in (0, 1, 2):
+        pp = ppm.build_picparts(
+            coords, tets, owners, R,
+            ppm.PicPartsInput(ppm.BufferMethod.MINIMUM, 1, 0, bridge_dim=bd),
+            mesh_cls=Mesh3D,
+        )
+        eg = np.asarray(pp.elem_gid)
+        assert (eg >= 0).any()
+    with pytest.raises(ValueError):
+        ppm.build_picparts(
+            coords, tris if False else tets[:, :4], owners, R,
+            ppm.PicPartsInput(ppm.BufferMethod.BFS, 1, 0, bridge_dim=3),
+            mesh_cls=Mesh3D,
+        )
