@@ -65,7 +65,11 @@ class Mesh2D:
     # neighbor/edge ids stored as f32 (exact for ids < 2^24; an all-float
     # row fuses into one gather, where int32-bitcast columns forced XLA to
     # split the gather per consumer — docs/PERFORMANCE.md).
-    # cols: [a11 a12 c1, a21 a22 c2, nbr0..2 (f32), edge0..2 (f32)]
+    # cols: [a11 a12 c1, a21 a22 c2, xnbr0..2 (f32), xedge0..2 (f32)]
+    # where xnbr[k]/xedge[k] are the neighbor/edge across the EXIT side for
+    # most-negative-weight vertex k (i.e. pre-permuted by (k+1)%3, so the
+    # walk step selects directly by kmin — int mod/mul are emulated and
+    # expensive on the VPU)
     walk_geom: jax.Array       # (E, 12) f32
     elem_tags: Dict[str, jax.Array]
     vert_tags: Dict[str, jax.Array]
@@ -124,8 +128,10 @@ class Mesh2D:
         e2e = a["edge2elems"][a["elem2edges"]]            # (E, 3, 2)
         self_ids = np.arange(E)[:, None]
         nbrs = np.where(e2e[:, :, 0] == self_ids, e2e[:, :, 1], e2e[:, :, 0])
-        geom[:, 6:9] = nbrs.astype(np.float32)
-        geom[:, 9:12] = a["elem2edges"].astype(np.float32)
+        # pre-permute: exit side for most-negative vertex k is edge (k+1)%3
+        perm = [1, 2, 0]
+        geom[:, 6:9] = nbrs[:, perm].astype(np.float32)
+        geom[:, 9:12] = a["elem2edges"][:, perm].astype(np.float32)
         return Mesh2D(
             coords=jnp.asarray(a["coords"], real_dtype),
             elem2verts=jnp.asarray(ev, LID_DTYPE),

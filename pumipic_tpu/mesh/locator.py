@@ -42,13 +42,20 @@ class LocatorGrid2D:
 
     def guess(self, pts) -> jax.Array:
         """Points -> (N,) element guesses (clamped to the grid).  Accepts an
-        (N,2) array or a tuple of per-component (N,) arrays."""
+        (N,2) array or a tuple of per-component (N,) arrays.
+
+        Index arithmetic stays in f32 (exact for cell counts < 2^24) with a
+        single int cast at the gather — int32 multiplies are VPU-emulated
+        and measurably slow at particle rate (perf/walk_opt3.py)."""
         px, py = (pts[0], pts[1]) if isinstance(pts, tuple) else (pts[:, 0], pts[:, 1])
         rx = (px - self.origin[0]) * self.inv_h[0]
         ry = (py - self.origin[1]) * self.inv_h[1]
-        ix = jnp.clip(rx.astype(jnp.int32), 0, self.nx - 1)
-        iy = jnp.clip(ry.astype(jnp.int32), 0, self.ny - 1)
-        return self.cell_elem[ix * self.ny + iy]
+        nxf = self.nx.astype(jnp.float32)
+        nyf = self.ny.astype(jnp.float32)
+        ix = jnp.clip(jnp.floor(rx), 0.0, nxf - 1.0)
+        iy = jnp.clip(jnp.floor(ry), 0.0, nyf - 1.0)
+        cell = (ix * nyf + iy).astype(jnp.int32)
+        return self.cell_elem[cell]
 
 
 @jax.tree_util.register_dataclass
@@ -66,10 +73,15 @@ class LocatorGrid3D:
             px, py, pz = pts
         else:
             px, py, pz = pts[:, 0], pts[:, 1], pts[:, 2]
-        ix = jnp.clip(((px - self.origin[0]) * self.inv_h[0]).astype(jnp.int32), 0, self.nx - 1)
-        iy = jnp.clip(((py - self.origin[1]) * self.inv_h[1]).astype(jnp.int32), 0, self.ny - 1)
-        iz = jnp.clip(((pz - self.origin[2]) * self.inv_h[2]).astype(jnp.int32), 0, self.nz - 1)
-        return self.cell_elem[(ix * self.ny + iy) * self.nz + iz]
+        # f32 index arithmetic, single int cast (see LocatorGrid2D.guess)
+        ix = jnp.clip(jnp.floor((px - self.origin[0]) * self.inv_h[0]),
+                      0.0, self.nx - 1.0)
+        iy = jnp.clip(jnp.floor((py - self.origin[1]) * self.inv_h[1]),
+                      0.0, self.ny - 1.0)
+        iz = jnp.clip(jnp.floor((pz - self.origin[2]) * self.inv_h[2]),
+                      0.0, self.nz - 1.0)
+        cell = ((ix * self.ny + iy) * self.nz + iz).astype(jnp.int32)
+        return self.cell_elem[cell]
 
 
 def build_locator_grid_3d(coords: np.ndarray, elem2verts: np.ndarray,
@@ -118,7 +130,7 @@ def build_locator_grid_3d(coords: np.ndarray, elem2verts: np.ndarray,
 
 
 def build_locator_grid(coords: np.ndarray, elem2verts: np.ndarray,
-                       cells_per_elem: float = 4.0) -> LocatorGrid2D:
+                       cells_per_elem: float = 16.0) -> LocatorGrid2D:
     """Host build: bucket element centroids into ~cells_per_elem*E cells and
     flood-fill empty cells from their neighbors."""
     coords = np.asarray(coords, np.float64)

@@ -55,6 +55,9 @@ class XGCmConfig:
     max_search_iters: int = 128
     # background-grid point-location accelerator (global-mesh modes)
     use_locator: bool = True
+    # override for the walk's compaction pyramid (None = default; see
+    # ops/search.py and perf/walk_opt2.py measurements)
+    search_widths: Optional[Tuple[int, ...]] = None
     gyro: GyroConfig = GyroConfig()
     # ellipse geometry (reference reads h,k,d from argv)
     h: float = 0.0
@@ -229,11 +232,12 @@ class PseudoXGCm:
             if self.locator is not None:
                 res = search_ops.search_mesh_2d_accel(
                     mesh, self.locator, x, xtgt, elem, active,
-                    cfg.max_search_iters,
+                    cfg.max_search_iters, widths=cfg.search_widths,
                 )
             else:
                 res = search_ops.search_mesh_2d(
-                    mesh, x, xtgt, elem, active, cfg.max_search_iters
+                    mesh, x, xtgt, elem, active, cfg.max_search_iters,
+                    widths=cfg.search_widths,
                 )
 
             # rebuild/migrate (updatePtclPositions + migrate_lb_ptcls; one
@@ -366,11 +370,12 @@ def make_dp_setup(mesh: Mesh2D, cfg: XGCmConfig, device_mesh, seed: int = ELEMEN
         if locator is not None:
             res = search_ops.search_mesh_2d_accel(
                 mesh, locator, orig, xtgt, elem, active,
-                cfg.max_search_iters,
+                cfg.max_search_iters, widths=cfg.search_widths,
             )
         else:
             res = search_ops.search_mesh_2d(
-                mesh, orig, xtgt, elem, active, cfg.max_search_iters
+                mesh, orig, xtgt, elem, active, cfg.max_search_iters,
+                widths=cfg.search_widths,
             )
         new_active = res.elem_ids >= 0
         new_state = {
@@ -571,12 +576,12 @@ def make_picparts_setup(
         if lloc is not None:
             res = search_ops.search_mesh_2d_accel(
                 lmesh, lloc, (s["x0"], s["x1"]), xtgt, elem, active,
-                cfg.max_search_iters,
+                cfg.max_search_iters, widths=cfg.search_widths,
             )
         else:
             res = search_ops.search_mesh_2d(
                 lmesh, (s["x0"], s["x1"]), xtgt, elem, active,
-                cfg.max_search_iters,
+                cfg.max_search_iters, widths=cfg.search_widths,
             )
 
         mid = {

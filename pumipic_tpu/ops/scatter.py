@@ -30,11 +30,15 @@ def count_per_key(key: jax.Array, num_keys: int) -> jax.Array:
 
     Sort + diff-of-searchsorted instead of ``segment_sum``: on TPU the
     particle-rate scatter-add runs ~125M adds/s while a radix sort + a
-    mesh-rate binary search is ~30% cheaper at 10M keys (perf/walk_opt.py)."""
-    sk = jnp.sort(key)
-    bounds = jnp.searchsorted(
-        sk, jnp.arange(num_keys + 1, dtype=key.dtype)
-    )
+    mesh-rate binary search is ~30% cheaper at 10M keys (perf/walk_opt.py).
+    Key spaces that fit uint16 sort with half the radix passes."""
+    if num_keys + 1 < (1 << 16):
+        sk = jnp.sort(key.astype(jnp.uint16))
+        grid = jnp.arange(num_keys + 1, dtype=jnp.uint16)
+    else:
+        sk = jnp.sort(key)
+        grid = jnp.arange(num_keys + 1, dtype=key.dtype)
+    bounds = jnp.searchsorted(sk, grid)
     return jnp.diff(bounds)
 
 

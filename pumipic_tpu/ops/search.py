@@ -106,6 +106,9 @@ def remove_on_exit(ctx: BoundaryCtx) -> BoundaryResult:
     )
 
 
+remove_on_exit.modifies_dest = False
+
+
 def reflect_on_exit_2d(ctx: BoundaryCtx) -> BoundaryResult:
     """Specular reflection off the boundary edge; the walk continues in the
     same element with the mirrored destination (GITR-style wall handler)."""
@@ -196,20 +199,20 @@ def _core_2d(mesh: Mesh2D):
         t2 = BCC_REL_TOL * m2 + BCC_ABS_TOL
         inside = (w0 >= -(t1 + t2)) & (l1 >= -t1) & (l2 >= -t2)
 
-        # most negative vertex weight -> cross the opposite edge
-        # (vertex k opposite edge (k+1)%3)
+        # most negative vertex weight -> cross the opposite edge; the table
+        # columns are pre-permuted so col 6+k IS the exit across vertex k
+        # (no int mod/mul in the hot loop — they are VPU-emulated)
         wmin = jnp.minimum(w0, l1)
         kmin = jnp.where(w0 <= l1, 0, 1)
         kmin = jnp.where(l2 < wmin, 2, kmin)
         wmin = jnp.minimum(wmin, l2)
-        exit_local = (kmin + 1) % 3
         next_elem = jnp.where(
-            exit_local == 0, g[:, 6],
-            jnp.where(exit_local == 1, g[:, 7], g[:, 8]),
+            kmin == 0, g[:, 6],
+            jnp.where(kmin == 1, g[:, 7], g[:, 8]),
         ).astype(jnp.int32)
         side = jnp.where(
-            exit_local == 0, g[:, 9],
-            jnp.where(exit_local == 1, g[:, 10], g[:, 11]),
+            kmin == 0, g[:, 9],
+            jnp.where(kmin == 1, g[:, 10], g[:, 11]),
         ).astype(jnp.int32)
         t = None
         if need_t:
@@ -394,6 +397,10 @@ def _make_step(core, mesh, boundary_handler, use_guess: bool,
             rec = (side_rec, nhits) + hit_rec
         return new_elem, dest, new_done, new_fg, rec
 
+    # handlers that never move the destination (e.g. remove-on-exit) let the
+    # walk treat dest as a per-level constant: no dest in the loop carry, no
+    # dest merge scatters (docs/PERFORMANCE.md)
+    step.modifies_dest = getattr(boundary_handler, "modifies_dest", True)
     return step
 
 
@@ -432,27 +439,54 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
     else:
         widths = [w for w in widths if w < n]
 
-    def make_body(orig_arr, fb_arr):
-        def body(s):
-            elem, dest, done, fg, rec, it = s
-            elem, dest, done, fg, rec = step(
-                elem, dest, done, fg, orig_arr, fb_arr, rec
-            )
-            return elem, dest, done, fg, rec, it + 1
+    # handlers that never move the destination (remove-on-exit, the hot
+    # case) let dest ride as a per-level CLOSURE CONSTANT instead of loop
+    # state: no dest copies in the while carry and no dest merge scatters.
+    carry_dest = getattr(step, "modifies_dest", True)
+
+    def make_body(dest_arr, orig_arr, fb_arr):
+        if carry_dest:
+            def body(s):
+                elem, dest, done, fg, rec, it = s
+                elem, dest, done, fg, rec = step(
+                    elem, dest, done, fg, orig_arr, fb_arr, rec
+                )
+                return elem, dest, done, fg, rec, it + 1
+        else:
+            def body(s):
+                elem, done, fg, rec, it = s
+                elem, _, done, fg, rec = step(
+                    elem, dest_arr, done, fg, orig_arr, fb_arr, rec
+                )
+                return elem, done, fg, rec, it + 1
 
         return body
 
+    def run_level(dest_arr, orig_arr, fb_arr, thresh, state):
+        elem, done, fg, rec, it = state
+        if carry_dest:
+            def cond(s):
+                return (s[-1] < max_iters) & (jnp.sum(~s[2]) > thresh)
+
+            elem, dest_arr, done, fg, rec, it = jax.lax.while_loop(
+                cond, make_body(dest_arr, orig_arr, fb_arr),
+                (elem, dest_arr, done, fg, rec, it),
+            )
+        else:
+            def cond(s):
+                return (s[-1] < max_iters) & (jnp.sum(~s[1]) > thresh)
+
+            elem, done, fg, rec, it = jax.lax.while_loop(
+                cond, make_body(dest_arr, orig_arr, fb_arr),
+                (elem, done, fg, rec, it),
+            )
+        return elem, dest_arr, done, fg, rec, it
+
     # level 0: full width until survivors fit the first compacted width
     thresh0 = widths[0] if widths else 0
-
-    def cond_full(s):
-        elem, dest, done, fg, rec, it = s
-        undone = jnp.sum(~done)
-        return (it < max_iters) & (undone > thresh0)
-
-    elem, dest, done, fg, rec, it = jax.lax.while_loop(
-        cond_full, make_body(orig, fallback),
-        (elem0, dest0, done0, fg0, rec0, jnp.int32(0)),
+    elem, dest, done, fg, rec, it = run_level(
+        dest0, orig, fallback, thresh0,
+        (elem0, done0, fg0, rec0, jnp.int32(0)),
     )
 
     # compacted levels, each extracted from the level above
@@ -480,13 +514,9 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
             prev_gidx = levels[-1][0]
             gidx = jnp.where(in_range, prev_gidx[sidx], n)
 
-        def cond(s, _t=next_thresh):
-            e, d, dn, f, r, i = s
-            return (i < max_iters) & (jnp.sum(~dn) > _t)
-
-        s_elem, s_dest, s_done, s_fg, s_rec, it = jax.lax.while_loop(
-            cond, make_body(s_orig, s_fb),
-            (s_elem, s_dest, s_done, s_fg, s_rec, it),
+        s_elem, s_dest, s_done, s_fg, s_rec, it = run_level(
+            s_dest, s_orig, s_fb, next_thresh,
+            (s_elem, s_done, s_fg, s_rec, it),
         )
         levels.append((gidx, (s_elem, s_dest, s_done, s_rec)))
         prev = (s_elem, s_dest, s_done, s_fg, s_rec, s_orig, s_fb)
@@ -494,9 +524,10 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
     # merge: shallow -> deep so fresher (deeper) values overwrite
     for gidx, (s_elem, s_dest, s_done, s_rec) in levels:
         elem = elem.at[gidx].set(s_elem, mode="drop")
-        dest = tuple(
-            d.at[gidx].set(sd, mode="drop") for d, sd in zip(dest, s_dest)
-        )
+        if carry_dest:
+            dest = tuple(
+                d.at[gidx].set(sd, mode="drop") for d, sd in zip(dest, s_dest)
+            )
         done = done.at[gidx].set(s_done, mode="drop")
         rec = tuple(
             r.at[gidx].set(sr, mode="drop") for r, sr in zip(rec, s_rec)

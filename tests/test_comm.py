@@ -124,3 +124,133 @@ def test_pmax_pmin():
     f = _smap(mesh, body, (P(RANK_AXIS),), P())
     out = np.asarray(f(x))
     assert out[0] == R - 1 and out[1] == 0
+
+
+# ---------------------------------------------------------------------------
+# Tests of THIS repo's comm code (not raw jax collectives): reduce_comm_array
+# on hand-built exchange tables, GID->LID translation, payload pack/unpack,
+# and the neighbor-plan scheduler.  (The tests above are the ViewComm_test
+# analog proving the primitive semantics we build on.)
+# ---------------------------------------------------------------------------
+
+def test_reduce_comm_array_synthetic_tables():
+    """reduceCommArray on a hand-built 2-rank ownership: entity 0 owned by
+    rank 0 with a copy on rank 1, entity 1 owned by rank 1 with a copy on
+    rank 0.  SUM must add copies at the owner and rebroadcast; MAX/MIN and
+    BCAST follow the same routes (pumipic_comm.cpp:222-440)."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pumipic_tpu.parallel import reduce as red
+    from pumipic_tpu.parallel.mesh_axis import RANK_AXIS, make_device_mesh
+
+    R, K, V = 2, 1, 2
+    mesh = make_device_mesh(R)
+    # local entity layout per rank: slot0 = my owned entity, slot1 = my copy
+    # of the peer's entity.
+    send_ids = np.full((R, R, K), -1, np.int64)   # my copies grouped by owner
+    recv_ids = np.full((R, R, K), -1, np.int64)   # my owned grouped by holder
+    send_ids[0, 1, 0] = 1      # rank0 holds a copy (local slot 1) owned by 1
+    send_ids[1, 0, 0] = 1      # rank1 holds a copy (local slot 1) owned by 0
+    recv_ids[0, 1, 0] = 0      # rank0's owned slot 0 has a holder at rank 1
+    recv_ids[1, 0, 0] = 0
+
+    field = np.asarray([[10.0, 2.0],     # rank0: owned=10, copy-of-peer=2
+                        [20.0, 5.0]])    # rank1: owned=20, copy-of-peer=5
+    sharding = NamedSharding(mesh, P(RANK_AXIS))
+    args = [jax.device_put(jnp.asarray(a), sharding)
+            for a in (send_ids, recv_ids, field)]
+
+    def run(op):
+        @jax.jit
+        @lambda f: jax.shard_map(
+            f, mesh=mesh, in_specs=(P(RANK_AXIS),) * 3,
+            out_specs=P(RANK_AXIS), check_vma=False)
+        def go(s, r, fld):
+            out = red.reduce_comm_array(s[0], r[0], fld[0], op)
+            return out[None]
+        return np.asarray(go(*args))
+
+    out = run(red.Op.SUM)
+    # owner sums: rank0's entity: 10 + (rank1's copy 5) = 15; rank1's: 20+2=22
+    np.testing.assert_allclose(out[0], [15.0, 22.0])
+    np.testing.assert_allclose(out[1], [22.0, 15.0][::-1][::-1])  # [22, 15]
+    assert out[1][0] == 22.0 and out[1][1] == 15.0
+
+    out = run(red.Op.MAX)
+    np.testing.assert_allclose(out[0], [10.0, 20.0])
+    out = run(red.Op.MIN)
+    np.testing.assert_allclose(out[0], [5.0, 2.0])
+    out = run(red.Op.BCAST)   # owners' values overwrite copies
+    np.testing.assert_allclose(out[0], [10.0, 20.0])
+    np.testing.assert_allclose(out[1], [20.0, 10.0])
+
+
+def test_gid_to_lid_translation():
+    from pumipic_tpu.parallel import migrate as mig
+    import numpy as np
+
+    gids = jnp.asarray([40, 10, 30, 20])    # local order
+    perm = jnp.argsort(gids).astype(jnp.int32)
+    srt = gids[perm]
+    q = jnp.asarray([10, 20, 25, 40, -1, 99])
+    out = np.asarray(mig.gid_to_lid(srt, perm, q))
+    np.testing.assert_array_equal(out, [1, 3, -1, 0, -1, -1])
+
+
+def test_migrate_payload_pack_unpack_types():
+    """The packed-f32 single-buffer payload (ints bitcast, bools as 0/1)
+    round-trips every supported dtype (SendViews/RecvViews parity,
+    SCS_migrate.h:147-175)."""
+    import numpy as np
+    from pumipic_tpu.parallel import migrate as mig
+
+    state = {
+        "elem": jnp.zeros((4,), jnp.int32),
+        "active": jnp.ones((4,), bool),
+        "x": jnp.asarray([1.5, -2.5, 3.25, 0.0], jnp.float32),
+        "pid": jnp.asarray([7, -8, 2**30, 0], jnp.int32),
+        "flag": jnp.asarray([True, False, True, False]),
+        "vec": jnp.arange(8, dtype=jnp.float32).reshape(4, 2),
+    }
+    leaving = jnp.ones((4,), bool)
+    gid = jnp.asarray([3, 1, 0, 2], jnp.int32)
+    payload, slices = mig._pack_payload(state, leaving, gid)
+    assert payload.shape == (4, 1 + 1 + 1 + 1 + 2)
+    back_gid = jax.lax.bitcast_convert_type(payload[:, 0], jnp.int32)
+    np.testing.assert_array_equal(np.asarray(back_gid), np.asarray(gid))
+    for name in ("x", "pid", "flag", "vec"):
+        lo, hi, dtype, ndim = slices[name]
+        lanes = payload[:, lo:hi]
+        if dtype == jnp.int32:
+            vals = jax.lax.bitcast_convert_type(lanes, jnp.int32)
+        elif dtype == jnp.bool_:
+            vals = lanes > 0.5
+        else:
+            vals = lanes
+        if ndim == 1:
+            vals = vals[:, 0]
+        np.testing.assert_array_equal(np.asarray(vals), np.asarray(state[name]))
+
+
+def test_neighbor_plan_ring_topology():
+    """Edge coloring of a ring: 8 ranks each with 2 neighbors needs only a
+    handful of rounds (payload O(degree), not O(R))."""
+    import numpy as np
+    from pumipic_tpu.parallel import distributor as dst
+    from pumipic_tpu.parallel import migrate as mig
+
+    R = 8
+    nb = np.zeros((R, R), bool)
+    for r in range(R):
+        nb[r, r] = True
+        nb[r, (r + 1) % R] = True
+        nb[r, (r - 1) % R] = True
+    plan = mig.build_neighbor_plan(
+        dst.Distributor(is_neighbor=jnp.asarray(nb), num_ranks=R)
+    )
+    assert plan.num_rounds <= 3       # degree-2 digraph
+    rod = np.asarray(plan.round_of_dest)
+    for r in range(R):
+        assert rod[r, (r + 1) % R] >= 0
+        assert rod[r, (r + 4) % R] == -1

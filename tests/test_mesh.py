@@ -157,3 +157,18 @@ def test_xgc_mesh_file_loads_and_search_oracle():
     l2 = g[got, 3] * pts[:, 0] + g[got, 4] * pts[:, 1] + g[got, 5]
     w0 = 1.0 - l1 - l2
     assert (np.minimum(np.minimum(l1, l2), w0) > -1e-4).all()
+
+
+def test_xgc_120k_mesh_loads():
+    """The 120k-element config (reference testing.cmake:123-130 analog):
+    loads from file, valid geometry, ~120k elements."""
+    import os
+    from pumipic_tpu.io.osh import load_mesh
+
+    path = os.path.join(os.path.dirname(__file__), "..", "data",
+                        "xgc_like_120k.msh.gz")
+    coords, tris, cls = load_mesh(path)
+    assert tris.shape[0] > 115_000
+    m = Mesh2D.from_arrays(coords, tris, cls)
+    assert (np.asarray(m.elem_area) > 0).all()
+    assert int(np.asarray(m.class_id).max()) >= 100   # deep flux banding
