@@ -17,7 +17,9 @@ HERE = os.path.dirname(__file__)
 
 def main():
     quick = "--quick" in sys.argv
-    elems = [1000] if quick else [1000, 2400]
+    # reference sweep: e in {1000..5500}, p = e*10000
+    # (test_smallE_largeP.sh:10-19); endpoints + middle keep TPU time sane
+    elems = [1000] if quick else [1000, 2400, 5500]
     dists = ["uniform", "gaussian", "exponential"]
     structs = "scs,csr,cabm,dps"
     iters = 5 if quick else 10
@@ -54,6 +56,9 @@ def main():
               f"{r['pseudo_push_ms']:.2f} | {r['rebuild_ms']:.2f} | "
               f"{r['migrate_churn_ms']:.2f} | "
               f"{100 * r['padded_fraction']:.1f} |")
+    with open(os.path.join(HERE, "sweep_results.json"), "w") as f:
+        json.dump(rows, f, indent=1)
+    print(f"\nwrote {os.path.join(HERE, 'sweep_results.json')}")
 
 
 if __name__ == "__main__":

@@ -159,11 +159,14 @@ def test_xgc_mesh_file_loads_and_search_oracle():
     assert (np.minimum(np.minimum(l1, l2), w0) > -1e-4).all()
 
 
-def test_xgc_120k_mesh_loads():
+def test_xgc_120k_mesh_loads_and_search_oracle():
     """The 120k-element config (reference testing.cmake:123-130 analog):
-    loads from file, valid geometry, ~120k elements."""
+    loads from file, valid geometry, ~120k elements, and the
+    grid-accelerated search proves containment on it."""
     import os
     from pumipic_tpu.io.osh import load_mesh
+    from pumipic_tpu.mesh.locator import build_locator_grid
+    from pumipic_tpu.ops import search as search_ops
 
     path = os.path.join(os.path.dirname(__file__), "..", "data",
                         "xgc_like_120k.msh.gz")
@@ -172,3 +175,34 @@ def test_xgc_120k_mesh_loads():
     m = Mesh2D.from_arrays(coords, tris, cls)
     assert (np.asarray(m.elem_area) > 0).all()
     assert int(np.asarray(m.class_id).max()) >= 100   # deep flux banding
+
+    # oracle containment at scale (same as the 24k test): random interior
+    # points must be found in an element that actually contains them
+    rng = np.random.default_rng(13)
+    n = 2000
+    el = rng.integers(0, m.nelems, n)
+    w = rng.dirichlet(np.ones(3), size=n)
+    pts = np.einsum("nk,nkd->nd", w, coords[tris[el]]).astype(np.float32)
+    grid = build_locator_grid(coords, tris)
+    res = search_ops.search_mesh_2d_accel(
+        m, grid,
+        (jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1])),
+        (jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1])),
+        jnp.zeros((n,), jnp.int32), jnp.ones((n,), bool), 200,
+    )
+    got = np.asarray(res.elem_ids)
+    assert (got >= 0).all()
+    g = np.asarray(m.walk_geom)
+    l1 = g[got, 0] * pts[:, 0] + g[got, 1] * pts[:, 1] + g[got, 2]
+    l2 = g[got, 3] * pts[:, 0] + g[got, 4] * pts[:, 1] + g[got, 5]
+    w0 = 1.0 - l1 - l2
+    # containment up to the walk's own f32 tolerance model: on sliver
+    # elements (this mesh has areas down to ~3e-7) the affine-form
+    # evaluation error is BCC_REL_TOL * |terms|, so "inside the found
+    # element" means within that slack (ops/search.py BCC_REL_TOL)
+    m1 = (np.abs(g[got, 0] * pts[:, 0]) + np.abs(g[got, 1] * pts[:, 1])
+          + np.abs(g[got, 2]))
+    m2 = (np.abs(g[got, 3] * pts[:, 0]) + np.abs(g[got, 4] * pts[:, 1])
+          + np.abs(g[got, 5]))
+    tol = 4.0 * search_ops.BCC_REL_TOL * (m1 + m2) + 1e-4
+    assert (np.minimum(np.minimum(l1, l2), w0) > -tol).all()
