@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +40,23 @@ class LocatorGrid2D:
     cell_elem: jax.Array   # (<= nx*ny padded,) nearest element per cell
     nx: jax.Array          # () int32
     ny: jax.Array          # () int32
+    # optional cell-resident walk rows: [walk_geom row of cell_elem | elem id
+    # as f32] per cell, (n_cells, 13).  Lets the search collapse the guess
+    # gather and the first containment pass into ONE gather (the dominant
+    # cost at 10M particles; perf/walk_opt9.py).  Built by
+    # ``attach_cell_rows``; None = guess-only locator.
+    cell_rows: Optional[jax.Array] = None
+
+    def cell_of(self, pts) -> jax.Array:
+        """Points -> (N,) clamped cell ids (f32 index arithmetic, one cast)."""
+        px, py = (pts[0], pts[1]) if isinstance(pts, tuple) else (pts[:, 0], pts[:, 1])
+        rx = (px - self.origin[0]) * self.inv_h[0]
+        ry = (py - self.origin[1]) * self.inv_h[1]
+        nxf = self.nx.astype(jnp.float32)
+        nyf = self.ny.astype(jnp.float32)
+        ix = jnp.clip(jnp.floor(rx), 0.0, nxf - 1.0)
+        iy = jnp.clip(jnp.floor(ry), 0.0, nyf - 1.0)
+        return (ix * nyf + iy).astype(jnp.int32)
 
     def guess(self, pts) -> jax.Array:
         """Points -> (N,) element guesses (clamped to the grid).  Accepts an
@@ -47,15 +65,7 @@ class LocatorGrid2D:
         Index arithmetic stays in f32 (exact for cell counts < 2^24) with a
         single int cast at the gather — int32 multiplies are VPU-emulated
         and measurably slow at particle rate (perf/walk_opt3.py)."""
-        px, py = (pts[0], pts[1]) if isinstance(pts, tuple) else (pts[:, 0], pts[:, 1])
-        rx = (px - self.origin[0]) * self.inv_h[0]
-        ry = (py - self.origin[1]) * self.inv_h[1]
-        nxf = self.nx.astype(jnp.float32)
-        nyf = self.ny.astype(jnp.float32)
-        ix = jnp.clip(jnp.floor(rx), 0.0, nxf - 1.0)
-        iy = jnp.clip(jnp.floor(ry), 0.0, nyf - 1.0)
-        cell = (ix * nyf + iy).astype(jnp.int32)
-        return self.cell_elem[cell]
+        return self.cell_elem[self.cell_of(pts)]
 
 
 @jax.tree_util.register_dataclass
@@ -129,8 +139,20 @@ def build_locator_grid_3d(coords: np.ndarray, elem2verts: np.ndarray,
     )
 
 
+def attach_cell_rows(grid: LocatorGrid2D, walk_geom) -> LocatorGrid2D:
+    """Return a copy of ``grid`` whose cells carry the full walk row of their
+    guess element plus the element id as f32 (exact < 2^24) — the
+    one-gather-peel input for :func:`search_mesh_2d_accel`."""
+    geom = np.asarray(walk_geom)
+    ce = np.asarray(grid.cell_elem)
+    rows = np.concatenate(
+        [geom[ce], ce[:, None].astype(np.float32)], axis=1)
+    return dataclasses.replace(grid, cell_rows=jnp.asarray(rows))
+
+
 def build_locator_grid(coords: np.ndarray, elem2verts: np.ndarray,
-                       cells_per_elem: float = 16.0) -> LocatorGrid2D:
+                       cells_per_elem: float = 16.0,
+                       walk_geom=None) -> LocatorGrid2D:
     """Host build: bucket element centroids into ~cells_per_elem*E cells and
     flood-fill empty cells from their neighbors."""
     coords = np.asarray(coords, np.float64)
@@ -170,10 +192,13 @@ def build_locator_grid(coords: np.ndarray, elem2verts: np.ndarray,
         if (grid < 0).all():
             raise ValueError("locator grid flood fill failed")
 
-    return LocatorGrid2D(
+    out = LocatorGrid2D(
         origin=jnp.asarray(lo, jnp.float32),
         inv_h=jnp.asarray(1.0 / h, jnp.float32),
         cell_elem=jnp.asarray(grid.reshape(-1), LID_DTYPE),
         nx=jnp.int32(nx),
         ny=jnp.int32(ny),
     )
+    if walk_geom is not None:
+        out = attach_cell_rows(out, walk_geom)
+    return out

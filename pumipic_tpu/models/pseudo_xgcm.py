@@ -203,7 +203,8 @@ class PseudoXGCm:
             from pumipic_tpu.mesh.locator import build_locator_grid
 
             self.locator = build_locator_grid(
-                np.asarray(mesh.coords), np.asarray(mesh.elem2verts)
+                np.asarray(mesh.coords), np.asarray(mesh.elem2verts),
+                walk_geom=mesh.walk_geom,
             )
         self.step_fn = self._make_step()   # unjitted (for compile checks)
         self._step = jax.jit(self.step_fn)
@@ -340,30 +341,36 @@ def make_dp_setup(mesh: Mesh2D, cfg: XGCmConfig, device_mesh, seed: int = ELEMEN
     pos = uniform_points_in_elements(mesh, ptcl_elems, prng)
     phi, b = push_ops.elliptical_setup(jnp.asarray(pos), cfg.h, cfg.k, cfg.d)
 
+    # trig-free rotation push state: carry (cos phi, sin phi) instead of phi
+    # (the per-step trig collapses to a 2x2 rotation by the element's
+    # per-step angle; parity test in test_models.py)
     state = {
         "x0": jnp.asarray(pos[:, 0], jnp.float32),
         "x1": jnp.asarray(pos[:, 1], jnp.float32),
-        "phi": phi.astype(jnp.float32),
+        "cphi": jnp.cos(phi).astype(jnp.float32),
+        "sphi": jnp.sin(phi).astype(jnp.float32),
         "b": b.astype(jnp.float32),
         "elem": jnp.asarray(ptcl_elems, LID_DTYPE),
         "active": jnp.ones(len(ptcl_elems), bool),
     }
     gyro_fwd, gyro_bwd = build_gyro_mappings(mesh, cfg.gyro)
     gyro = cfg.gyro
+    rot_table = push_ops.elliptical_rot_table(mesh.class_id, cfg.deg_per_push)
     locator = None
     if cfg.use_locator:
         from pumipic_tpu.mesh.locator import build_locator_grid
 
         locator = build_locator_grid(
-            np.asarray(mesh.coords), np.asarray(mesh.elem2verts)
+            np.asarray(mesh.coords), np.asarray(mesh.elem2verts),
+            walk_geom=mesh.walk_geom,
         )
 
     def per_device_step(s):
         elem, active = s["elem"], s["active"]
-        cid = mesh.class_id[jnp.maximum(elem, 0)]
         # flat component state end to end: no (N,2) intermediates
-        tx, ty, phi_new = push_ops.elliptical_push_components(
-            s["phi"], s["b"], cid, cfg.deg_per_push, cfg.h, cfg.k, cfg.d
+        tx, ty, cphi_new, sphi_new = push_ops.elliptical_push_rot(
+            s["cphi"], s["sphi"], s["b"], elem, rot_table,
+            cfg.h, cfg.k, cfg.d
         )
         xtgt = (jnp.where(active, tx, s["x0"]), jnp.where(active, ty, s["x1"]))
         orig = (s["x0"], s["x1"])
@@ -381,7 +388,8 @@ def make_dp_setup(mesh: Mesh2D, cfg: XGCmConfig, device_mesh, seed: int = ELEMEN
         new_state = {
             "x0": res.dest_c[0],
             "x1": res.dest_c[1],
-            "phi": jnp.where(active, phi_new, s["phi"]),
+            "cphi": jnp.where(active, cphi_new, s["cphi"]),
+            "sphi": jnp.where(active, sphi_new, s["sphi"]),
             "b": s["b"],
             "elem": res.elem_ids,
             "active": new_active,
@@ -474,7 +482,8 @@ def make_picparts_setup(
     state_h = {
         "x0": np.zeros((R, n_cap), np.float32),
         "x1": np.zeros((R, n_cap), np.float32),
-        "phi": np.zeros((R, n_cap), np.float32),
+        "cphi": np.zeros((R, n_cap), np.float32),
+        "sphi": np.zeros((R, n_cap), np.float32),
         "b": np.zeros((R, n_cap), np.float32),
         "pid": np.full((R, n_cap), -1, np.int32),
         "elem": np.full((R, n_cap), -1, np.int32),
@@ -488,7 +497,8 @@ def make_picparts_setup(
         g2l[elem_gid_h[r][valid]] = np.nonzero(valid)[0]
         state_h["x0"][r, :n] = pos[sel, 0]
         state_h["x1"][r, :n] = pos[sel, 1]
-        state_h["phi"][r, :n] = phi[sel]
+        state_h["cphi"][r, :n] = np.cos(phi[sel])
+        state_h["sphi"][r, :n] = np.sin(phi[sel])
         state_h["b"][r, :n] = b[sel]
         state_h["pid"][r, :n] = sel
         state_h["elem"][r, :n] = g2l[g_elems[sel]]
@@ -523,12 +533,14 @@ def make_picparts_setup(
         vg_h = np.asarray(pp.vert_gid)
         ev_h = np.asarray(pp.mesh.elem2verts)
         cz_h = np.asarray(pp.mesh.coords)
+        wg_h = np.asarray(pp.mesh.walk_geom)
         for r in range(R):
             valid_e = np.nonzero(eg_h[r] >= 0)[0]
             # local element ids are preserved: build over the valid subset
             # and scatter guesses back through the subset index
             sub_ev = ev_h[r][valid_e]
-            g = build_locator_grid(cz_h[r][: (vg_h[r] >= 0).sum()], sub_ev)
+            g = build_locator_grid(cz_h[r][: (vg_h[r] >= 0).sum()], sub_ev,
+                                   walk_geom=wg_h[r])
             # cell ids are positions within valid_e == local elem ids when
             # valid elements are a prefix (they are: padding is appended)
             grids.append(g)
@@ -542,6 +554,11 @@ def make_picparts_setup(
             ]),
             nx=jnp.stack([g.nx for g in grids]),
             ny=jnp.stack([g.ny for g in grids]),
+            cell_rows=jnp.stack([
+                jnp.pad(g.cell_rows,
+                        ((0, kmax - g.cell_rows.shape[0]), (0, 0)))
+                for g in grids
+            ]),
         )
         locator = jax.device_put(locator, sharding)
 
@@ -568,9 +585,14 @@ def make_picparts_setup(
         me = jax.lax.axis_index(RANK_AXIS).astype(jnp.int32)
 
         elem, active = s["elem"], s["active"]
-        cid = lmesh.class_id[jnp.maximum(elem, 0)]
-        tx, ty, phi_new = push_ops.elliptical_push_components(
-            s["phi"], s["b"], cid, cfg.deg_per_push, cfg.h, cfg.k, cfg.d
+        # rotation push: the per-rank table is rebuilt in-step at MESH rate
+        # (E_loc trig calls — negligible next to any particle-rate op)
+        rot_table = push_ops.elliptical_rot_table(
+            lmesh.class_id, cfg.deg_per_push
+        )
+        tx, ty, cphi_new, sphi_new = push_ops.elliptical_push_rot(
+            s["cphi"], s["sphi"], s["b"], elem, rot_table,
+            cfg.h, cfg.k, cfg.d
         )
         xtgt = (jnp.where(active, tx, s["x0"]), jnp.where(active, ty, s["x1"]))
         if lloc is not None:
@@ -587,7 +609,8 @@ def make_picparts_setup(
         mid = {
             "x0": res.dest_c[0],
             "x1": res.dest_c[1],
-            "phi": jnp.where(active, phi_new, s["phi"]),
+            "cphi": jnp.where(active, cphi_new, s["cphi"]),
+            "sphi": jnp.where(active, sphi_new, s["sphi"]),
             "b": s["b"],
             "pid": s["pid"],
             "elem": res.elem_ids,

@@ -62,6 +62,51 @@ def elliptical_push_components(
     return a * jnp.cos(rad) + h, b * jnp.sin(rad) + k, rad
 
 
+def elliptical_rot_table(
+    elem_class_id: jax.Array, deg: float
+) -> jax.Array:
+    """Per-ELEMENT rotation table for the trig-free push: row e holds
+    (cos Δe, sin Δe) where Δe is the per-step angle advance of particles in
+    element e (deg · center_factor / class_id, ellipticalPush.hpp:36-71).
+
+    The per-step trig then collapses to a 2×2 rotation of carried
+    (cos φ, sin φ) — one 2-wide f32 row gather replaces class-id gather +
+    sin/cos at particle rate (docs/PERFORMANCE.md round-2 candidates).
+    """
+    cid = jnp.maximum(elem_class_id, 1).astype(jnp.float32)
+    center_factor = jnp.where(elem_class_id == 1, 0.01, 1.0)
+    delta = deg * center_factor / cid * (jnp.pi / 180.0)
+    return jnp.stack([jnp.cos(delta), jnp.sin(delta)], axis=1)
+
+
+def elliptical_push_rot(
+    cphi: jax.Array,
+    sphi: jax.Array,
+    b: jax.Array,
+    elem: jax.Array,
+    rot_table: jax.Array,
+    h: float,
+    k: float,
+    d: float,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Trig-free elliptical push: rotate carried (cos φ, sin φ) by the
+    element's per-step angle and emit the target position.
+
+    Returns (x, y, new_cphi, new_sphi).  A Newton renormalization step
+    (f = 1.5 - 0.5·(c²+s²)) keeps the carried unit vector from drifting in
+    f32 across steps; equivalent to :func:`elliptical_push_components` to
+    ~1e-5 over hundreds of steps (tests/test_models.py parity test).
+    """
+    r = rot_table[jnp.maximum(elem, 0)]
+    cd, sd = r[:, 0], r[:, 1]
+    c2 = cphi * cd - sphi * sd
+    s2 = sphi * cd + cphi * sd
+    f = 1.5 - 0.5 * (c2 * c2 + s2 * s2)
+    c2 = c2 * f
+    s2 = s2 * f
+    return b * d * c2 + h, b * s2 + k, c2, s2
+
+
 def elliptical_push(
     phi: jax.Array,
     b: jax.Array,

@@ -56,8 +56,9 @@ import jax.numpy as jnp
 from pumipic_tpu.mesh.core import Mesh2D, Mesh3D
 
 INVALID = -1
-COMPACT_DIV = 8      # width pyramid ratio for straggler compaction
+COMPACT_DIV = 16     # width pyramid ratio for straggler compaction
 MAX_LEVELS = 3       # per-level fixed costs beat gather savings beyond this
+TAIL_WIDTH = 1024    # narrowest pyramid level
 # Containment tolerance: the reference compares exact zeros in f64
 # (adjacency.hpp all_positive) and area-scales a tolerance in the .tpp path
 # (compute_tolerance_from_area).  In f32 an exactly-on-edge point can be
@@ -184,45 +185,53 @@ class SearchResult(NamedTuple):
 # 3D MT: t is returned directly in w_orig_or_t and w_dest is None).
 # ---------------------------------------------------------------------------
 
+def _row_core_2d(g, dest, orig, need_t):
+    """2D walk math on an already-gathered affine row ``g`` (…, ≥12):
+    [a11 a12 c1, a21 a22 c2, nbr0..2, edge0..2].  Shared by the table-gather
+    core and the peeled locator-cell-row pass (cells carry the same columns).
+    """
+    dx, dy = dest
+    l1 = g[:, 0] * dx + g[:, 1] * dy + g[:, 2]
+    l2 = g[:, 3] * dx + g[:, 4] * dy + g[:, 5]
+    w0 = 1.0 - l1 - l2
+    m1 = jnp.abs(g[:, 0] * dx) + jnp.abs(g[:, 1] * dy) + jnp.abs(g[:, 2])
+    m2 = jnp.abs(g[:, 3] * dx) + jnp.abs(g[:, 4] * dy) + jnp.abs(g[:, 5])
+    t1 = BCC_REL_TOL * m1 + BCC_ABS_TOL
+    t2 = BCC_REL_TOL * m2 + BCC_ABS_TOL
+    inside = (w0 >= -(t1 + t2)) & (l1 >= -t1) & (l2 >= -t2)
+
+    # most negative vertex weight -> cross the opposite edge; the table
+    # columns are pre-permuted so col 6+k IS the exit across vertex k
+    # (no int mod/mul in the hot loop — they are VPU-emulated)
+    wmin = jnp.minimum(w0, l1)
+    kmin = jnp.where(w0 <= l1, 0, 1)
+    kmin = jnp.where(l2 < wmin, 2, kmin)
+    wmin = jnp.minimum(wmin, l2)
+    next_elem = jnp.where(
+        kmin == 0, g[:, 6],
+        jnp.where(kmin == 1, g[:, 7], g[:, 8]),
+    ).astype(jnp.int32)
+    side = jnp.where(
+        kmin == 0, g[:, 9],
+        jnp.where(kmin == 1, g[:, 10], g[:, 11]),
+    ).astype(jnp.int32)
+    t = None
+    if need_t:
+        ox, oy = orig
+        l1o = g[:, 0] * ox + g[:, 1] * oy + g[:, 2]
+        l2o = g[:, 3] * ox + g[:, 4] * oy + g[:, 5]
+        w0o = 1.0 - l1o - l2o
+        wo = jnp.where(kmin == 0, w0o, jnp.where(kmin == 1, l1o, l2o))
+        t = wo / jnp.where(wo - wmin == 0, 1.0, wo - wmin)
+    return inside, next_elem, side, t
+
+
 def _core_2d(mesh: Mesh2D):
     def core(e_safe, dest, orig, need_t):
-        dx, dy = dest
-        # affine row: [a11 a12 c1, a21 a22 c2, nbr0..2, edge0..2] (all f32;
-        # ids as floats so every consumer fuses off one gather)
+        # affine row (all f32; ids as floats so every consumer fuses off one
+        # gather — see Mesh2D.walk_geom)
         g = mesh.walk_geom[e_safe]                 # (N, 12)
-        l1 = g[:, 0] * dx + g[:, 1] * dy + g[:, 2]
-        l2 = g[:, 3] * dx + g[:, 4] * dy + g[:, 5]
-        w0 = 1.0 - l1 - l2
-        m1 = jnp.abs(g[:, 0] * dx) + jnp.abs(g[:, 1] * dy) + jnp.abs(g[:, 2])
-        m2 = jnp.abs(g[:, 3] * dx) + jnp.abs(g[:, 4] * dy) + jnp.abs(g[:, 5])
-        t1 = BCC_REL_TOL * m1 + BCC_ABS_TOL
-        t2 = BCC_REL_TOL * m2 + BCC_ABS_TOL
-        inside = (w0 >= -(t1 + t2)) & (l1 >= -t1) & (l2 >= -t2)
-
-        # most negative vertex weight -> cross the opposite edge; the table
-        # columns are pre-permuted so col 6+k IS the exit across vertex k
-        # (no int mod/mul in the hot loop — they are VPU-emulated)
-        wmin = jnp.minimum(w0, l1)
-        kmin = jnp.where(w0 <= l1, 0, 1)
-        kmin = jnp.where(l2 < wmin, 2, kmin)
-        wmin = jnp.minimum(wmin, l2)
-        next_elem = jnp.where(
-            kmin == 0, g[:, 6],
-            jnp.where(kmin == 1, g[:, 7], g[:, 8]),
-        ).astype(jnp.int32)
-        side = jnp.where(
-            kmin == 0, g[:, 9],
-            jnp.where(kmin == 1, g[:, 10], g[:, 11]),
-        ).astype(jnp.int32)
-        t = None
-        if need_t:
-            ox, oy = orig
-            l1o = g[:, 0] * ox + g[:, 1] * oy + g[:, 2]
-            l2o = g[:, 3] * ox + g[:, 4] * oy + g[:, 5]
-            w0o = 1.0 - l1o - l2o
-            wo = jnp.where(kmin == 0, w0o, jnp.where(kmin == 1, l1o, l2o))
-            t = wo / jnp.where(wo - wmin == 0, 1.0, wo - wmin)
-        return inside, next_elem, side, t
+        return _row_core_2d(g, dest, orig, need_t)
 
     return core
 
@@ -334,6 +343,26 @@ def _core_3d_mt(mesh: Mesh3D):
 # walk engine
 # ---------------------------------------------------------------------------
 
+def _compact_idx(done: jax.Array, m: int) -> jax.Array:
+    """Indices of the first ``m`` not-done slots in slot order; entries == n
+    where fewer survivors exist.
+
+    For n < 2^24 this is a SINGLE-WORD radix sort of ``done<<24 | slot``
+    packed into uint32 — ~15% cheaper end-to-end than the stable
+    argsort-of-bool it replaces (pair sort; perf/walk_opt9.py), identical
+    result.  Falls back to stable argsort above 2^24 slots.
+    """
+    n = done.shape[0]
+    if n < (1 << 24):
+        key = jnp.where(done, jnp.uint32(1 << 24), jnp.uint32(0)) | jnp.arange(
+            n, dtype=jnp.uint32)
+        sk = jnp.sort(key)[:m]
+        return jnp.where(
+            sk >> 24 > 0, n, sk & jnp.uint32(0xFFFFFF)).astype(jnp.int32)
+    sidx = jnp.argsort(done, stable=True)[:m]
+    return jnp.where(done[sidx], n, sidx).astype(jnp.int32)
+
+
 def _make_step(core, mesh, boundary_handler, use_guess: bool,
                record_exit: bool):
     """One vectorized walk step, width-agnostic.  State arrays are all (N,).
@@ -406,7 +435,8 @@ def _make_step(core, mesh, boundary_handler, use_guess: bool,
 
 def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
               fallback=None, fg0=None, record_exit: bool = False,
-              widths: Optional[Tuple[int, ...]] = None) -> SearchResult:
+              widths: Optional[Tuple[int, ...]] = None,
+              it0: int = 0) -> SearchResult:
     """Pyramid walk: run at full width only while most walkers are live, then
     repeatedly shrink the working width, each time compacting the survivors
     of the PREVIOUS level (one O(N) argsort total); all levels' results
@@ -430,11 +460,12 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
         rec0 = ()
 
     if widths is None:
-        # default width pyramid: n/8, n/64, ... down to a 2048-wide tail loop
+        # default width pyramid: n/16, n/256, ... down to a 1024-wide tail
+        # loop (measured optimum at 10M, perf/walk_opt9/10)
         widths = []
         w = n
-        while w > 2048 and len(widths) < MAX_LEVELS:
-            w = max(w // COMPACT_DIV, 2048)
+        while w > TAIL_WIDTH and len(widths) < MAX_LEVELS:
+            w = max(w // COMPACT_DIV, TAIL_WIDTH)
             widths.append(w)
     else:
         widths = [w for w in widths if w < n]
@@ -486,7 +517,7 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
     thresh0 = widths[0] if widths else 0
     elem, dest, done, fg, rec, it = run_level(
         dest0, orig, fallback, thresh0,
-        (elem0, done0, fg0, rec0, jnp.int32(0)),
+        (elem0, done0, fg0, rec0, jnp.int32(it0)),
     )
 
     # compacted levels, each extracted from the level above
@@ -496,10 +527,13 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
         p_elem, p_dest, p_done, p_fg, p_rec, p_orig, p_fb = prev
         next_thresh = widths[li + 1] if li + 1 < len(widths) else 0
 
-        # stable argsort(done) puts undone slots first in slot order — the
-        # same compaction as nonzero(size=m) but ~20x cheaper on TPU
-        sidx = jnp.argsort(p_done, stable=True)[:m]
-        in_range = ~p_done[sidx]
+        # packed single-word sort puts undone slots first in slot order —
+        # same compaction as nonzero(size=m) / stable argsort, cheapest on
+        # TPU (see _compact_idx)
+        pn = p_elem.shape[0]
+        sidx = _compact_idx(p_done, m)
+        in_range = sidx < pn
+        sidx = jnp.minimum(sidx, pn - 1)
         s_elem = jnp.where(in_range, p_elem[sidx], INVALID)
         s_dest = tuple(d[sidx] for d in p_dest)
         s_done = ~in_range
@@ -649,17 +683,41 @@ def search_mesh_2d_accel(
     :func:`search_mesh_2d` exactly.
 
     ``grid``: a :class:`pumipic_tpu.mesh.locator.LocatorGrid2D` for ``mesh``.
+    When the grid carries ``cell_rows`` (``attach_cell_rows``), the guess
+    gather and the first containment pass collapse into ONE gather off the
+    cell table — bit-identical results, minus one full-width walk-table
+    gather (perf/walk_opt9.py).
     """
-    guess = grid.guess(x_tgt)
     step = _make_step(_core_2d(mesh), mesh, boundary_handler, True,
                       record_exit)
-    elem0 = jnp.where(active, guess, INVALID)
     fallback = jnp.where(
         active, jnp.clip(elem_prev.astype(jnp.int32), 0, mesh.nelems - 1),
         INVALID,
     )
+    dest = _components(x_tgt)
+    if grid.cell_rows is not None:
+        # peeled first pass: the cell row IS walk_geom[guess] + the guess id
+        g = grid.cell_rows[grid.cell_of(dest)]          # (N, 13)
+        elem_g = g[:, 12].astype(jnp.int32)
+        inside, next_elem, _, _ = _row_core_2d(g, dest, None, False)
+        exposed = next_elem == INVALID
+        # a guess-trajectory boundary hit resets to the true previous elem
+        elem0 = jnp.where(
+            active & ~inside,
+            jnp.where(exposed, fallback, next_elem),
+            jnp.where(active, elem_g, INVALID),
+        )
+        fg0 = active & ~inside & ~exposed
+        done0 = ~active | (active & inside)
+        return _run_walk(
+            step, elem0, dest, done0=done0, orig=_components(x_orig),
+            max_iters=max_iters, fallback=fallback, fg0=fg0,
+            record_exit=record_exit, widths=widths, it0=1,
+        )
+    guess = grid.guess(x_tgt)
+    elem0 = jnp.where(active, guess, INVALID)
     return _run_walk(
-        step, elem0, _components(x_tgt), done0=~active,
+        step, elem0, dest, done0=~active,
         orig=_components(x_orig), max_iters=max_iters,
         fallback=fallback, fg0=active, record_exit=record_exit,
         widths=widths,

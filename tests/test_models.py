@@ -152,3 +152,39 @@ def test_gitr_like_reflecting_walls():
     history = app.run()
     # reflecting box: no particle is ever lost
     assert history[-1] == history[0]
+
+
+def test_elliptical_push_rot_matches_trig():
+    """The trig-free rotation push (per-element (cosΔ, sinΔ) table applied to
+    carried (cosφ, sinφ)) must match the reference-order trig push
+    (ellipticalPush.hpp:36-71) to f32 accuracy over many steps."""
+    from pumipic_tpu.ops import push as push_ops
+    import jax
+
+    rng = np.random.default_rng(7)
+    n = 4096
+    phi = jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float32)
+    b = jnp.asarray(rng.uniform(0.3, 1.0, n), jnp.float32)
+    cls = jnp.asarray(rng.integers(1, 7, n), jnp.int32)
+    deg, h, k, d = 15.0, 0.0, 0.0, 0.9
+
+    # the rot table is per-element; use identity elem=arange so each particle
+    # indexes its own class row
+    rot = push_ops.elliptical_rot_table(cls, deg)
+    elem = jnp.arange(n, dtype=jnp.int32)
+
+    trig = jax.jit(lambda p: push_ops.elliptical_push_components(
+        p, b, cls, deg, h, k, d))
+    rotf = jax.jit(lambda c, s: push_ops.elliptical_push_rot(
+        c, s, b, elem, rot, h, k, d))
+
+    c, s = jnp.cos(phi), jnp.sin(phi)
+    p = phi
+    for _ in range(200):
+        tx, ty, p = trig(p)
+        rx, ry, c, s = rotf(c, s)
+    np.testing.assert_allclose(np.asarray(rx), np.asarray(tx), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ry), np.asarray(ty), atol=2e-4)
+    # carried unit vector stays normalized (Newton renorm)
+    norm = np.asarray(c * c + s * s)
+    assert np.abs(norm - 1.0).max() < 1e-5
