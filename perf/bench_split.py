@@ -41,39 +41,43 @@ def main():
     state = {
         "x0": jnp.asarray(pos[:, 0], jnp.float32),
         "x1": jnp.asarray(pos[:, 1], jnp.float32),
-        "phi": phi.astype(jnp.float32),
+        "cphi": jnp.cos(phi).astype(jnp.float32),
+        "sphi": jnp.sin(phi).astype(jnp.float32),
         "b": b.astype(jnp.float32),
         "elem": jnp.asarray(elems, jnp.int32),
         "active": jnp.ones(len(elems), bool),
     }
-    locator = build_locator_grid(np.asarray(mesh.coords), np.asarray(mesh.elem2verts))
+    locator = build_locator_grid(np.asarray(mesh.coords),
+                                 np.asarray(mesh.elem2verts),
+                                 walk_geom=mesh.walk_geom)
+    rot_table = push_ops.elliptical_rot_table(mesh.class_id, cfg.deg_per_push)
     gyro_fwd, gyro_bwd = build_gyro_mappings(mesh, cfg.gyro)
     gyro = cfg.gyro
 
     def push_part(s):
-        cid = mesh.class_id[jnp.maximum(s["elem"], 0)]
-        tx, ty, phi_new = push_ops.elliptical_push_components(
-            s["phi"], s["b"], cid, cfg.deg_per_push, cfg.h, cfg.k, cfg.d
+        tx, ty, c2, s2 = push_ops.elliptical_push_rot(
+            s["cphi"], s["sphi"], s["b"], s["elem"], rot_table,
+            cfg.h, cfg.k, cfg.d
         )
         a = s["active"]
         return (jnp.where(a, tx, s["x0"]), jnp.where(a, ty, s["x1"]),
-                jnp.where(a, phi_new, s["phi"]))
+                jnp.where(a, c2, s["cphi"]), jnp.where(a, s2, s["sphi"]))
 
     @jax.jit
     def step_push(s):
-        tx, ty, phi_new = push_part(s)
+        tx, ty, c2, s2 = push_part(s)
         # evolve state so the relay can't cache (positions march)
-        return {**s, "x0": tx, "x1": ty, "phi": phi_new}
+        return {**s, "x0": tx, "x1": ty, "cphi": c2, "sphi": s2}
 
     @jax.jit
     def step_search(s):
-        tx, ty, phi_new = push_part(s)
+        tx, ty, c2, s2 = push_part(s)
         res = search_ops.search_mesh_2d_accel(
             mesh, locator, (s["x0"], s["x1"]), (tx, ty), s["elem"],
             s["active"], cfg.max_search_iters,
         )
         return {**s, "x0": res.dest_c[0], "x1": res.dest_c[1],
-                "phi": phi_new, "elem": res.elem_ids,
+                "cphi": c2, "sphi": s2, "elem": res.elem_ids,
                 "active": s["active"] & (res.elem_ids >= 0)}, res.iters
 
     @jax.jit

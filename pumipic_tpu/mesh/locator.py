@@ -40,11 +40,14 @@ class LocatorGrid2D:
     cell_elem: jax.Array   # (<= nx*ny padded,) nearest element per cell
     nx: jax.Array          # () int32
     ny: jax.Array          # () int32
-    # optional cell-resident walk rows: [walk_geom row of cell_elem | elem id
-    # as f32] per cell, (n_cells, 13).  Lets the search collapse the guess
-    # gather and the first containment pass into ONE gather (the dominant
-    # cost at 10M particles; perf/walk_opt9.py).  Built by
-    # ``attach_cell_rows``; None = guess-only locator.
+    # optional cell-resident walk rows: per cell the TWO elements that cover
+    # most of the cell (sample-calibrated), each as [walk_geom row (12) |
+    # elem id as f32] → (n_cells, 26).  Lets the search collapse the guess
+    # gather and the first containment pass into ONE gather, and resolves
+    # edge-straddling cells (the dominant guess-miss mode) without a second
+    # gather — row gathers are HBM-latency-bound and insensitive to row
+    # width (docs/PERFORMANCE.md).  Built by ``attach_cell_rows``;
+    # None = guess-only locator.
     cell_rows: Optional[jax.Array] = None
 
     def cell_of(self, pts) -> jax.Array:
@@ -139,14 +142,98 @@ def build_locator_grid_3d(coords: np.ndarray, elem2verts: np.ndarray,
     )
 
 
-def attach_cell_rows(grid: LocatorGrid2D, walk_geom) -> LocatorGrid2D:
-    """Return a copy of ``grid`` whose cells carry the full walk row of their
-    guess element plus the element id as f32 (exact < 2^24) — the
-    one-gather-peel input for :func:`search_mesh_2d_accel`."""
+def _host_walk(geom: np.ndarray, e0: np.ndarray, px: np.ndarray,
+               py: np.ndarray, iters: int = 24) -> np.ndarray:
+    """Vectorized host-side BCC walk (build-time only): locate (px, py)
+    starting from e0; -1 where the walk exits the domain / doesn't settle."""
+    e = np.asarray(e0, np.int64).copy()
+    done = e < 0
+    for _ in range(iters):
+        g = geom[np.maximum(e, 0)]
+        l1 = g[:, 0] * px + g[:, 1] * py + g[:, 2]
+        l2 = g[:, 3] * px + g[:, 4] * py + g[:, 5]
+        w0 = 1.0 - l1 - l2
+        inside = np.minimum(np.minimum(l1, l2), w0) >= -1e-6
+        done_new = done | inside
+        wmin = np.minimum(w0, l1)
+        kmin = np.where(w0 <= l1, 0, 1)
+        kmin = np.where(l2 < wmin, 2, kmin)
+        nxt = np.take_along_axis(
+            g[:, 6:9], kmin[:, None], axis=1)[:, 0].astype(np.int64)
+        e = np.where(done_new, e, nxt)
+        exited = ~done_new & (e < 0)
+        done = done_new | exited
+        if done.all():
+            break
+    g = geom[np.maximum(e, 0)]
+    l1 = g[:, 0] * px + g[:, 1] * py + g[:, 2]
+    l2 = g[:, 3] * px + g[:, 4] * py + g[:, 5]
+    w0 = 1.0 - l1 - l2
+    ok = (e >= 0) & (np.minimum(np.minimum(l1, l2), w0) >= -1e-6)
+    return np.where(ok, e, -1)
+
+
+def attach_cell_rows(grid: LocatorGrid2D, walk_geom,
+                     samples_per_cell: int = 8,
+                     seed: int = 1729) -> LocatorGrid2D:
+    """Return a copy of ``grid`` whose cells carry TWO candidate walk rows.
+
+    Candidates are calibrated by stratified random samples per cell located
+    exactly on the host: A = the element covering the most samples, B = the
+    second (B = A when one element covers the whole cell).  A 2-candidate
+    peel cuts the guess-miss rate from ~30% to ~5% on the 24k annulus
+    (86% of misses are edge-straddling cells whose true element is a single
+    dominant second candidate; measured in perf/walk_opt11.py), which
+    removes the full-width straggler passes from the walk entirely.
+    """
     geom = np.asarray(walk_geom)
-    ce = np.asarray(grid.cell_elem)
+    ce = np.asarray(grid.cell_elem, dtype=np.int64)
+    n_cells = ce.shape[0]
+    nx = int(np.asarray(grid.nx))
+    ny = int(np.asarray(grid.ny))
+    n_grid = nx * ny                      # ce may be padded beyond the grid
+    ox, oy = np.asarray(grid.origin, np.float64)
+    hx = 1.0 / float(np.asarray(grid.inv_h)[0])
+    hy = 1.0 / float(np.asarray(grid.inv_h)[1])
+
+    K = samples_per_cell
+    rng = np.random.default_rng(seed)
+    cell = np.repeat(np.arange(n_grid, dtype=np.int64), K)
+    u = rng.uniform(size=n_grid * K)
+    v = rng.uniform(size=n_grid * K)
+    # cell id = ix*ny + iy (row-major over x)
+    px = ox + (cell // ny + u) * hx
+    py = oy + (cell % ny + v) * hy
+    found = _host_walk(geom, ce[cell], px, py)
+
+    valid = found >= 0
+    c_v = cell[valid]
+    e_v = found[valid]
+    # top-2 elements per cell by sample count
+    order = np.lexsort((e_v, c_v))
+    c_s, e_s = c_v[order], e_v[order]
+    new_run = np.ones(len(c_s), bool)
+    new_run[1:] = (c_s[1:] != c_s[:-1]) | (e_s[1:] != e_s[:-1])
+    starts = np.nonzero(new_run)[0]
+    counts = np.diff(np.append(starts, len(c_s)))
+    rc, re = c_s[starts], e_s[starts]
+    o2 = np.lexsort((-counts, rc))
+    rc2, re2 = rc[o2], re[o2]
+    first = np.ones(len(rc2), bool)
+    first[1:] = rc2[1:] != rc2[:-1]
+    a = ce.copy()                         # fallback: centroid-bucket element
+    b = ce.copy()
+    fi = np.nonzero(first)[0]
+    a[rc2[fi]] = re2[fi]
+    si = fi + 1
+    si = si[si < len(rc2)]
+    si = si[~first[si]]                   # second entry of the same cell
+    b[rc2[fi]] = re2[fi]                  # default B = A
+    b[rc2[si]] = re2[si]
+
     rows = np.concatenate(
-        [geom[ce], ce[:, None].astype(np.float32)], axis=1)
+        [geom[a], a[:, None].astype(np.float32),
+         geom[b], b[:, None].astype(np.float32)], axis=1).astype(np.float32)
     return dataclasses.replace(grid, cell_rows=jnp.asarray(rows))
 
 

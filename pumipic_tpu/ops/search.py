@@ -696,16 +696,35 @@ def search_mesh_2d_accel(
     )
     dest = _components(x_tgt)
     if grid.cell_rows is not None:
-        # peeled first pass: the cell row IS walk_geom[guess] + the guess id
-        g = grid.cell_rows[grid.cell_of(dest)]          # (N, 13)
-        elem_g = g[:, 12].astype(jnp.int32)
-        inside, next_elem, _, _ = _row_core_2d(g, dest, None, False)
+        # peeled first pass off the cell-resident rows: each cell carries its
+        # TWO dominant elements' walk rows + ids (attach_cell_rows), so the
+        # guess gather, the first containment test, and the edge-straddling
+        # second candidate all ride ONE gather
+        g = grid.cell_rows[grid.cell_of(dest)]          # (N, 26)
+        elem_a = g[:, 12].astype(jnp.int32)
+        elem_b = g[:, 25].astype(jnp.int32)
+        inside_a, next_elem, _, _ = _row_core_2d(g, dest, None, False)
+        gb = g[:, 13:25]
+        dx, dy = dest
+        l1 = gb[:, 0] * dx + gb[:, 1] * dy + gb[:, 2]
+        l2 = gb[:, 3] * dx + gb[:, 4] * dy + gb[:, 5]
+        w0 = 1.0 - l1 - l2
+        m1 = jnp.abs(gb[:, 0] * dx) + jnp.abs(gb[:, 1] * dy) + jnp.abs(gb[:, 2])
+        m2 = jnp.abs(gb[:, 3] * dx) + jnp.abs(gb[:, 4] * dy) + jnp.abs(gb[:, 5])
+        t1 = BCC_REL_TOL * m1 + BCC_ABS_TOL
+        t2 = BCC_REL_TOL * m2 + BCC_ABS_TOL
+        inside_b = (w0 >= -(t1 + t2)) & (l1 >= -t1) & (l2 >= -t2)
+        inside = inside_a | inside_b
         exposed = next_elem == INVALID
         # a guess-trajectory boundary hit resets to the true previous elem
         elem0 = jnp.where(
             active & ~inside,
             jnp.where(exposed, fallback, next_elem),
-            jnp.where(active, elem_g, INVALID),
+            jnp.where(
+                active,
+                jnp.where(inside_a, elem_a, elem_b),
+                INVALID,
+            ),
         )
         fg0 = active & ~inside & ~exposed
         done0 = ~active | (active & inside)
