@@ -44,10 +44,13 @@ class LocatorGrid2D:
     # most of the cell (sample-calibrated), each as [walk_geom row (12) |
     # elem id as f32] → (n_cells, 26).  Lets the search collapse the guess
     # gather and the first containment pass into ONE gather, and resolves
-    # edge-straddling cells (the dominant guess-miss mode) without a second
-    # gather — row gathers are HBM-latency-bound and insensitive to row
-    # width (docs/PERFORMANCE.md).  Built by ``attach_cell_rows``;
-    # None = guess-only locator.
+    # edge-straddling cells (the dominant guess-miss mode) in the same
+    # gather.  Layout: [A affine (6) | elemA | B affine (6) | elemB] →
+    # (n_cells, 14) f32.  Gather cost scales with row BYTES
+    # (docs/PERFORMANCE.md), so only what the peel consumes is stored:
+    # misses keep walking from A in the pyramid instead of carrying
+    # neighbor columns here.  Built by ``attach_cell_rows``; None =
+    # guess-only locator.
     cell_rows: Optional[jax.Array] = None
 
     def cell_of(self, pts) -> jax.Array:
@@ -232,8 +235,9 @@ def attach_cell_rows(grid: LocatorGrid2D, walk_geom,
     b[rc2[si]] = re2[si]
 
     rows = np.concatenate(
-        [geom[a], a[:, None].astype(np.float32),
-         geom[b], b[:, None].astype(np.float32)], axis=1).astype(np.float32)
+        [geom[a][:, 0:6], a[:, None].astype(np.float32),
+         geom[b][:, 0:6], b[:, None].astype(np.float32)],
+        axis=1).astype(np.float32)
     return dataclasses.replace(grid, cell_rows=jnp.asarray(rows))
 
 

@@ -696,37 +696,36 @@ def search_mesh_2d_accel(
     )
     dest = _components(x_tgt)
     if grid.cell_rows is not None:
-        # peeled first pass off the cell-resident rows: each cell carries its
-        # TWO dominant elements' walk rows + ids (attach_cell_rows), so the
-        # guess gather, the first containment test, and the edge-straddling
-        # second candidate all ride ONE gather
-        g = grid.cell_rows[grid.cell_of(dest)]          # (N, 26)
-        elem_a = g[:, 12].astype(jnp.int32)
-        elem_b = g[:, 25].astype(jnp.int32)
-        inside_a, next_elem, _, _ = _row_core_2d(g, dest, None, False)
-        gb = g[:, 13:25]
+        # peeled first pass off the cell-resident candidate rows: the guess
+        # gather, the containment test, and the edge-straddling second
+        # candidate all ride ONE 14-col gather (gather cost scales with row
+        # bytes).  Misses stay on candidate A as guess-trajectory survivors;
+        # the pyramid's first narrow pass crosses or retries from the true
+        # previous element — identical results, one deferred hop for the
+        # ~5% miss tail (perf/walk_opt12.py).
+        g = grid.cell_rows[grid.cell_of(dest)]          # (N, 14)
+        elem_a = g[:, 6].astype(jnp.int32)
+        elem_b = g[:, 13].astype(jnp.int32)
         dx, dy = dest
-        l1 = gb[:, 0] * dx + gb[:, 1] * dy + gb[:, 2]
-        l2 = gb[:, 3] * dx + gb[:, 4] * dy + gb[:, 5]
-        w0 = 1.0 - l1 - l2
-        m1 = jnp.abs(gb[:, 0] * dx) + jnp.abs(gb[:, 1] * dy) + jnp.abs(gb[:, 2])
-        m2 = jnp.abs(gb[:, 3] * dx) + jnp.abs(gb[:, 4] * dy) + jnp.abs(gb[:, 5])
-        t1 = BCC_REL_TOL * m1 + BCC_ABS_TOL
-        t2 = BCC_REL_TOL * m2 + BCC_ABS_TOL
-        inside_b = (w0 >= -(t1 + t2)) & (l1 >= -t1) & (l2 >= -t2)
+
+        def _inside(o):
+            l1 = g[:, o + 0] * dx + g[:, o + 1] * dy + g[:, o + 2]
+            l2 = g[:, o + 3] * dx + g[:, o + 4] * dy + g[:, o + 5]
+            w0 = 1.0 - l1 - l2
+            m1 = (jnp.abs(g[:, o + 0] * dx) + jnp.abs(g[:, o + 1] * dy)
+                  + jnp.abs(g[:, o + 2]))
+            m2 = (jnp.abs(g[:, o + 3] * dx) + jnp.abs(g[:, o + 4] * dy)
+                  + jnp.abs(g[:, o + 5]))
+            t1 = BCC_REL_TOL * m1 + BCC_ABS_TOL
+            t2 = BCC_REL_TOL * m2 + BCC_ABS_TOL
+            return (w0 >= -(t1 + t2)) & (l1 >= -t1) & (l2 >= -t2)
+
+        inside_a = _inside(0)
+        inside_b = _inside(7)
         inside = inside_a | inside_b
-        exposed = next_elem == INVALID
-        # a guess-trajectory boundary hit resets to the true previous elem
         elem0 = jnp.where(
-            active & ~inside,
-            jnp.where(exposed, fallback, next_elem),
-            jnp.where(
-                active,
-                jnp.where(inside_a, elem_a, elem_b),
-                INVALID,
-            ),
-        )
-        fg0 = active & ~inside & ~exposed
+            active, jnp.where(inside_a | ~inside, elem_a, elem_b), INVALID)
+        fg0 = active & ~inside
         done0 = ~active | (active & inside)
         return _run_walk(
             step, elem0, dest, done0=done0, orig=_components(x_orig),
