@@ -33,12 +33,22 @@ def main():
                 "--dist", dist, "--structs", structs, "--iters", str(iters),
             ]
             print(f"== ne={ne} np={ne * 10000} dist={dist}", flush=True)
-            out = subprocess.run(
-                cmd, capture_output=True, text=True,
-                env={**os.environ, "PYTHONPATH": os.path.join(HERE, "..")},
+            env = dict(os.environ)
+            # APPEND the repo root — replacing PYTHONPATH would drop the
+            # TPU plugin path (/root/.axon_site); see CLAUDE.md
+            env["PYTHONPATH"] = os.pathsep.join(
+                [os.path.join(HERE, "..")]
+                + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
             )
-            line = [l for l in out.stdout.splitlines()
-                    if l.startswith("{")][-1]
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, env=env,
+            )
+            lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            if not lines:
+                print(out.stdout[-2000:])
+                print(out.stderr[-2000:])
+                raise RuntimeError(f"ps_combo failed for ne={ne} {dist}")
+            line = lines[-1]
             rec = json.loads(line)
             print(line, flush=True)
             for struct, r in rec["results"].items():

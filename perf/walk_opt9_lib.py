@@ -102,10 +102,12 @@ def search_cellrow(ctx, orig, xtgt, elem_prev, active, widths, max_iters=64):
             return (s[-1] < max_iters) & (jnp.sum(~s[1]) > thresh)
 
         def body(s):
+            # new step signature: fused fbg carry (fallback where on-guess)
             elem, done, fg, it = s
-            elem, _, done, fg, _ = step(elem, dest_arr, done, fg, orig_arr,
-                                        fb_arr, ())
-            return elem, done, fg, it + 1
+            fbg = jnp.where(fg, fb_arr, -2)
+            elem, _, done, fbg, _ = step(elem, dest_arr, done, fbg,
+                                         orig_arr, ())
+            return elem, done, fbg >= 0, it + 1
 
         return jax.lax.while_loop(cond, body, state)
 
