@@ -18,15 +18,21 @@ HERE = os.path.dirname(__file__)
 def main():
     quick = "--quick" in sys.argv
     # reference sweep: e in {1000..5500}, p = e*10000
-    # (test_smallE_largeP.sh:10-19); endpoints + middle keep TPU time sane
-    elems = [1000] if quick else [1000, 2400, 5500]
-    dists = ["uniform", "gaussian", "exponential"]
+    # (test_smallE_largeP.sh:10-19).  Full grid at the reference's 100 iters
+    # would be hours of TPU; 3 evolving iterations are enough for the
+    # seconds-scale per-op numbers, and the top size runs one distribution.
+    if quick:
+        configs = [(1000, "uniform")]
+    else:
+        configs = [(ne, d) for ne in (1000, 2400)
+                   for d in ("uniform", "gaussian", "exponential")]
+        configs.append((5500, "uniform"))
     structs = "scs,csr,cabm,dps"
-    iters = 5 if quick else 10
+    iters = 3
 
     rows = []
-    for ne in elems:
-        for dist in dists:
+    if True:
+        for ne, dist in configs:
             cmd = [
                 sys.executable, os.path.join(HERE, "ps_combo.py"),
                 "--ne", str(ne), "--np", str(ne * 10_000),

@@ -255,3 +255,21 @@ def test_metrics_padding():
     m = ps.metrics()
     assert 0.0 <= float(m["padded_fraction"]) < 1.0
     ps.print_metrics()
+
+
+def test_count_per_key_matmul_matches_sorted():
+    """The MXU one-hot-matmul histogram must agree exactly with the sorted
+    histogram (0/1 bf16 operands, f32 accumulation ==> exact counts)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pumipic_tpu.ops import scatter
+
+    rng = np.random.default_rng(17)
+    for nk in (7, 129, 5000):
+        key = rng.integers(0, nk + 1, 50_000)    # nk == overflow bucket
+        a = np.asarray(scatter.count_per_key(jnp.asarray(key, jnp.int32), nk))
+        b = np.asarray(
+            scatter.count_per_key_matmul(jnp.asarray(key, jnp.int32), nk))
+        want = np.bincount(key, minlength=nk + 1)[:nk]
+        np.testing.assert_array_equal(a, want)
+        np.testing.assert_array_equal(b.astype(np.int64), want)

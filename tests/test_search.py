@@ -248,6 +248,17 @@ def test_search_3d_accel_matches_plain():
     )
     assert (np.asarray(res_plain.elem_ids) == -1).sum() > 0
 
+    # cell-resident candidate rows (one-gather peel) must match exactly too
+    grid_rows = build_locator_grid_3d(coords, tets, walk_geom=m.walk_geom)
+    assert grid_rows.cell_rows is not None
+    res_peel = search.search_mesh_3d_accel(
+        m, grid_rows, jnp.asarray(orig), jnp.asarray(tgt),
+        jnp.asarray(elems, jnp.int32), jnp.ones(n, bool), 100,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_plain.elem_ids), np.asarray(res_peel.elem_ids)
+    )
+
 
 def test_search_3d_reflect_boundary():
     coords, tets = gen.box_tet_mesh(4, 4, 4)
@@ -266,3 +277,51 @@ def test_search_3d_reflect_boundary():
     np.testing.assert_allclose(
         np.asarray(res.dest)[0], [0.52, 0.52, 0.7], atol=1e-5
     )
+
+
+def test_compact_idx_contract():
+    """_compact_idx: first-m not-done slot ids in slot order, n beyond the
+    survivor count — the packed-sort path and its >2^24 argsort fallback
+    must agree with a numpy oracle."""
+    rng = np.random.default_rng(21)
+    for n, m in ((10_000, 1_000), (257, 200), (64, 32)):
+        done = rng.uniform(size=n) < 0.8
+        got = np.asarray(search._compact_idx(jnp.asarray(done), m))
+        want = np.full(m, n, np.int64)
+        surv = np.nonzero(~done)[0][:m]
+        want[: len(surv)] = surv
+        np.testing.assert_array_equal(got, want)
+
+
+def test_search_2d_accel_with_rows_and_compacted_guess_retry():
+    """The one-gather peel + fused guess/fallback carry must survive the
+    compaction pyramid: narrow widths force guess-trajectory walkers
+    (including boundary-hitting guesses that retry from their true previous
+    element) through compacted levels, and results must still equal the
+    plain walk exactly."""
+    from pumipic_tpu.mesh.locator import build_locator_grid
+
+    coords, tris, cls = gen.annulus_mesh(6, 32, 0.3, 1.0)
+    m = Mesh2D.from_arrays(coords, tris, cls)
+    grid = build_locator_grid(coords, tris, walk_geom=m.walk_geom)
+    assert grid.cell_rows is not None and grid.cell_rows.shape[1] == 14
+    rng = np.random.default_rng(6)
+    n = 2048
+    elems = rng.integers(0, m.nelems, n)
+    orig = np.asarray(m.elem_centroids)[elems]
+    # long jittered moves: many guess misses, genuine exits, long walks
+    tgt = orig + rng.normal(scale=0.2, size=(n, 2))
+    res_plain = search.search_mesh_2d(
+        m, jnp.asarray(orig), jnp.asarray(tgt),
+        jnp.asarray(elems, jnp.int32), jnp.ones(n, bool), 200,
+    )
+    for widths in ((256, 32), (512,), ()):
+        res_accel = search.search_mesh_2d_accel(
+            m, grid, jnp.asarray(orig), jnp.asarray(tgt),
+            jnp.asarray(elems, jnp.int32), jnp.ones(n, bool), 200,
+            widths=widths,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_plain.elem_ids), np.asarray(res_accel.elem_ids)
+        )
+    assert (np.asarray(res_plain.elem_ids) == -1).sum() > 0
