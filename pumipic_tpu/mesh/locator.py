@@ -83,8 +83,12 @@ class LocatorGrid3D:
     nx: int = _static_field(default=1)
     ny: int = _static_field(default=1)
     nz: int = _static_field(default=1)
+    # optional cell-resident candidate rows, the 3D analog of
+    # LocatorGrid2D.cell_rows: [A affine (12) | elemA | B affine (12) |
+    # elemB] → (n_cells, 26) f32 (see attach_cell_rows_3d)
+    cell_rows: Optional[jax.Array] = None
 
-    def guess(self, pts) -> jax.Array:
+    def cell_of(self, pts) -> jax.Array:
         if isinstance(pts, tuple):
             px, py, pz = pts
         else:
@@ -96,12 +100,112 @@ class LocatorGrid3D:
                       0.0, self.ny - 1.0)
         iz = jnp.clip(jnp.floor((pz - self.origin[2]) * self.inv_h[2]),
                       0.0, self.nz - 1.0)
-        cell = ((ix * self.ny + iy) * self.nz + iz).astype(jnp.int32)
-        return self.cell_elem[cell]
+        return ((ix * self.ny + iy) * self.nz + iz).astype(jnp.int32)
+
+    def guess(self, pts) -> jax.Array:
+        return self.cell_elem[self.cell_of(pts)]
+
+
+def _host_walk_3d(geom: np.ndarray, e0: np.ndarray, px, py, pz,
+                  iters: int = 24) -> np.ndarray:
+    """Vectorized host-side 3D BCC walk (build-time only)."""
+    e = np.asarray(e0, np.int64).copy()
+    done = e < 0
+
+    def bary(g):
+        l1 = g[:, 0] * px + g[:, 1] * py + g[:, 2] * pz + g[:, 3]
+        l2 = g[:, 4] * px + g[:, 5] * py + g[:, 6] * pz + g[:, 7]
+        l3 = g[:, 8] * px + g[:, 9] * py + g[:, 10] * pz + g[:, 11]
+        return l1, l2, l3, 1.0 - l1 - l2 - l3
+
+    for _ in range(iters):
+        g = geom[np.maximum(e, 0)]
+        l1, l2, l3, w0 = bary(g)
+        inside = np.minimum(np.minimum(l1, l2),
+                            np.minimum(l3, w0)) >= -1e-6
+        done_new = done | inside
+        wmin = w0.copy()
+        kmin = np.zeros(len(e), np.int64)
+        for k, lk in ((1, l1), (2, l2), (3, l3)):
+            take = lk < wmin
+            wmin = np.where(take, lk, wmin)
+            kmin = np.where(take, k, kmin)
+        nxt = np.take_along_axis(
+            g[:, 12:16], kmin[:, None], axis=1)[:, 0].astype(np.int64)
+        e = np.where(done_new, e, nxt)
+        done = done_new | (~done_new & (e < 0))
+        if done.all():
+            break
+    g = geom[np.maximum(e, 0)]
+    l1, l2, l3, w0 = bary(g)
+    ok = (e >= 0) & (np.minimum(np.minimum(l1, l2),
+                                np.minimum(l3, w0)) >= -1e-6)
+    return np.where(ok, e, -1)
+
+
+def _top2_per_cell(cell, found, ce):
+    """Shared top-2-by-sample-count reduction (see attach_cell_rows)."""
+    valid = found >= 0
+    c_v, e_v = cell[valid], found[valid]
+    order = np.lexsort((e_v, c_v))
+    c_s, e_s = c_v[order], e_v[order]
+    new_run = np.ones(len(c_s), bool)
+    new_run[1:] = (c_s[1:] != c_s[:-1]) | (e_s[1:] != e_s[:-1])
+    starts = np.nonzero(new_run)[0]
+    counts = np.diff(np.append(starts, len(c_s)))
+    rc, re = c_s[starts], e_s[starts]
+    o2 = np.lexsort((-counts, rc))
+    rc2, re2 = rc[o2], re[o2]
+    first = np.ones(len(rc2), bool)
+    first[1:] = rc2[1:] != rc2[:-1]
+    a = ce.copy()
+    b = ce.copy()
+    fi = np.nonzero(first)[0]
+    a[rc2[fi]] = re2[fi]
+    b[rc2[fi]] = re2[fi]
+    si = fi + 1
+    si = si[si < len(rc2)]
+    si = si[~first[si]]
+    b[rc2[si]] = re2[si]
+    return a, b
+
+
+def attach_cell_rows_3d(grid: LocatorGrid3D, walk_geom,
+                        samples_per_cell: int = 8,
+                        seed: int = 1729) -> LocatorGrid3D:
+    """3D analog of :func:`attach_cell_rows`: sample-calibrated TWO
+    candidate elements per cell, rows [A affine (12) | elemA | B affine
+    (12) | elemB] → (n_cells, 26) f32."""
+    geom = np.asarray(walk_geom)
+    ce = np.asarray(grid.cell_elem, dtype=np.int64)
+    nx, ny, nz = grid.nx, grid.ny, grid.nz
+    n_grid = nx * ny * nz
+    o = np.asarray(grid.origin, np.float64)
+    h = 1.0 / np.asarray(grid.inv_h, np.float64)
+
+    K = samples_per_cell
+    rng = np.random.default_rng(seed)
+    cell = np.repeat(np.arange(n_grid, dtype=np.int64), K)
+    u = rng.uniform(size=(n_grid * K, 3))
+    # cell id = (ix*ny + iy)*nz + iz
+    iz = cell % nz
+    iy = (cell // nz) % ny
+    ix = cell // (ny * nz)
+    px = o[0] + (ix + u[:, 0]) * h[0]
+    py = o[1] + (iy + u[:, 1]) * h[1]
+    pz = o[2] + (iz + u[:, 2]) * h[2]
+    found = _host_walk_3d(geom, ce[cell], px, py, pz)
+    a, b = _top2_per_cell(cell, found, ce)
+    rows = np.concatenate(
+        [geom[a][:, 0:12], a[:, None].astype(np.float32),
+         geom[b][:, 0:12], b[:, None].astype(np.float32)],
+        axis=1).astype(np.float32)
+    return dataclasses.replace(grid, cell_rows=jnp.asarray(rows))
 
 
 def build_locator_grid_3d(coords: np.ndarray, elem2verts: np.ndarray,
-                          cells_per_elem: float = 2.0) -> LocatorGrid3D:
+                          cells_per_elem: float = 2.0,
+                          walk_geom=None) -> LocatorGrid3D:
     """3D analog of :func:`build_locator_grid` (tet meshes)."""
     coords = np.asarray(coords, np.float64)
     ev = np.asarray(elem2verts, np.int64)
@@ -137,12 +241,15 @@ def build_locator_grid_3d(coords: np.ndarray, elem2verts: np.ndarray,
         if not filled_any:
             raise ValueError("3d locator grid flood fill failed")
 
-    return LocatorGrid3D(
+    out = LocatorGrid3D(
         origin=jnp.asarray(lo, jnp.float32),
         inv_h=jnp.asarray(1.0 / h, jnp.float32),
         cell_elem=jnp.asarray(grid.reshape(-1), LID_DTYPE),
         nx=nx, ny=ny, nz=nz,
     )
+    if walk_geom is not None:
+        out = attach_cell_rows_3d(out, walk_geom)
+    return out
 
 
 def _host_walk(geom: np.ndarray, e0: np.ndarray, px: np.ndarray,
@@ -208,31 +315,7 @@ def attach_cell_rows(grid: LocatorGrid2D, walk_geom,
     px = ox + (cell // ny + u) * hx
     py = oy + (cell % ny + v) * hy
     found = _host_walk(geom, ce[cell], px, py)
-
-    valid = found >= 0
-    c_v = cell[valid]
-    e_v = found[valid]
-    # top-2 elements per cell by sample count
-    order = np.lexsort((e_v, c_v))
-    c_s, e_s = c_v[order], e_v[order]
-    new_run = np.ones(len(c_s), bool)
-    new_run[1:] = (c_s[1:] != c_s[:-1]) | (e_s[1:] != e_s[:-1])
-    starts = np.nonzero(new_run)[0]
-    counts = np.diff(np.append(starts, len(c_s)))
-    rc, re = c_s[starts], e_s[starts]
-    o2 = np.lexsort((-counts, rc))
-    rc2, re2 = rc[o2], re[o2]
-    first = np.ones(len(rc2), bool)
-    first[1:] = rc2[1:] != rc2[:-1]
-    a = ce.copy()                         # fallback: centroid-bucket element
-    b = ce.copy()
-    fi = np.nonzero(first)[0]
-    a[rc2[fi]] = re2[fi]
-    si = fi + 1
-    si = si[si < len(rc2)]
-    si = si[~first[si]]                   # second entry of the same cell
-    b[rc2[fi]] = re2[fi]                  # default B = A
-    b[rc2[si]] = re2[si]
+    a, b = _top2_per_cell(cell, found, ce)
 
     rows = np.concatenate(
         [geom[a][:, 0:6], a[:, None].astype(np.float32),

@@ -77,7 +77,8 @@ class PseudoPushAndSearch:
             from pumipic_tpu.mesh.locator import build_locator_grid_3d
 
             locator = build_locator_grid_3d(
-                np.asarray(mesh.coords), np.asarray(mesh.elem2verts)
+                np.asarray(mesh.coords), np.asarray(mesh.elem2verts),
+                walk_geom=mesh.walk_geom,
             )
 
         @jax.jit

@@ -23,7 +23,9 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 _SRC = Path(__file__).resolve().parent.parent / "csrc" / "meshcore.cpp"
-_SO = Path(__file__).resolve().parent / "_meshcore.so"
+# C-ABI shared object loaded with ctypes (NOT a Python extension
+# module; the "lib" prefix keeps pkgutil/importlib from trying)
+_SO = Path(__file__).resolve().parent / "libmeshcore.so"
 
 _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 _u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")

@@ -42,6 +42,33 @@ def count_per_key(key: jax.Array, num_keys: int) -> jax.Array:
     return jnp.diff(bounds)
 
 
+def count_per_key_matmul(key: jax.Array, num_keys: int,
+                         lo_width: int = 128) -> jax.Array:
+    """Histogram as ONE MXU matmul: split the key into (hi, lo) digits and
+    compute ``hi_onehot.T @ lo_onehot`` — entry (h, l) counts keys with
+    value h*lo_width + l.  Exact (0/1 operands, f32 accumulation) for
+    counts < 2^24.
+
+    The sorted-histogram path (:func:`count_per_key`) costs a 10M-key radix
+    sort (~35 ms); this trades it for 10M×(hi+lo) one-hot MACs on the MXU.
+    Entries >= num_keys are ignored (callers pass ``num_keys`` as the
+    overflow bucket like count_per_key).
+    """
+    n_hi = -(-(num_keys + 1) // lo_width)
+    kf = key.astype(jnp.float32)                  # exact < 2^24
+    lw = jnp.float32(lo_width)
+    hi = jnp.floor(kf / lw)
+    lo = kf - hi * lw
+    hi_oh = (hi[:, None] == jnp.arange(n_hi, dtype=jnp.float32)[None, :])
+    lo_oh = (lo[:, None] == jnp.arange(lo_width, dtype=jnp.float32)[None, :])
+    counts = jax.lax.dot_general(
+        hi_oh.astype(jnp.bfloat16), lo_oh.astype(jnp.bfloat16),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                             # (n_hi, lo_width)
+    return counts.reshape(-1)[:num_keys].astype(jnp.float32)
+
+
 def particles_per_element(
     elem: jax.Array, active: jax.Array, num_elems: int, weights: jax.Array | None = None
 ) -> jax.Array:
@@ -49,7 +76,7 @@ def particles_per_element(
     histogram; weighted sums use a deterministic segment_sum."""
     if weights is None:
         key = jnp.where(active, elem, num_elems).astype(jnp.int32)
-        return count_per_key(key, num_elems).astype(jnp.float32)
+        return count_per_key_matmul(key, num_elems)
     w = jnp.where(active, weights, 0.0)
     seg = jnp.where(active, elem, num_elems)  # inactive -> overflow bucket
     out = jax.ops.segment_sum(w, seg, num_segments=num_elems + 1)
@@ -87,7 +114,9 @@ def accumulate_to_rings(
         rd = min(max(int(1.125) - 1, 0), R - 2)
         ru = rd + 1
         key = jnp.where(active, elem, num_elems).astype(jnp.int32)
-        counts = count_per_key(key, num_elems).astype(jnp.float32)
+        # MXU one-hot matmul histogram: 12.7 vs 30.9 ms at 10M keys
+        # (perf/walk_opt16.py), exact f32 counts
+        counts = count_per_key_matmul(key, num_elems)
         elem_ring = (
             jnp.zeros((num_elems, R), jnp.float32)
             .at[:, rd].add(counts)

@@ -371,7 +371,12 @@ def _make_step(core, mesh, boundary_handler, use_guess: bool,
     (side, num_hits, hit components...) through the walk."""
     needs_hit = record_exit or getattr(boundary_handler, "needs_hit", False)
 
-    def step(elem, dest, done, fg, orig, fallback, rec):
+    def step(elem, dest, done, fbg, orig, rec):
+        # ``fbg`` fuses the on-guess flag and the fallback element into one
+        # carried int32 array: >= 0 — on a guess trajectory, value = the true
+        # previous element to retry from; -2 — not on a guess trajectory.
+        # (One array instead of two halves the walk-state extraction gathers
+        # at pyramid compaction; perf/walk_opt15.py.)
         e_safe = jnp.maximum(elem, 0)
         inside, next_elem, side, t = core(e_safe, dest, orig, needs_hit)
         exposed = next_elem == INVALID
@@ -379,6 +384,7 @@ def _make_step(core, mesh, boundary_handler, use_guess: bool,
         walking = ~done
         hits_boundary = walking & ~inside & exposed
         if use_guess:
+            fg = fbg >= 0
             retry = hits_boundary & fg
             real_hit = hits_boundary & ~fg
         else:
@@ -398,18 +404,20 @@ def _make_step(core, mesh, boundary_handler, use_guess: bool,
         if use_guess:
             new_elem = jnp.where(
                 walking & ~inside,
-                jnp.where(retry, fallback,
+                jnp.where(retry, fbg,
                           jnp.where(exposed, bres.elem, next_elem)),
                 elem,
             )
-            new_fg = fg & ~retry & ~(walking & inside)
+            new_fbg = jnp.where(
+                fg & ~retry & ~(walking & inside), fbg, jnp.int32(-2)
+            )
         else:
             new_elem = jnp.where(
                 walking & ~inside,
                 jnp.where(exposed, bres.elem, next_elem),
                 elem,
             )
-            new_fg = fg
+            new_fbg = fbg
         new_done = done | (walking & inside) | (real_hit & bres.done)
         if bres.dest is not None:
             dest = tuple(
@@ -424,7 +432,7 @@ def _make_step(core, mesh, boundary_handler, use_guess: bool,
                 jnp.where(real_hit, h, hr) for h, hr in zip(hit, hit_rec)
             )
             rec = (side_rec, nhits) + hit_rec
-        return new_elem, dest, new_done, new_fg, rec
+        return new_elem, dest, new_done, new_fbg, rec
 
     # handlers that never move the destination (e.g. remove-on-exit) let the
     # walk treat dest as a per-level constant: no dest in the loop carry, no
@@ -451,6 +459,8 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
         fallback = elem0
     if fg0 is None:
         fg0 = jnp.zeros((n,), bool)
+    # fused on-guess-flag + fallback carry (see _make_step)
+    fbg0 = jnp.where(fg0, fallback.astype(jnp.int32), jnp.int32(-2))
     if record_exit:
         rec0 = (
             jnp.full((n,), INVALID, jnp.int32),
@@ -475,56 +485,57 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
     # state: no dest copies in the while carry and no dest merge scatters.
     carry_dest = getattr(step, "modifies_dest", True)
 
-    def make_body(dest_arr, orig_arr, fb_arr):
+    def make_body(dest_arr, orig_arr):
         if carry_dest:
             def body(s):
-                elem, dest, done, fg, rec, it = s
-                elem, dest, done, fg, rec = step(
-                    elem, dest, done, fg, orig_arr, fb_arr, rec
+                elem, dest, done, fbg, rec, it = s
+                elem, dest, done, fbg, rec = step(
+                    elem, dest, done, fbg, orig_arr, rec
                 )
-                return elem, dest, done, fg, rec, it + 1
+                return elem, dest, done, fbg, rec, it + 1
         else:
             def body(s):
-                elem, done, fg, rec, it = s
-                elem, _, done, fg, rec = step(
-                    elem, dest_arr, done, fg, orig_arr, fb_arr, rec
+                elem, done, fbg, rec, it = s
+                elem, _, done, fbg, rec = step(
+                    elem, dest_arr, done, fbg, orig_arr, rec
                 )
-                return elem, done, fg, rec, it + 1
+                return elem, done, fbg, rec, it + 1
 
         return body
 
-    def run_level(dest_arr, orig_arr, fb_arr, thresh, state):
-        elem, done, fg, rec, it = state
+    def run_level(dest_arr, orig_arr, thresh, state):
+        elem, done, fbg, rec, it = state
         if carry_dest:
             def cond(s):
                 return (s[-1] < max_iters) & (jnp.sum(~s[2]) > thresh)
 
-            elem, dest_arr, done, fg, rec, it = jax.lax.while_loop(
-                cond, make_body(dest_arr, orig_arr, fb_arr),
-                (elem, dest_arr, done, fg, rec, it),
+            elem, dest_arr, done, fbg, rec, it = jax.lax.while_loop(
+                cond, make_body(dest_arr, orig_arr),
+                (elem, dest_arr, done, fbg, rec, it),
             )
         else:
             def cond(s):
                 return (s[-1] < max_iters) & (jnp.sum(~s[1]) > thresh)
 
-            elem, done, fg, rec, it = jax.lax.while_loop(
-                cond, make_body(dest_arr, orig_arr, fb_arr),
-                (elem, done, fg, rec, it),
+            elem, done, fbg, rec, it = jax.lax.while_loop(
+                cond, make_body(dest_arr, orig_arr),
+                (elem, done, fbg, rec, it),
             )
-        return elem, dest_arr, done, fg, rec, it
+        return elem, dest_arr, done, fbg, rec, it
 
     # level 0: full width until survivors fit the first compacted width
     thresh0 = widths[0] if widths else 0
-    elem, dest, done, fg, rec, it = run_level(
-        dest0, orig, fallback, thresh0,
-        (elem0, done0, fg0, rec0, jnp.int32(it0)),
+    elem, dest, done, fbg, rec, it = run_level(
+        dest0, orig, thresh0,
+        (elem0, done0, fbg0, rec0, jnp.int32(it0)),
     )
 
     # compacted levels, each extracted from the level above
-    prev = (elem, dest, done, fg, rec, orig, fallback)
+    prev = (elem, dest, done, fbg, rec, orig)
     levels = []                       # (global_idx, state) per level
+    last_done = done
     for li, m in enumerate(widths):
-        p_elem, p_dest, p_done, p_fg, p_rec, p_orig, p_fb = prev
+        p_elem, p_dest, p_done, p_fbg, p_rec, p_orig = prev
         next_thresh = widths[li + 1] if li + 1 < len(widths) else 0
 
         # packed single-word sort puts undone slots first in slot order —
@@ -537,10 +548,9 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
         s_elem = jnp.where(in_range, p_elem[sidx], INVALID)
         s_dest = tuple(d[sidx] for d in p_dest)
         s_done = ~in_range
-        s_fg = p_fg[sidx] & in_range
+        s_fbg = jnp.where(in_range, p_fbg[sidx], jnp.int32(-2))
         s_rec = tuple(r[sidx] for r in p_rec)
         s_orig = tuple(o[sidx] for o in p_orig)
-        s_fb = p_fb[sidx]
         # compose to global slot ids (out-of-range -> n, dropped at merge)
         if li == 0:
             gidx = jnp.where(in_range, sidx, n)
@@ -548,28 +558,34 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
             prev_gidx = levels[-1][0]
             gidx = jnp.where(in_range, prev_gidx[sidx], n)
 
-        s_elem, s_dest, s_done, s_fg, s_rec, it = run_level(
-            s_dest, s_orig, s_fb, next_thresh,
-            (s_elem, s_done, s_fg, s_rec, it),
+        s_elem, s_dest, s_done, s_fbg, s_rec, it = run_level(
+            s_dest, s_orig, next_thresh,
+            (s_elem, s_done, s_fbg, s_rec, it),
         )
         levels.append((gidx, (s_elem, s_dest, s_done, s_rec)))
-        prev = (s_elem, s_dest, s_done, s_fg, s_rec, s_orig, s_fb)
+        prev = (s_elem, s_dest, s_done, s_fbg, s_rec, s_orig)
+        last_done = s_done
 
-    # merge: shallow -> deep so fresher (deeper) values overwrite
+    # loop-limit fallback on the level-0 slots (deeper levels overwrite):
+    # delete unfinished walkers (adjacency.hpp:1126-1149)
+    elem = jnp.where(done, elem, INVALID)
+    # merge: shallow -> deep so fresher (deeper) values overwrite.  Each
+    # level scatters its FINAL elem (INVALID where its walkers didn't
+    # finish) — the separate done merge scatters this replaces were ~10% of
+    # search time (perf/walk_opt15.py); all_found needs only the deepest
+    # level's done (every shallower survivor is carried one level deeper).
     for gidx, (s_elem, s_dest, s_done, s_rec) in levels:
-        elem = elem.at[gidx].set(s_elem, mode="drop")
+        elem = elem.at[gidx].set(
+            jnp.where(s_done, s_elem, INVALID), mode="drop")
         if carry_dest:
             dest = tuple(
                 d.at[gidx].set(sd, mode="drop") for d, sd in zip(dest, s_dest)
             )
-        done = done.at[gidx].set(s_done, mode="drop")
         rec = tuple(
             r.at[gidx].set(sr, mode="drop") for r, sr in zip(rec, s_rec)
         )
 
-    all_found = jnp.all(done)
-    # loop-limit fallback: delete unfinished walkers (adjacency.hpp:1126-1149)
-    elem = jnp.where(done, elem, INVALID)
+    all_found = jnp.all(last_done)
     if record_exit:
         return SearchResult(
             elem_ids=elem, dest_c=dest, iters=it, all_found=all_found,
@@ -760,17 +776,59 @@ def search_mesh_3d_accel(
     """Grid-accelerated 3D search (see :func:`search_mesh_2d_accel`).
 
     ``grid``: a :class:`pumipic_tpu.mesh.locator.LocatorGrid3D` for ``mesh``.
+    When the grid carries ``cell_rows`` (``attach_cell_rows_3d``) the guess
+    gather and the first containment test collapse into one gather with a
+    second candidate for straddling cells (see the 2D path).
     """
-    guess = grid.guess(x_tgt)
     core = _core_3d_mt(mesh) if method == "intersection" else _core_3d_bcc(mesh)
     step = _make_step(core, mesh, boundary_handler, True, record_exit)
-    elem0 = jnp.where(active, guess, INVALID)
     fallback = jnp.where(
         active, jnp.clip(elem_prev.astype(jnp.int32), 0, mesh.nelems - 1),
         INVALID,
     )
+    dest = _components(x_tgt)
+    if grid.cell_rows is not None:
+        g = grid.cell_rows[grid.cell_of(dest)]          # (N, 26)
+        elem_a = g[:, 12].astype(jnp.int32)
+        elem_b = g[:, 25].astype(jnp.int32)
+        dx, dy, dz = dest
+
+        def _inside(o):
+            l1 = (g[:, o + 0] * dx + g[:, o + 1] * dy + g[:, o + 2] * dz
+                  + g[:, o + 3])
+            l2 = (g[:, o + 4] * dx + g[:, o + 5] * dy + g[:, o + 6] * dz
+                  + g[:, o + 7])
+            l3 = (g[:, o + 8] * dx + g[:, o + 9] * dy + g[:, o + 10] * dz
+                  + g[:, o + 11])
+            w0 = 1.0 - l1 - l2 - l3
+            m1 = (jnp.abs(g[:, o + 0] * dx) + jnp.abs(g[:, o + 1] * dy)
+                  + jnp.abs(g[:, o + 2] * dz) + jnp.abs(g[:, o + 3]))
+            m2 = (jnp.abs(g[:, o + 4] * dx) + jnp.abs(g[:, o + 5] * dy)
+                  + jnp.abs(g[:, o + 6] * dz) + jnp.abs(g[:, o + 7]))
+            m3 = (jnp.abs(g[:, o + 8] * dx) + jnp.abs(g[:, o + 9] * dy)
+                  + jnp.abs(g[:, o + 10] * dz) + jnp.abs(g[:, o + 11]))
+            t1 = BCC_REL_TOL * m1 + BCC_ABS_TOL
+            t2 = BCC_REL_TOL * m2 + BCC_ABS_TOL
+            t3 = BCC_REL_TOL * m3 + BCC_ABS_TOL
+            return ((w0 >= -(t1 + t2 + t3)) & (l1 >= -t1) & (l2 >= -t2)
+                    & (l3 >= -t3))
+
+        inside_a = _inside(0)
+        inside_b = _inside(13)
+        inside = inside_a | inside_b
+        elem0 = jnp.where(
+            active, jnp.where(inside_a | ~inside, elem_a, elem_b), INVALID)
+        fg0 = active & ~inside
+        done0 = ~active | (active & inside)
+        return _run_walk(
+            step, elem0, dest, done0=done0, orig=_components(x_orig),
+            max_iters=max_iters, fallback=fallback, fg0=fg0,
+            record_exit=record_exit, widths=widths, it0=1,
+        )
+    guess = grid.guess(x_tgt)
+    elem0 = jnp.where(active, guess, INVALID)
     return _run_walk(
-        step, elem0, _components(x_tgt), done0=~active,
+        step, elem0, dest, done0=~active,
         orig=_components(x_orig), max_iters=max_iters,
         fallback=fallback, fg0=active, record_exit=record_exit,
         widths=widths,

@@ -280,9 +280,16 @@ def _assign_slots(ps: "ParticleStructure", elem: jax.Array, active: jax.Array):
         n_active = jnp.sum(active.astype(jnp.int32))
         return slot, None, None, None, n_active
 
-    counts = jax.ops.segment_sum(
-        active.astype(LID_DTYPE), key, num_segments=E + 1
-    )[:E]
+    # ONE stable sort serves everything: element-sorted particle order, the
+    # per-element counts (diff of searchsorted — the particle-rate
+    # segment_sum this replaces costs ~240 ms at 18M slots), and the block
+    # starts (searchsorted lower bounds directly, no cumsum of counts).
+    order = jnp.argsort(key, stable=True)  # element-sorted particle order
+    sorted_elem = key[order]
+    start = jnp.searchsorted(
+        sorted_elem, jnp.arange(E + 1, dtype=key.dtype)
+    ).astype(LID_DTYPE)                    # (E+1,) first slot of each elem
+    counts = jnp.diff(start)
 
     if ps.layout in ("csr", "cabm"):
         if ps.layout == "cabm":
@@ -290,10 +297,7 @@ def _assign_slots(ps: "ParticleStructure", elem: jax.Array, active: jax.Array):
         else:
             seg = counts
         offsets = jnp.concatenate([jnp.zeros(1, seg.dtype), jnp.cumsum(seg)])
-        order = jnp.argsort(key, stable=True)  # element-sorted particle order
         # rank within element = position - start of that element's block
-        sorted_elem = key[order]
-        start = jnp.concatenate([jnp.zeros(1, counts.dtype), jnp.cumsum(counts)])
         rank = jnp.arange(M, dtype=LID_DTYPE) - start[jnp.minimum(sorted_elem, E)].astype(LID_DTYPE)
         slot_sorted = jnp.where(
             sorted_elem < E,
@@ -316,9 +320,6 @@ def _assign_slots(ps: "ParticleStructure", elem: jax.Array, active: jax.Array):
         )
         row = jnp.where(active, elem_to_row[jnp.minimum(elem, E - 1)], -1)
         # rank of each particle within its element
-        order = jnp.argsort(key, stable=True)
-        sorted_elem = key[order]
-        start = jnp.concatenate([jnp.zeros(1, counts.dtype), jnp.cumsum(counts)])
         rank_sorted = jnp.arange(M, dtype=LID_DTYPE) - start[
             jnp.minimum(sorted_elem, E)
         ].astype(LID_DTYPE)
