@@ -545,10 +545,22 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
         sidx = _compact_idx(p_done, m)
         in_range = sidx < pn
         sidx = jnp.minimum(sidx, pn - 1)
-        s_elem = jnp.where(in_range, p_elem[sidx], INVALID)
-        s_dest = tuple(d[sidx] for d in p_dest)
+        # extract the always-needed walk state through ONE row gather: the
+        # per-indexed-op fixed cost dominates extraction (walk_opt15), so
+        # elem/fbg/dest ride as bitcast-int32 rows of a packed (k, pn)
+        # array.  orig/rec stay separate (unused columns DCE away there).
+        packed = jnp.stack(
+            [p_elem, p_fbg]
+            + [jax.lax.bitcast_convert_type(d, jnp.int32) for d in p_dest]
+        )
+        cols = jnp.take(packed, sidx, axis=1)          # (2+dim, m)
+        s_elem = jnp.where(in_range, cols[0], INVALID)
+        s_fbg = jnp.where(in_range, cols[1], jnp.int32(-2))
+        s_dest = tuple(
+            jax.lax.bitcast_convert_type(cols[2 + i], d.dtype)
+            for i, d in enumerate(p_dest)
+        )
         s_done = ~in_range
-        s_fbg = jnp.where(in_range, p_fbg[sidx], jnp.int32(-2))
         s_rec = tuple(r[sidx] for r in p_rec)
         s_orig = tuple(o[sidx] for o in p_orig)
         # compose to global slot ids (out-of-range -> n, dropped at merge)

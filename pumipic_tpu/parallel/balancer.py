@@ -304,6 +304,11 @@ def repartition(
     selection.  Returns updated dest_rank."""
     S = bt.num_sbars
     R = jax.lax.axis_size(axis_name)
+    if R == 1:
+        # nothing to balance on one rank (the reference's EnGPar call is a
+        # no-op at comm size 1); static early-out keeps the whole weight
+        # exchange/diffusion/selection out of the single-rank executable
+        return dest_rank
 
     sbar = jnp.where(
         active & (new_elem >= 0),
