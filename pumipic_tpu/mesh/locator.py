@@ -285,7 +285,8 @@ def _host_walk(geom: np.ndarray, e0: np.ndarray, px: np.ndarray,
 
 def attach_cell_rows(grid: LocatorGrid2D, walk_geom,
                      samples_per_cell: int = 8,
-                     seed: int = 1729) -> LocatorGrid2D:
+                     seed: int = 1729,
+                     aux: Optional[np.ndarray] = None) -> LocatorGrid2D:
     """Return a copy of ``grid`` whose cells carry TWO candidate walk rows.
 
     Candidates are calibrated by stratified random samples per cell located
@@ -317,16 +318,22 @@ def attach_cell_rows(grid: LocatorGrid2D, walk_geom,
     found = _host_walk(geom, ce[cell], px, py)
     a, b = _top2_per_cell(cell, found, ce)
 
-    rows = np.concatenate(
-        [geom[a][:, 0:6], a[:, None].astype(np.float32),
-         geom[b][:, 0:6], b[:, None].astype(np.float32)],
-        axis=1).astype(np.float32)
+    # per-candidate layout: [affine 6 | elem id | aux columns (A)]; aux is
+    # an optional (E, A) table captured by the search at walk finish (e.g.
+    # the push's per-element rotation) — see search_mesh_2d_accel
+    parts_a = [geom[a][:, 0:6], a[:, None].astype(np.float32)]
+    parts_b = [geom[b][:, 0:6], b[:, None].astype(np.float32)]
+    if aux is not None:
+        auxh = np.asarray(aux, np.float32)
+        parts_a.append(auxh[a])
+        parts_b.append(auxh[b])
+    rows = np.concatenate(parts_a + parts_b, axis=1).astype(np.float32)
     return dataclasses.replace(grid, cell_rows=jnp.asarray(rows))
 
 
 def build_locator_grid(coords: np.ndarray, elem2verts: np.ndarray,
                        cells_per_elem: float = 16.0,
-                       walk_geom=None) -> LocatorGrid2D:
+                       walk_geom=None, aux=None) -> LocatorGrid2D:
     """Host build: bucket element centroids into ~cells_per_elem*E cells and
     flood-fill empty cells from their neighbors."""
     coords = np.asarray(coords, np.float64)
@@ -374,5 +381,5 @@ def build_locator_grid(coords: np.ndarray, elem2verts: np.ndarray,
         ny=jnp.int32(ny),
     )
     if walk_geom is not None:
-        out = attach_cell_rows(out, walk_geom)
+        out = attach_cell_rows(out, walk_geom, aux=aux)
     return out

@@ -343,7 +343,12 @@ def make_dp_setup(mesh: Mesh2D, cfg: XGCmConfig, device_mesh, seed: int = ELEMEN
 
     # trig-free rotation push state: carry (cos phi, sin phi) instead of phi
     # (the per-step trig collapses to a 2x2 rotation by the element's
-    # per-step angle; parity test in test_models.py)
+    # per-step angle; parity test in test_models.py).  NOTE: walk-captured
+    # rotation (search aux_capture) was measured SLOWER end-to-end than the
+    # push's small-table gather (209 vs 178 ms at 10M — the wider peel rows
+    # and rec-channel extraction outweigh the saved gather), so the push
+    # keeps its rot-table gather (docs/PERFORMANCE.md round-2e).
+    rot_table = push_ops.elliptical_rot_table(mesh.class_id, cfg.deg_per_push)
     state = {
         "x0": jnp.asarray(pos[:, 0], jnp.float32),
         "x1": jnp.asarray(pos[:, 1], jnp.float32),
@@ -355,7 +360,6 @@ def make_dp_setup(mesh: Mesh2D, cfg: XGCmConfig, device_mesh, seed: int = ELEMEN
     }
     gyro_fwd, gyro_bwd = build_gyro_mappings(mesh, cfg.gyro)
     gyro = cfg.gyro
-    rot_table = push_ops.elliptical_rot_table(mesh.class_id, cfg.deg_per_push)
     locator = None
     if cfg.use_locator:
         from pumipic_tpu.mesh.locator import build_locator_grid
@@ -479,6 +483,13 @@ def make_picparts_setup(
     n_cap = max(
         int(max((own_of_ptcl == r).sum() for r in range(R)) * 1.5) + 8, 64
     )
+    # per-rank rotation tables (local element -> per-step rotation)
+    rot_h = np.stack([
+        np.asarray(push_ops.elliptical_rot_table(
+            pp.mesh.class_id[r], cfg.deg_per_push))
+        for r in range(R)
+    ]).astype(np.float32)
+
     state_h = {
         "x0": np.zeros((R, n_cap), np.float32),
         "x1": np.zeros((R, n_cap), np.float32),
@@ -567,29 +578,29 @@ def make_picparts_setup(
 
     from functools import partial as _partial
 
+    rot_tables = jax.device_put(jnp.asarray(rot_h), sharding)
+
     @jax.jit
     @_partial(
         jax.shard_map,
         mesh=device_mesh,
         in_specs=(P(RANK_AXIS), P(RANK_AXIS), P(), P(), P(RANK_AXIS),
-                  P(RANK_AXIS)),
+                  P(RANK_AXIS), P(RANK_AXIS)),
         out_specs=(P(RANK_AXIS), P(RANK_AXIS), P()),
         check_vma=False,
     )
-    def step(pp_l, gmap_l, bt_r, nplan_r, loc_l, s):
+    def step(pp_l, gmap_l, bt_r, nplan_r, loc_l, rot_l, s):
         lpp = ppm.local_view(pp_l)
         lmesh = lpp.mesh
         s = ppm.local_view(s)
         gmap = gmap_l[0]
         lloc = ppm.local_view(loc_l) if loc_l is not None else None
+        rot_table = rot_l[0]
         me = jax.lax.axis_index(RANK_AXIS).astype(jnp.int32)
 
         elem, active = s["elem"], s["active"]
-        # rotation push: the per-rank table is rebuilt in-step at MESH rate
-        # (E_loc trig calls — negligible next to any particle-rate op)
-        rot_table = push_ops.elliptical_rot_table(
-            lmesh.class_id, cfg.deg_per_push
-        )
+        # rotation push (rot-table gather; walk-captured aux measured slower
+        # end-to-end — see make_dp_setup note)
         tx, ty, cphi_new, sphi_new = push_ops.elliptical_push_rot(
             s["cphi"], s["sphi"], s["b"], elem, rot_table,
             cfg.h, cfg.k, cfg.d
@@ -664,7 +675,7 @@ def make_picparts_setup(
         )
 
     return pp, state, gyro_map, (
-        lambda s: step(pp, gyro_map, bt, nplan, locator, s)
+        lambda s: step(pp, gyro_map, bt, nplan, locator, rot_tables, s)
     )
 
 

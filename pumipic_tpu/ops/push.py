@@ -79,6 +79,35 @@ def elliptical_rot_table(
     return jnp.stack([jnp.cos(delta), jnp.sin(delta)], axis=1)
 
 
+def elliptical_push_rot_vals(
+    cphi: jax.Array,
+    sphi: jax.Array,
+    b: jax.Array,
+    cd: jax.Array,
+    sd: jax.Array,
+    h: float,
+    k: float,
+    d: float,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Trig-free elliptical push on pre-gathered per-particle rotation
+    values (cd, sd) — pure elementwise, zero gathers.  The flagship step
+    gets (cd, sd) captured by the previous search's walk
+    (``search_mesh_2d_accel(aux_capture=rot_table)``), which removes the
+    particle-rate rotation gather from the push entirely.
+
+    Returns (x, y, new_cphi, new_sphi).  A Newton renormalization step
+    (f = 1.5 - 0.5·(c²+s²)) keeps the carried unit vector from drifting in
+    f32 across steps; equivalent to :func:`elliptical_push_components` to
+    ~1e-5 over hundreds of steps (tests/test_models.py parity test).
+    """
+    c2 = cphi * cd - sphi * sd
+    s2 = sphi * cd + cphi * sd
+    f = 1.5 - 0.5 * (c2 * c2 + s2 * s2)
+    c2 = c2 * f
+    s2 = s2 * f
+    return b * d * c2 + h, b * s2 + k, c2, s2
+
+
 def elliptical_push_rot(
     cphi: jax.Array,
     sphi: jax.Array,
@@ -89,22 +118,12 @@ def elliptical_push_rot(
     k: float,
     d: float,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Trig-free elliptical push: rotate carried (cos φ, sin φ) by the
-    element's per-step angle and emit the target position.
-
-    Returns (x, y, new_cphi, new_sphi).  A Newton renormalization step
-    (f = 1.5 - 0.5·(c²+s²)) keeps the carried unit vector from drifting in
-    f32 across steps; equivalent to :func:`elliptical_push_components` to
-    ~1e-5 over hundreds of steps (tests/test_models.py parity test).
-    """
+    """Trig-free elliptical push gathering the element's rotation row; see
+    :func:`elliptical_push_rot_vals` for the gather-free capture variant."""
     r = rot_table[jnp.maximum(elem, 0)]
-    cd, sd = r[:, 0], r[:, 1]
-    c2 = cphi * cd - sphi * sd
-    s2 = sphi * cd + cphi * sd
-    f = 1.5 - 0.5 * (c2 * c2 + s2 * s2)
-    c2 = c2 * f
-    s2 = s2 * f
-    return b * d * c2 + h, b * s2 + k, c2, s2
+    return elliptical_push_rot_vals(
+        cphi, sphi, b, r[:, 0], r[:, 1], h, k, d
+    )
 
 
 def elliptical_push(

@@ -168,6 +168,9 @@ class SearchResult(NamedTuple):
     #                                        hit; -1 if the walk never hit one
     hit_c: Optional[Tuple[jax.Array, ...]] = None  # (N,) boundary crossing pt
     num_hits: Optional[jax.Array] = None   # (N,) real boundary hits taken
+    # with aux_capture: per-particle columns of the aux table at the FINAL
+    # element, captured during the walk (no post-search gather needed)
+    aux_c: Optional[Tuple[jax.Array, ...]] = None
 
     @property
     def dest(self) -> jax.Array:
@@ -364,12 +367,16 @@ def _compact_idx(done: jax.Array, m: int) -> jax.Array:
 
 
 def _make_step(core, mesh, boundary_handler, use_guess: bool,
-               record_exit: bool):
+               record_exit: bool, aux_table=None):
     """One vectorized walk step, width-agnostic.  State arrays are all (N,).
 
-    ``rec`` threads the optional exit-recording state
-    (side, num_hits, hit components...) through the walk."""
+    ``rec`` threads the optional per-particle capture state through the
+    walk: first ``aux_table.shape[1]`` entries hold per-element aux values
+    captured AT WALK FINISH (e.g. the push's per-element rotation — kills a
+    full-width particle-rate gather downstream), then the exit-recording
+    entries (side, num_hits, hit components) when ``record_exit``."""
     needs_hit = record_exit or getattr(boundary_handler, "needs_hit", False)
+    n_aux = 0 if aux_table is None else aux_table.shape[1]
 
     def step(elem, dest, done, fbg, orig, rec):
         # ``fbg`` fuses the on-guess flag and the fallback element into one
@@ -423,15 +430,23 @@ def _make_step(core, mesh, boundary_handler, use_guess: bool,
             dest = tuple(
                 jnp.where(real_hit, bd, d) for bd, d in zip(bres.dest, dest)
             )
+        if n_aux or record_exit:
+            rec = list(rec)
+        if n_aux:
+            av = aux_table[e_safe]                     # (w, n_aux)
+            newly = walking & inside
+            for k in range(n_aux):
+                rec[k] = jnp.where(newly, av[:, k], rec[k])
         if record_exit:
-            side_rec, nhits = rec[0], rec[1]
-            hit_rec = rec[2:]
-            side_rec = jnp.where(real_hit, side, side_rec)
-            nhits = nhits + real_hit.astype(nhits.dtype)
-            hit_rec = tuple(
+            side_rec, nhits = rec[n_aux], rec[n_aux + 1]
+            hit_rec = rec[n_aux + 2:]
+            rec[n_aux] = jnp.where(real_hit, side, side_rec)
+            rec[n_aux + 1] = nhits + real_hit.astype(nhits.dtype)
+            rec[n_aux + 2:] = [
                 jnp.where(real_hit, h, hr) for h, hr in zip(hit, hit_rec)
-            )
-            rec = (side_rec, nhits) + hit_rec
+            ]
+        if n_aux or record_exit:
+            rec = tuple(rec)
         return new_elem, dest, new_done, new_fbg, rec
 
     # handlers that never move the destination (e.g. remove-on-exit) let the
@@ -444,7 +459,8 @@ def _make_step(core, mesh, boundary_handler, use_guess: bool,
 def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
               fallback=None, fg0=None, record_exit: bool = False,
               widths: Optional[Tuple[int, ...]] = None,
-              it0: int = 0) -> SearchResult:
+              it0: int = 0,
+              aux0: Tuple[jax.Array, ...] = ()) -> SearchResult:
     """Pyramid walk: run at full width only while most walkers are live, then
     repeatedly shrink the working width, each time compacting the survivors
     of the PREVIOUS level (one O(N) argsort total); all levels' results
@@ -461,13 +477,13 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
         fg0 = jnp.zeros((n,), bool)
     # fused on-guess-flag + fallback carry (see _make_step)
     fbg0 = jnp.where(fg0, fallback.astype(jnp.int32), jnp.int32(-2))
+    n_aux = len(aux0)
+    rec0 = tuple(aux0)
     if record_exit:
-        rec0 = (
+        rec0 = rec0 + (
             jnp.full((n,), INVALID, jnp.int32),
             jnp.zeros((n,), jnp.int32),
         ) + tuple(jnp.asarray(d) for d in dest0)
-    else:
-        rec0 = ()
 
     if widths is None:
         # default width pyramid: n/16, n/256, ... down to a 1024-wide tail
@@ -598,13 +614,16 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
         )
 
     all_found = jnp.all(last_done)
+    aux_c = rec[:n_aux] if n_aux else None
     if record_exit:
         return SearchResult(
             elem_ids=elem, dest_c=dest, iters=it, all_found=all_found,
-            exit_side=rec[0], num_hits=rec[1], hit_c=rec[2:],
+            exit_side=rec[n_aux], num_hits=rec[n_aux + 1],
+            hit_c=rec[n_aux + 2:], aux_c=aux_c,
         )
     return SearchResult(
-        elem_ids=elem, dest_c=dest, iters=it, all_found=all_found
+        elem_ids=elem, dest_c=dest, iters=it, all_found=all_found,
+        aux_c=aux_c,
     )
 
 
@@ -702,6 +721,7 @@ def search_mesh_2d_accel(
     boundary_handler: Callable[[BoundaryCtx], BoundaryResult] = remove_on_exit,
     record_exit: bool = False,
     widths: Optional[Tuple[int, ...]] = None,
+    aux_capture: Optional[jax.Array] = None,
 ) -> SearchResult:
     """Grid-accelerated 2D search: walk from a background-grid guess of the
     DESTINATION (1-2 hops) instead of the previous element (one hop per
@@ -715,25 +735,42 @@ def search_mesh_2d_accel(
     gather and the first containment pass collapse into ONE gather off the
     cell table — bit-identical results, minus one full-width walk-table
     gather (perf/walk_opt9.py).
+
+    ``aux_capture``: optional (E, A) f32 table whose row at each particle's
+    FINAL element is captured during the walk and returned as
+    ``SearchResult.aux_c`` — e.g. the push's per-element rotation, saving a
+    full-width particle-rate gather downstream.  With cell rows it requires
+    a grid built with the same aux (``attach_cell_rows(..., aux=...)``).
     """
     step = _make_step(_core_2d(mesh), mesh, boundary_handler, True,
-                      record_exit)
+                      record_exit, aux_table=aux_capture)
     fallback = jnp.where(
         active, jnp.clip(elem_prev.astype(jnp.int32), 0, mesh.nelems - 1),
         INVALID,
     )
     dest = _components(x_tgt)
+    n = elem_prev.shape[0]
+    n_aux = 0 if aux_capture is None else aux_capture.shape[1]
     if grid.cell_rows is not None:
         # peeled first pass off the cell-resident candidate rows: the guess
         # gather, the containment test, and the edge-straddling second
-        # candidate all ride ONE 14-col gather (gather cost scales with row
+        # candidate all ride ONE gather (gather cost scales with row
         # bytes).  Misses stay on candidate A as guess-trajectory survivors;
         # the pyramid's first narrow pass crosses or retries from the true
         # previous element — identical results, one deferred hop for the
         # ~5% miss tail (perf/walk_opt12.py).
-        g = grid.cell_rows[grid.cell_of(dest)]          # (N, 14)
+        # Row layout (attach_cell_rows): [A affine 6 | elemA | auxA (A)]
+        # then the same for candidate B.
+        ga = (grid.cell_rows.shape[1] - 14) // 2      # aux cols per candidate
+        if aux_capture is not None and ga != n_aux:
+            raise ValueError(
+                f"grid cell_rows carry {ga} aux columns but aux_capture has "
+                f"{n_aux}; rebuild the locator with attach_cell_rows(aux=...)"
+            )
+        ob = 7 + ga                                    # candidate B offset
+        g = grid.cell_rows[grid.cell_of(dest)]        # (N, 14 + 2*ga)
         elem_a = g[:, 6].astype(jnp.int32)
-        elem_b = g[:, 13].astype(jnp.int32)
+        elem_b = g[:, ob + 6].astype(jnp.int32)
         dx, dy = dest
 
         def _inside(o):
@@ -749,24 +786,30 @@ def search_mesh_2d_accel(
             return (w0 >= -(t1 + t2)) & (l1 >= -t1) & (l2 >= -t2)
 
         inside_a = _inside(0)
-        inside_b = _inside(7)
+        inside_b = _inside(ob)
         inside = inside_a | inside_b
         elem0 = jnp.where(
             active, jnp.where(inside_a | ~inside, elem_a, elem_b), INVALID)
         fg0 = active & ~inside
         done0 = ~active | (active & inside)
+        aux0 = tuple(
+            jnp.where(inside_a, g[:, 7 + k],
+                      jnp.where(inside_b, g[:, ob + 7 + k], 0.0))
+            for k in range(n_aux)
+        )
         return _run_walk(
             step, elem0, dest, done0=done0, orig=_components(x_orig),
             max_iters=max_iters, fallback=fallback, fg0=fg0,
-            record_exit=record_exit, widths=widths, it0=1,
+            record_exit=record_exit, widths=widths, it0=1, aux0=aux0,
         )
     guess = grid.guess(x_tgt)
     elem0 = jnp.where(active, guess, INVALID)
+    aux0 = tuple(jnp.zeros((n,), jnp.float32) for _ in range(n_aux))
     return _run_walk(
         step, elem0, dest, done0=~active,
         orig=_components(x_orig), max_iters=max_iters,
         fallback=fallback, fg0=active, record_exit=record_exit,
-        widths=widths,
+        widths=widths, aux0=aux0,
     )
 
 

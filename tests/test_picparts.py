@@ -714,3 +714,29 @@ def test_bridge_dim_3d_face():
             ppm.PicPartsInput(ppm.BufferMethod.BFS, 1, 0, bridge_dim=3),
             mesh_cls=Mesh3D,
         )
+
+
+def test_picparts_single_rank_early_out():
+    """R=1 picparts must take the reference's comm-size-1 migrate path
+    (SCS_migrate.h single-rank early-out; LB no-op) and still run the full
+    step (search + scatter + owner sync) correctly."""
+    import jax
+    from jax.sharding import Mesh as JMesh
+    from pumipic_tpu.mesh import generate as gen
+    from pumipic_tpu.models.pseudo_xgcm import (
+        GyroConfig, XGCmConfig, make_picparts_setup,
+    )
+
+    dm = JMesh(np.array(jax.devices()[:1]), ("ranks",))
+    coords, tris, cls = gen.annulus_mesh(8, 48, 0.3, 1.0)
+    cfg = XGCmConfig(num_ptcls=5000, mdl_face=2, deg_per_push=15.0,
+                     gyro=GyroConfig(num_rings=2, points_per_ring=4))
+    pp, state, gmap, step = make_picparts_setup(
+        coords, tris, cls, cfg, dm, use_lb=True)
+    s = state
+    for _ in range(3):
+        s, fwd, stats = step(s)
+    assert int(stats["sent"]) == 0          # no exchange on one rank
+    assert int(stats["overflow"]) == 0
+    assert int(stats["alive"]) > 4500       # only boundary exits lost
+    assert float(jnp.sum(fwd)) > 0

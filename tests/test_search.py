@@ -325,3 +325,42 @@ def test_search_2d_accel_with_rows_and_compacted_guess_retry():
             np.asarray(res_plain.elem_ids), np.asarray(res_accel.elem_ids)
         )
     assert (np.asarray(res_plain.elem_ids) == -1).sum() > 0
+
+
+def test_search_aux_capture_matches_final_element():
+    """aux_capture: the walk must return the aux table rows of each
+    particle's FINAL element, whether it resolved in the peel (either
+    candidate) or deep in the compaction pyramid."""
+    from pumipic_tpu.mesh.locator import build_locator_grid
+
+    coords, tris, cls = gen.annulus_mesh(6, 32, 0.3, 1.0)
+    m = Mesh2D.from_arrays(coords, tris, cls)
+    rng = np.random.default_rng(8)
+    aux = jnp.asarray(rng.normal(size=(m.nelems, 3)), jnp.float32)
+    grid = build_locator_grid(coords, tris, walk_geom=m.walk_geom,
+                              aux=np.asarray(aux))
+    n = 2048
+    elems = rng.integers(0, m.nelems, n)
+    orig = np.asarray(m.elem_centroids)[elems]
+    tgt = orig + rng.normal(scale=0.15, size=(n, 2))
+    for widths in (None, (256, 32)):
+        res = search.search_mesh_2d_accel(
+            m, grid, jnp.asarray(orig), jnp.asarray(tgt),
+            jnp.asarray(elems, jnp.int32), jnp.ones(n, bool), 200,
+            widths=widths, aux_capture=aux,
+        )
+        got = np.stack([np.asarray(a) for a in res.aux_c], axis=1)
+        eid = np.asarray(res.elem_ids)
+        found = eid >= 0
+        assert found.sum() > 0 and (~found).sum() > 0
+        np.testing.assert_array_equal(
+            got[found], np.asarray(aux)[eid[found]]
+        )
+    # mismatched aux widths must be rejected loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        search.search_mesh_2d_accel(
+            m, grid, jnp.asarray(orig), jnp.asarray(tgt),
+            jnp.asarray(elems, jnp.int32), jnp.ones(n, bool), 200,
+            aux_capture=aux[:, :2],
+        )
