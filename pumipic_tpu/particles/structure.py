@@ -363,6 +363,45 @@ def _rebuild(
             k: jnp.concatenate([v, new_ptcl_fields[k]]) for k, v in fields.items()
         }
 
+    if ps.layout in ("csr", "dps"):
+        # GATHER formulation: for CSR (dense element-sorted, no padding
+        # gaps) and DPS (actives-first compaction) the stable sorted order
+        # IS the slot order, so rebuild needs no slot array and no
+        # scatters at all — out[j] = in[order[j]] per field.  Scatter-free
+        # rebuild is ~2x cheaper at 10M (ps_combo).
+        E, M = ps.num_elems, elem.shape[0]
+        if ps.layout == "csr":
+            key = jnp.where(active, elem, E)
+            order = jnp.argsort(key, stable=True)
+            sorted_key = key[order]
+            start = jnp.searchsorted(
+                sorted_key, jnp.arange(E + 1, dtype=key.dtype)
+            ).astype(LID_DTYPE)
+            elem_offsets = start                    # (E+1,) dense CSR
+            needed = start[E]
+        else:
+            order = jnp.argsort(jnp.where(active, 0, 1), stable=True)
+            sorted_key = elem[order]
+            elem_offsets = None
+            needed = jnp.sum(active.astype(LID_DTYPE))
+        take = order[:C]
+        j = jnp.arange(C, dtype=LID_DTYPE)
+        out_active = j < needed
+        out_elem = jnp.where(out_active, sorted_key[:C].astype(LID_DTYPE), -1)
+        out_fields = {k: v[take] for k, v in fields.items()}
+        n = jnp.sum(active.astype(jnp.int32))
+        return dataclasses.replace(
+            ps,
+            fields=out_fields,
+            elem=out_elem,
+            active=out_active,
+            num_ptcls=n,
+            elem_offsets=elem_offsets,
+            row_to_elem=None,
+            elem_to_row=None,
+            overflowed=needed > C,
+        )
+
     slot, elem_offsets, row_to_elem, elem_to_row, needed = _assign_slots(
         ps, elem, active
     )
