@@ -52,6 +52,15 @@ class LocatorGrid2D:
     # neighbor columns here.  Built by ``attach_cell_rows``; None =
     # guess-only locator.
     cell_rows: Optional[jax.Array] = None
+    # optional slim separating-line rows [gx gy gc | elemA | elemB] →
+    # (n_cells, 5) f32: pick A when gx·x + gy·y + gc >= 0 else B.  When A
+    # and B share an edge the line is A's barycentric coordinate toward B,
+    # which is an EXACT decision on A∪B (a triangle across an edge lies
+    # entirely on the line's non-positive side) — so this resolves the same
+    # ~95% as the 2-candidate containment rows at ~1/3 the gathered bytes;
+    # containment itself moves to the walk's first (small-table) pass.
+    # Built by ``attach_cell_lines``; preferred by the search when present.
+    cell_lines: Optional[jax.Array] = None
 
     def cell_of(self, pts) -> jax.Array:
         """Points -> (N,) clamped cell ids (f32 index arithmetic, one cast)."""
@@ -87,6 +96,9 @@ class LocatorGrid3D:
     # LocatorGrid2D.cell_rows: [A affine (12) | elemA | B affine (12) |
     # elemB] → (n_cells, 26) f32 (see attach_cell_rows_3d)
     cell_rows: Optional[jax.Array] = None
+    # optional slim separating-plane rows [gx gy gz gc | elemA | elemB] →
+    # (n_cells, 6) f32, the 3D analog of LocatorGrid2D.cell_lines
+    cell_lines: Optional[jax.Array] = None
 
     def cell_of(self, pts) -> jax.Array:
         if isinstance(pts, tuple):
@@ -205,7 +217,8 @@ def attach_cell_rows_3d(grid: LocatorGrid3D, walk_geom,
 
 def build_locator_grid_3d(coords: np.ndarray, elem2verts: np.ndarray,
                           cells_per_elem: float = 2.0,
-                          walk_geom=None) -> LocatorGrid3D:
+                          walk_geom=None,
+                          peel: str = "lines") -> LocatorGrid3D:
     """3D analog of :func:`build_locator_grid` (tet meshes)."""
     coords = np.asarray(coords, np.float64)
     ev = np.asarray(elem2verts, np.int64)
@@ -248,7 +261,10 @@ def build_locator_grid_3d(coords: np.ndarray, elem2verts: np.ndarray,
         nx=nx, ny=ny, nz=nz,
     )
     if walk_geom is not None:
-        out = attach_cell_rows_3d(out, walk_geom)
+        if peel == "lines":
+            out = attach_cell_lines_3d(out, walk_geom)
+        else:
+            out = attach_cell_rows_3d(out, walk_geom)
     return out
 
 
@@ -331,9 +347,121 @@ def attach_cell_rows(grid: LocatorGrid2D, walk_geom,
     return dataclasses.replace(grid, cell_rows=jnp.asarray(rows))
 
 
+def _sep_rows(geom: np.ndarray, a: np.ndarray, b: np.ndarray,
+              bary_coeffs, nbr_cols: slice) -> np.ndarray:
+    """Shared separating-line/plane row assembly: for each (A, B) candidate
+    pair, emit [line coeffs | elemA | elemB] where the line is A's
+    barycentric coordinate toward B (EXACT decision on A∪B when B is a
+    neighbor of A — the neighbor triangle/tet lies entirely on the
+    coordinate's non-positive side).  Non-adjacent or identical pairs get
+    the always-A line (coeffs = 0, offset = 1).
+
+    ``bary_coeffs(g)`` returns a list of K+1 coefficient tuples (length
+    dim+1 each) for barycentric coordinates k = 0..K of rows ``g``;
+    ``nbr_cols`` slices the neighbor ids (col 6+k is the neighbor across
+    coordinate k's zero line, pre-permuted by the mesh build).
+    """
+    ga = geom[a]
+    nbrs = ga[:, nbr_cols].astype(np.int64)                # (n, K)
+    coeffs = bary_coeffs(ga)                               # list of tuples
+    ncoef = len(coeffs[0])
+    line = np.zeros((len(a), ncoef), np.float32)
+    line[:, -1] = 1.0                                      # always-A default
+    for k in range(nbrs.shape[1]):
+        hit = nbrs[:, k] == b
+        for j in range(ncoef):
+            line[hit, j] = coeffs[k][j][hit]
+    return np.concatenate(
+        [line, a[:, None].astype(np.float32), b[:, None].astype(np.float32)],
+        axis=1).astype(np.float32)
+
+
+def attach_cell_lines(grid: LocatorGrid2D, walk_geom,
+                      samples_per_cell: int = 8,
+                      seed: int = 1729) -> LocatorGrid2D:
+    """Attach slim separating-line rows (see ``LocatorGrid2D.cell_lines``).
+
+    Same sample calibration as :func:`attach_cell_rows`, but the cell
+    carries only [gx gy gc | elemA | elemB] (5 f32 columns vs 14): the
+    guess-resolution moves from two containment tests in the peel to one
+    exact line test, and containment moves to the walk's first pass off the
+    small ``walk_geom`` table — byte-driven gather design
+    (docs/PERFORMANCE.md round-3).
+    """
+    geom = np.asarray(walk_geom)
+    ce = np.asarray(grid.cell_elem, dtype=np.int64)
+    nx = int(np.asarray(grid.nx))
+    ny = int(np.asarray(grid.ny))
+    n_grid = nx * ny
+    ox, oy = np.asarray(grid.origin, np.float64)
+    hx = 1.0 / float(np.asarray(grid.inv_h)[0])
+    hy = 1.0 / float(np.asarray(grid.inv_h)[1])
+
+    K = samples_per_cell
+    rng = np.random.default_rng(seed)
+    cell = np.repeat(np.arange(n_grid, dtype=np.int64), K)
+    u = rng.uniform(size=n_grid * K)
+    v = rng.uniform(size=n_grid * K)
+    px = ox + (cell // ny + u) * hx
+    py = oy + (cell % ny + v) * hy
+    found = _host_walk(geom, ce[cell], px, py)
+    a, b = _top2_per_cell(cell, found, ce)
+
+    def bary_coeffs(g):
+        return [
+            (-g[:, 0] - g[:, 3], -g[:, 1] - g[:, 4], 1.0 - g[:, 2] - g[:, 5]),
+            (g[:, 0], g[:, 1], g[:, 2]),
+            (g[:, 3], g[:, 4], g[:, 5]),
+        ]
+
+    rows = _sep_rows(geom, a, b, bary_coeffs, slice(6, 9))
+    return dataclasses.replace(grid, cell_lines=jnp.asarray(rows))
+
+
+def attach_cell_lines_3d(grid: LocatorGrid3D, walk_geom,
+                         samples_per_cell: int = 8,
+                         seed: int = 1729) -> LocatorGrid3D:
+    """3D analog of :func:`attach_cell_lines`: slim separating-plane rows
+    [gx gy gz gc | elemA | elemB] (6 f32 columns vs 26)."""
+    geom = np.asarray(walk_geom)
+    ce = np.asarray(grid.cell_elem, dtype=np.int64)
+    nx, ny, nz = grid.nx, grid.ny, grid.nz
+    n_grid = nx * ny * nz
+    o = np.asarray(grid.origin, np.float64)
+    h = 1.0 / np.asarray(grid.inv_h, np.float64)
+
+    K = samples_per_cell
+    rng = np.random.default_rng(seed)
+    cell = np.repeat(np.arange(n_grid, dtype=np.int64), K)
+    u = rng.uniform(size=(n_grid * K, 3))
+    iz = cell % nz
+    iy = (cell // nz) % ny
+    ix = cell // (ny * nz)
+    px = o[0] + (ix + u[:, 0]) * h[0]
+    py = o[1] + (iy + u[:, 1]) * h[1]
+    pz = o[2] + (iz + u[:, 2]) * h[2]
+    found = _host_walk_3d(geom, ce[cell], px, py, pz)
+    a, b = _top2_per_cell(cell, found, ce)
+
+    def bary_coeffs(g):
+        return [
+            (-g[:, 0] - g[:, 4] - g[:, 8],
+             -g[:, 1] - g[:, 5] - g[:, 9],
+             -g[:, 2] - g[:, 6] - g[:, 10],
+             1.0 - g[:, 3] - g[:, 7] - g[:, 11]),
+            (g[:, 0], g[:, 1], g[:, 2], g[:, 3]),
+            (g[:, 4], g[:, 5], g[:, 6], g[:, 7]),
+            (g[:, 8], g[:, 9], g[:, 10], g[:, 11]),
+        ]
+
+    rows = _sep_rows(geom, a, b, bary_coeffs, slice(12, 16))
+    return dataclasses.replace(grid, cell_lines=jnp.asarray(rows))
+
+
 def build_locator_grid(coords: np.ndarray, elem2verts: np.ndarray,
                        cells_per_elem: float = 16.0,
-                       walk_geom=None, aux=None) -> LocatorGrid2D:
+                       walk_geom=None, aux=None,
+                       peel: str = "lines") -> LocatorGrid2D:
     """Host build: bucket element centroids into ~cells_per_elem*E cells and
     flood-fill empty cells from their neighbors."""
     coords = np.asarray(coords, np.float64)
@@ -381,5 +509,8 @@ def build_locator_grid(coords: np.ndarray, elem2verts: np.ndarray,
         ny=jnp.int32(ny),
     )
     if walk_geom is not None:
-        out = attach_cell_rows(out, walk_geom, aux=aux)
+        if peel == "lines" and aux is None:
+            out = attach_cell_lines(out, walk_geom)
+        else:
+            out = attach_cell_rows(out, walk_geom, aux=aux)
     return out

@@ -55,6 +55,10 @@ class XGCmConfig:
     max_search_iters: int = 128
     # background-grid point-location accelerator (global-mesh modes)
     use_locator: bool = True
+    # peel flavor: "lines" = slim separating-line cells (default; measured
+    # faster — docs/PERFORMANCE.md round-3), "rows" = 2-candidate
+    # containment rows
+    peel: str = "lines"
     # override for the walk's compaction pyramid (None = default; see
     # ops/search.py and perf/walk_opt2.py measurements)
     search_widths: Optional[Tuple[int, ...]] = None
@@ -77,18 +81,20 @@ def seed_particles_per_element(
         return np.zeros(mesh.nelems, np.int64)
     nppe = cfg.num_ptcls // num_marked
     ppe = np.zeros(mesh.nelems, np.int64)
-    total = 0
-    last = -1
     draws = rng.normal(nppe, max(nppe / 4, 1), size=mesh.nelems)
-    for i in range(mesh.nelems):
-        if on[i] and total < cfg.num_ptcls:
-            last = i
-            c = max(int(round(draws[i])), 0)
-            total += c
-            if total > cfg.num_ptcls:
-                c -= total - cfg.num_ptcls
-                total = cfg.num_ptcls
-            ppe[i] = c
+    # Vectorized form of the reference's sequential fill: visit marked
+    # elements in order, clip the cumulative total at num_ptcls, and dump any
+    # leftover on the last element visited while the budget was open.
+    # Bit-identical to the per-element loop it replaces (O(E) numpy instead
+    # of O(E) interpreter time — seconds at 120k elements).
+    midx = np.nonzero(on)[0]
+    c = np.maximum(np.round(draws[midx]).astype(np.int64), 0)
+    cum_before = np.cumsum(c) - c
+    take = np.clip(cfg.num_ptcls - cum_before, 0, None)
+    ppe[midx] = np.minimum(c, take)
+    total = int(ppe.sum())
+    open_budget = np.nonzero(cum_before < cfg.num_ptcls)[0]
+    last = midx[open_budget[-1]] if len(open_budget) else -1
     if total < cfg.num_ptcls and last >= 0:
         ppe[last] += cfg.num_ptcls - total
     return ppe
@@ -151,12 +157,17 @@ def build_gyro_mapping(
     return verts.reshape(-1).astype(LID_DTYPE)
 
 
-def build_gyro_mappings(mesh: Mesh2D, gyro: GyroConfig):
-    """Forward and backward maps (projection is identity for both, matching
-    the reference's placeholder field-line projection)."""
-    fwd = build_gyro_mapping(mesh, gyro)
-    bwd = build_gyro_mapping(mesh, gyro)
-    return fwd, bwd
+def build_gyro_mappings(mesh: Mesh2D, gyro: GyroConfig,
+                        project_fwd=None, project_bwd=None):
+    """Forward and backward maps.  The reference keeps distinct projection
+    slots but both are the identity placeholder (gyroScatter.hpp:96-166
+    TODO); when the projections coincide, ONE search builds both maps (the
+    second full mesh search was pure waste at setup — seconds on a 120k
+    mesh)."""
+    fwd = build_gyro_mapping(mesh, gyro, project=project_fwd)
+    if project_fwd is project_bwd:
+        return fwd, fwd
+    return fwd, build_gyro_mapping(mesh, gyro, project=project_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -204,7 +215,7 @@ class PseudoXGCm:
 
             self.locator = build_locator_grid(
                 np.asarray(mesh.coords), np.asarray(mesh.elem2verts),
-                walk_geom=mesh.walk_geom,
+                walk_geom=mesh.walk_geom, peel=cfg.peel,
             )
         self.step_fn = self._make_step()   # unjitted (for compile checks)
         self._step = jax.jit(self.step_fn)
@@ -366,7 +377,7 @@ def make_dp_setup(mesh: Mesh2D, cfg: XGCmConfig, device_mesh, seed: int = ELEMEN
 
         locator = build_locator_grid(
             np.asarray(mesh.coords), np.asarray(mesh.elem2verts),
-            walk_geom=mesh.walk_geom,
+            walk_geom=mesh.walk_geom, peel=cfg.peel,
         )
 
     def per_device_step(s):
@@ -551,25 +562,29 @@ def make_picparts_setup(
             # and scatter guesses back through the subset index
             sub_ev = ev_h[r][valid_e]
             g = build_locator_grid(cz_h[r][: (vg_h[r] >= 0).sum()], sub_ev,
-                                   walk_geom=wg_h[r])
+                                   walk_geom=wg_h[r], peel=cfg.peel)
             # cell ids are positions within valid_e == local elem ids when
             # valid elements are a prefix (they are: padding is appended)
             grids.append(g)
         kmax = max(int(g.cell_elem.shape[0]) for g in grids)
+
+        def _stack_padded(field):
+            vals = [getattr(g, field) for g in grids]
+            if vals[0] is None:
+                return None
+            return jnp.stack([
+                jnp.pad(v, ((0, kmax - v.shape[0]),) + ((0, 0),) * (v.ndim - 1))
+                for v in vals
+            ])
+
         locator = LocatorGrid2D(
             origin=jnp.stack([g.origin for g in grids]),
             inv_h=jnp.stack([g.inv_h for g in grids]),
-            cell_elem=jnp.stack([
-                jnp.pad(g.cell_elem, (0, kmax - g.cell_elem.shape[0]))
-                for g in grids
-            ]),
+            cell_elem=_stack_padded("cell_elem"),
             nx=jnp.stack([g.nx for g in grids]),
             ny=jnp.stack([g.ny for g in grids]),
-            cell_rows=jnp.stack([
-                jnp.pad(g.cell_rows,
-                        ((0, kmax - g.cell_rows.shape[0]), (0, 0)))
-                for g in grids
-            ]),
+            cell_rows=_stack_padded("cell_rows"),
+            cell_lines=_stack_padded("cell_lines"),
         )
         locator = jax.device_put(locator, sharding)
 

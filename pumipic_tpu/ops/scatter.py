@@ -53,7 +53,14 @@ def count_per_key_matmul(key: jax.Array, num_keys: int,
     sort (~35 ms); this trades it for 10M×(hi+lo) one-hot MACs on the MXU.
     Entries >= num_keys are ignored (callers pass ``num_keys`` as the
     overflow bucket like count_per_key).
+
+    Exactness bounds: the f32 key cast needs ``num_keys < 2^24`` and the f32
+    MXU accumulation needs every bucket count < 2^24 (guaranteed when the
+    total key count is); outside them this silently undercounts, so fall
+    back to the sorted histogram (both are static shape facts).
     """
+    if num_keys + 1 >= (1 << 24) or key.shape[0] >= (1 << 24):
+        return count_per_key(key, num_keys).astype(jnp.float32)
     n_hi = -(-(num_keys + 1) // lo_width)
     kf = key.astype(jnp.float32)                  # exact < 2^24
     lw = jnp.float32(lo_width)

@@ -751,6 +751,24 @@ def search_mesh_2d_accel(
     dest = _components(x_tgt)
     n = elem_prev.shape[0]
     n_aux = 0 if aux_capture is None else aux_capture.shape[1]
+    if grid.cell_lines is not None:
+        # slim separating-line peel: ONE 5-col gather picks between the
+        # cell's two candidates exactly (A's barycentric coordinate toward
+        # B — see attach_cell_lines); containment then rides the walk's
+        # first pass off the small walk_geom table.  ~1/3 the peel bytes of
+        # the 14-col containment rows at the same miss tail
+        # (docs/PERFORMANCE.md round-3).
+        g = grid.cell_lines[grid.cell_of(dest)]        # (N, 5)
+        dx, dy = dest
+        pick_a = g[:, 0] * dx + g[:, 1] * dy + g[:, 2] >= 0
+        e0 = jnp.where(pick_a, g[:, 3], g[:, 4]).astype(jnp.int32)
+        elem0 = jnp.where(active, e0, INVALID)
+        aux0 = tuple(jnp.zeros((n,), jnp.float32) for _ in range(n_aux))
+        return _run_walk(
+            step, elem0, dest, done0=~active, orig=_components(x_orig),
+            max_iters=max_iters, fallback=fallback, fg0=active,
+            record_exit=record_exit, widths=widths, aux0=aux0,
+        )
     if grid.cell_rows is not None:
         # peeled first pass off the cell-resident candidate rows: the guess
         # gather, the containment test, and the edge-straddling second
@@ -792,6 +810,10 @@ def search_mesh_2d_accel(
             active, jnp.where(inside_a | ~inside, elem_a, elem_b), INVALID)
         fg0 = active & ~inside
         done0 = ~active | (active & inside)
+        # NOTE: it0=1 below — the peeled containment test COUNTS as one walk
+        # iteration, matching the reference's per-containment-test budget
+        # (each loop turn of adjacency.hpp:1011-1158 is one test); a particle
+        # may take one fewer adjacency hop than max_iters on this path.
         aux0 = tuple(
             jnp.where(inside_a, g[:, 7 + k],
                       jnp.where(inside_b, g[:, ob + 7 + k], 0.0))
@@ -842,6 +864,18 @@ def search_mesh_3d_accel(
         INVALID,
     )
     dest = _components(x_tgt)
+    if grid.cell_lines is not None:
+        # slim separating-plane peel (see the 2D path / attach_cell_lines_3d)
+        g = grid.cell_lines[grid.cell_of(dest)]        # (N, 6)
+        dx, dy, dz = dest
+        pick_a = g[:, 0] * dx + g[:, 1] * dy + g[:, 2] * dz + g[:, 3] >= 0
+        e0 = jnp.where(pick_a, g[:, 4], g[:, 5]).astype(jnp.int32)
+        elem0 = jnp.where(active, e0, INVALID)
+        return _run_walk(
+            step, elem0, dest, done0=~active, orig=_components(x_orig),
+            max_iters=max_iters, fallback=fallback, fg0=active,
+            record_exit=record_exit, widths=widths,
+        )
     if grid.cell_rows is not None:
         g = grid.cell_rows[grid.cell_of(dest)]          # (N, 26)
         elem_a = g[:, 12].astype(jnp.int32)

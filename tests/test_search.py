@@ -249,7 +249,8 @@ def test_search_3d_accel_matches_plain():
     assert (np.asarray(res_plain.elem_ids) == -1).sum() > 0
 
     # cell-resident candidate rows (one-gather peel) must match exactly too
-    grid_rows = build_locator_grid_3d(coords, tets, walk_geom=m.walk_geom)
+    grid_rows = build_locator_grid_3d(coords, tets, walk_geom=m.walk_geom,
+                                      peel="rows")
     assert grid_rows.cell_rows is not None
     res_peel = search.search_mesh_3d_accel(
         m, grid_rows, jnp.asarray(orig), jnp.asarray(tgt),
@@ -257,6 +258,18 @@ def test_search_3d_accel_matches_plain():
     )
     np.testing.assert_array_equal(
         np.asarray(res_plain.elem_ids), np.asarray(res_peel.elem_ids)
+    )
+
+    # slim separating-plane peel (default) must match exactly too
+    grid_lines = build_locator_grid_3d(coords, tets, walk_geom=m.walk_geom)
+    assert grid_lines.cell_lines is not None
+    assert grid_lines.cell_lines.shape[1] == 6
+    res_lines = search.search_mesh_3d_accel(
+        m, grid_lines, jnp.asarray(orig), jnp.asarray(tgt),
+        jnp.asarray(elems, jnp.int32), jnp.ones(n, bool), 100,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_plain.elem_ids), np.asarray(res_lines.elem_ids)
     )
 
 
@@ -303,8 +316,12 @@ def test_search_2d_accel_with_rows_and_compacted_guess_retry():
 
     coords, tris, cls = gen.annulus_mesh(6, 32, 0.3, 1.0)
     m = Mesh2D.from_arrays(coords, tris, cls)
-    grid = build_locator_grid(coords, tris, walk_geom=m.walk_geom)
+    grid = build_locator_grid(coords, tris, walk_geom=m.walk_geom,
+                              peel="rows")
     assert grid.cell_rows is not None and grid.cell_rows.shape[1] == 14
+    grid_lines = build_locator_grid(coords, tris, walk_geom=m.walk_geom)
+    assert grid_lines.cell_lines is not None
+    assert grid_lines.cell_lines.shape[1] == 5
     rng = np.random.default_rng(6)
     n = 2048
     elems = rng.integers(0, m.nelems, n)
@@ -315,16 +332,61 @@ def test_search_2d_accel_with_rows_and_compacted_guess_retry():
         m, jnp.asarray(orig), jnp.asarray(tgt),
         jnp.asarray(elems, jnp.int32), jnp.ones(n, bool), 200,
     )
-    for widths in ((256, 32), (512,), ()):
-        res_accel = search.search_mesh_2d_accel(
-            m, grid, jnp.asarray(orig), jnp.asarray(tgt),
-            jnp.asarray(elems, jnp.int32), jnp.ones(n, bool), 200,
-            widths=widths,
-        )
-        np.testing.assert_array_equal(
-            np.asarray(res_plain.elem_ids), np.asarray(res_accel.elem_ids)
-        )
+    for g in (grid, grid_lines):
+        for widths in ((256, 32), (512,), ()):
+            res_accel = search.search_mesh_2d_accel(
+                m, g, jnp.asarray(orig), jnp.asarray(tgt),
+                jnp.asarray(elems, jnp.int32), jnp.ones(n, bool), 200,
+                widths=widths,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(res_plain.elem_ids), np.asarray(res_accel.elem_ids)
+            )
     assert (np.asarray(res_plain.elem_ids) == -1).sum() > 0
+
+
+def test_cell_lines_decision_exactness():
+    """The separating-line decision must pick the candidate that actually
+    contains the point whenever the point is in A∪B (A's barycentric
+    coordinate toward a NEIGHBOR B is exact on A∪B)."""
+    from pumipic_tpu.mesh.locator import build_locator_grid
+
+    coords, tris, cls = gen.annulus_mesh(8, 48, 0.3, 1.0)
+    m = Mesh2D.from_arrays(coords, tris, cls)
+    grid = build_locator_grid(coords, tris, walk_geom=m.walk_geom)
+    rows = np.asarray(grid.cell_lines)
+    geom = np.asarray(m.walk_geom)
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(-1.0, 1.0, size=(4096, 2)).astype(np.float32)
+    r = np.hypot(pts[:, 0], pts[:, 1])
+    keep = (r > 0.32) & (r < 0.98)
+    pts = pts[keep]
+    cell = np.asarray(grid.cell_of((jnp.asarray(pts[:, 0]),
+                                    jnp.asarray(pts[:, 1]))))
+    g = rows[cell]
+
+    def inside(e, px, py):
+        gg = geom[e]
+        l1 = gg[:, 0] * px + gg[:, 1] * py + gg[:, 2]
+        l2 = gg[:, 3] * px + gg[:, 4] * py + gg[:, 5]
+        w0 = 1.0 - l1 - l2
+        return np.minimum(np.minimum(l1, l2), w0) >= 1e-7   # strict interior
+
+    ea = g[:, 3].astype(np.int64)
+    eb = g[:, 4].astype(np.int64)
+    in_a = inside(ea, pts[:, 0], pts[:, 1])
+    in_b = inside(eb, pts[:, 0], pts[:, 1])
+    pick_a = g[:, 0] * pts[:, 0] + g[:, 1] * pts[:, 1] + g[:, 2] >= 0
+    picked = np.where(pick_a, ea, eb)
+    # wherever the point is strictly inside exactly one candidate AND the
+    # cell carries a real separating line (A,B adjacent — non-adjacent pairs
+    # get the always-A fallback and resolve in the walk), the line must pick
+    # that candidate
+    nontrivial = ~((g[:, 0] == 0) & (g[:, 1] == 0))
+    one = (in_a ^ in_b) & nontrivial
+    assert one.sum() > 100
+    want = np.where(in_a, ea, eb)[one]
+    np.testing.assert_array_equal(picked[one], want)
 
 
 def test_search_aux_capture_matches_final_element():
