@@ -58,7 +58,10 @@ def write_picparts(prefix: str, pp) -> str:
     for f in dataclasses.fields(pp):
         if f.name == "mesh" or f.metadata.get("static"):
             continue
-        arrays[f"pp.{f.name}"] = np.asarray(getattr(pp, f.name))
+        val = getattr(pp, f.name)
+        if val is None:      # optional per-dim tables absent on this mesh dim
+            continue
+        arrays[f"pp.{f.name}"] = np.asarray(val)
     for f in dataclasses.fields(mesh):
         if f.metadata.get("static"):
             continue

@@ -113,3 +113,166 @@ class PseudoPushAndSearch:
             if history[-1] == 0:
                 break
         return history
+
+
+# ---------------------------------------------------------------------------
+# distributed (BFS-buffered 3D PICparts) variant — the reference runs this
+# app at 2 ranks with migrate_lb_ptcls (test/pseudoPushAndSearch.cpp:204-206,
+# 524; registered in test/testing.cmake:98-108)
+# ---------------------------------------------------------------------------
+
+def make_picparts_setup_3d(
+    coords: np.ndarray,
+    tets: np.ndarray,
+    cfg: PushSearchConfig,
+    device_mesh,
+    inp=None,
+    migrate_cap: Optional[int] = None,
+    seed: int = 0,
+    use_lb: bool = True,
+    lb_tol: float = 1.05,
+    neighbor_migration: bool = True,
+):
+    """Distributed pseudoPushAndSearch over BFS-buffered 3D PICparts:
+    per step — straight-line push → 3D adjacency search from the previous
+    element (the reference's walk) → safe-zone migration with optional LB →
+    layout rebuild on arrival (``migrate_structure``, so ANY container
+    layout rides the collective like the reference's per-structure
+    migrate).  Returns ``(pp, ps_stacked, step)``; ``step(ps) -> (ps,
+    stats)`` with ps sharded ``P('ranks')``.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pumipic_tpu.parallel import balancer as lbm
+    from pumipic_tpu.parallel import migrate as mig
+    from pumipic_tpu.parallel import picparts as ppm
+    from pumipic_tpu.parallel.mesh_axis import RANK_AXIS
+
+    R = int(np.prod([device_mesh.shape[a] for a in device_mesh.axis_names]))
+    if inp is None:
+        inp = ppm.PicPartsInput()
+    owners = ppm.partition_rcb(coords, tets, R)
+    pp = ppm.build_picparts(coords, tets, owners, R, inp, mesh_cls=Mesh3D)
+    bt = lbm.build_balancer(pp, R) if use_lb else None
+    nplan = None
+    if neighbor_migration:
+        from pumipic_tpu.parallel import distributor as dstm
+
+        nplan = mig.build_neighbor_plan(dstm.from_picparts(pp))
+
+    # --- global seeding, routed to owning ranks
+    gmesh = Mesh3D.from_arrays(coords, tets)
+    rng = np.random.default_rng(seed)
+    g_elems = rng.integers(0, gmesh.nelems, size=cfg.num_ptcls)
+    ev = np.asarray(gmesh.elem2verts)[g_elems]
+    cz = np.asarray(gmesh.coords)
+    r4 = rng.dirichlet(np.ones(4), size=cfg.num_ptcls)
+    pos = np.einsum("nk,nkd->nd", r4, cz[ev])
+    own_of_ptcl = owners[g_elems]
+    eg_h = np.asarray(pp.elem_gid)
+    n_cap = max(
+        int(max((own_of_ptcl == r).sum() for r in range(R)) * 2.0) + 16, 64
+    )
+    E_l = pp.mesh.nelems
+
+    ps_list = []
+    for r in range(R):
+        sel = np.nonzero(own_of_ptcl == r)[0]
+        g2l = np.full(gmesh.nelems, -1, np.int64)
+        valid = eg_h[r] >= 0
+        g2l[eg_h[r][valid]] = np.nonzero(valid)[0]
+        ps_list.append(_BUILDERS[cfg.structure](
+            E_l, g2l[g_elems[sel]],
+            {
+                "x": jnp.asarray(pos[sel], jnp.float32),
+                "pid": jnp.asarray(sel, jnp.int32),
+            },
+        ))
+    # equalize capacities so the per-rank pytrees stack
+    cap = max(p.capacity for p in ps_list)
+    cap = max(cap, n_cap)
+    for i, p in enumerate(ps_list):
+        if p.capacity != cap:
+            h = p.copy_to_host()
+            elems = np.where(h["active"], h["elem"], -1)
+            ps_list[i] = _BUILDERS_CAP[cfg.structure](
+                E_l, elems,
+                {"x": jnp.asarray(h["x"]), "pid": jnp.asarray(h["pid"])},
+                cap,
+            )
+    ps_stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ps_list)
+
+    sharding = NamedSharding(device_mesh, P(RANK_AXIS))
+    ps_stacked = jax.device_put(ps_stacked, sharding)
+    pp = jax.device_put(pp, sharding)
+
+    d = np.asarray(cfg.push_dir, np.float64)
+    direction = jnp.asarray(d / np.linalg.norm(d), jnp.float32)
+    if migrate_cap is None:
+        migrate_cap = max(cap // 4, 64)
+
+    from functools import partial as _partial
+
+    @jax.jit
+    @_partial(
+        jax.shard_map,
+        mesh=device_mesh,
+        in_specs=(P(RANK_AXIS), P(), P(), P(RANK_AXIS)),
+        out_specs=(P(RANK_AXIS), P()),
+        check_vma=False,
+    )
+    def step(pp_l, bt_r, nplan_r, ps_s):
+        lpp = ppm.local_view(pp_l)
+        lmesh = lpp.mesh
+        ps = ppm.local_view(ps_s)
+        me = jax.lax.axis_index(RANK_AXIS).astype(jnp.int32)
+
+        x = ps.get("x")
+        xtgt = push_ops.straight_line_push(x, direction, cfg.distance)
+        res = search_ops.search_mesh_3d(
+            lmesh, x, xtgt, ps.elem, ps.active, cfg.max_search_iters,
+        )
+        ps1 = ps.set("x", res.dest)
+        dest = mig.set_unsafe_procs(
+            lpp.elem_safe, lpp.elem_owner, res.elem_ids, ps.active, me
+        )
+        if bt_r is not None:
+            dest = lbm.repartition(
+                bt_r, bt_r.sbar_of_elem[me], res.elem_ids,
+                ps.active & (res.elem_ids >= 0), dest, me, lb_tol,
+                elem_owner=lpp.elem_owner,
+            )
+        ps2, mres = mig.migrate_structure(
+            ps1, res.elem_ids, dest, lpp.elem_gid,
+            lpp.elem_gid_sorted, lpp.elem_gid_perm, me, R, migrate_cap,
+            plan=nplan_r,
+        )
+        nloc = jnp.sum(ps2.active.astype(jnp.int32))
+        _, _, imb = lbm.ptcl_imbalance(nloc)
+        stats = {
+            "alive": jax.lax.psum(nloc, RANK_AXIS),
+            "sent": jax.lax.psum(mres.num_sent, RANK_AXIS),
+            "overflow": jax.lax.pmax(
+                (mres.overflow | ps2.overflowed).astype(jnp.int32), RANK_AXIS
+            ),
+            "unresolved": jax.lax.psum(mres.num_recv_unresolved, RANK_AXIS),
+            "illegal_dest": jax.lax.psum(mres.num_illegal_dest, RANK_AXIS),
+            "imbalance": imb,
+        }
+        return jax.tree_util.tree_map(lambda a: a[None], ps2), stats
+
+    return pp, ps_stacked, (lambda ps: step(pp, bt, nplan, ps))
+
+
+_BUILDERS_CAP = {
+    "scs": lambda E, elems, fields, cap: SellCSigma(
+        E, elems, fields=fields, capacity=cap,
+        scs_input=SCSInput(chunk_size=8, sigma=None)
+    ),
+    "csr": lambda E, elems, fields, cap: CSR(
+        E, elems, fields=fields, capacity=cap),
+    "cabm": lambda E, elems, fields, cap: CabM(
+        E, elems, fields=fields, capacity=cap),
+    "dps": lambda E, elems, fields, cap: DPS(
+        E, elems, fields=fields, capacity=cap),
+}

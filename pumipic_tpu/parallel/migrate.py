@@ -343,6 +343,56 @@ def migrate(
     )
 
 
+def migrate_structure(
+    ps,
+    new_elem: jax.Array,
+    dest_rank: jax.Array,
+    elem_gid: jax.Array,
+    gid_sorted: jax.Array,
+    gid_perm: jax.Array,
+    my_rank: jax.Array,
+    num_ranks: int,
+    cap: int,
+    axis_name: str = RANK_AXIS,
+    plan: Optional[NeighborPlan] = None,
+):
+    """Structure-integrated distributed migration: the TPU analog of the
+    per-container ``migrate`` the reference implements four times
+    (scs/SCS_migrate.h:4-221, csr/CSR_migrate.hpp, cabm/cabm_migrate.hpp,
+    dps/dps_migrate.hpp).
+
+    Because every layout here is the same fixed-capacity SoA pytree with
+    slot placement as *data* (particles/structure.py), one implementation
+    serves all four: pack the structure's member fields into the bucketed
+    collective, place arrivals into free slots, then ``rebuild`` restores
+    the layout invariant (σ-sorted chunks / CSR offsets / SoA padding) on
+    the merged population.  Call INSIDE shard_map on local views.
+
+    Returns ``(ps, MigrateResult)`` — ``MigrateResult.state`` is the raw
+    flat state (diagnostics); the returned structure is rebuilt and its
+    ``overflowed`` flag covers layout capacity, while ``MigrateResult.
+    overflow`` covers exchange buckets.
+    """
+    state = dict(ps.fields)
+    state["elem"] = ps.elem
+    state["active"] = ps.active
+    res = migrate(
+        state, new_elem, dest_rank, elem_gid, gid_sorted, gid_perm,
+        my_rank, num_ranks, cap, axis_name=axis_name, plan=plan,
+    )
+    merged = res.state
+    ps2 = dataclasses.replace(
+        ps,
+        fields={k: merged[k] for k in ps.fields},
+        elem=merged["elem"].astype(ps.elem.dtype),
+        active=merged["active"],
+    )
+    # rebuild re-sorts the merged population into layout slots; arrivals
+    # already carry LOCAL element ids from _place_arrivals
+    ps2 = ps2.rebuild(jnp.where(merged["active"], merged["elem"], INVALID))
+    return ps2, res
+
+
 def _migrate_neighbors(
     state, new_elem, dest_rank, elem_gid, gid_sorted, gid_perm,
     my_rank, num_ranks, cap, plan: NeighborPlan, axis_name,

@@ -91,6 +91,20 @@ class PicParts:
     vert_recv_ids: jax.Array     # (R, R, Kv) owner-side ids (-1 pad)
     elem_send_ids: jax.Array     # (R, R, Ke) element-dim exchange (-1 pad)
     elem_recv_ids: jax.Array     # (R, R, Ke)
+    # --- per-dimension comm metadata (Mesh::setupComm builds EVERY entity
+    # dim, src/pumipic_comm.cpp:12-184).  "side" = dim-1 entities (edges in
+    # 2D, faces in 3D), indexed by the local mesh's edge/face numbering.
+    side_gid: Optional[jax.Array] = None       # (R, Ns) global side id
+    side_owner: Optional[jax.Array] = None     # (R, Ns) min adj elem owner
+    side_send_ids: Optional[jax.Array] = None  # (R, R, Ks)
+    side_recv_ids: Optional[jax.Array] = None  # (R, R, Ks)
+    # 3D dim-1 entities (edges): Mesh3D stores no edge adjacency, so the
+    # picpart carries its own deterministic local edge numbering
+    edge2verts: Optional[jax.Array] = None     # (R, Ne3, 2) local verts (-1)
+    edge_gid: Optional[jax.Array] = None       # (R, Ne3)
+    edge_owner: Optional[jax.Array] = None     # (R, Ne3)
+    edge_send_ids: Optional[jax.Array] = None  # (R, R, Ke3)
+    edge_recv_ids: Optional[jax.Array] = None  # (R, R, Ke3)
     num_ranks: int = _static_field(default=1)
     num_core_elems: int = _static_field(default=0)   # max over ranks (info)
 
@@ -103,8 +117,32 @@ class PicParts:
         return self.mesh.nverts
 
     def comm_array_size(self, dim: int) -> int:
-        """createCommArray analog: per-rank array length for entity dim."""
-        return self.mesh.nverts if dim == 0 else self.mesh.nelems
+        """createCommArray analog: per-rank array length for entity dim
+        (src/pumipic_mesh.hpp:62-73)."""
+        mdim = self.mesh.dim
+        if dim == 0:
+            return self.mesh.nverts
+        if dim == mdim:
+            return self.mesh.nelems
+        if dim == mdim - 1:
+            return self.mesh.nedges if mdim == 2 else self.mesh.nfaces
+        if dim == 1 and mdim == 3:
+            return self.edge2verts.shape[1]
+        raise ValueError(f"dim {dim} invalid for a {mdim}D mesh")
+
+    def comm_ids(self, dim: int):
+        """(send_ids, recv_ids) exchange tables for entity dim — feed them
+        to :func:`pumipic_tpu.parallel.reduce.reduce_comm_array`."""
+        mdim = self.mesh.dim
+        if dim == 0:
+            return self.vert_send_ids, self.vert_recv_ids
+        if dim == mdim:
+            return self.elem_send_ids, self.elem_recv_ids
+        if dim == mdim - 1:
+            return self.side_send_ids, self.side_recv_ids
+        if dim == 1 and mdim == 3:
+            return self.edge_send_ids, self.edge_recv_ids
+        raise ValueError(f"dim {dim} invalid for a {mdim}D mesh")
 
 
 # ---------------------------------------------------------------------------
@@ -251,6 +289,42 @@ def _bfs_layers(elem_keys: np.ndarray, nkeys: int, seed_mask: np.ndarray,
     return dist
 
 
+def _encode_rows(rows: np.ndarray, base: int) -> np.ndarray:
+    """Injective int64 key for (n, t) sorted vertex tuples (base = #verts)."""
+    key = rows[:, 0].astype(np.int64)
+    for j in range(1, rows.shape[1]):
+        key = key * base + rows[:, j]
+    return key
+
+
+def _global_subentities(elem2verts: np.ndarray, owners: np.ndarray,
+                        V_g: int, t: int):
+    """Global dim-(t-1) entities (edges t=2, faces t=3) as sorted unique
+    keys, with min-adjacent-element-owner ownership (defineOwners,
+    part_construct.cpp:304-323)."""
+    from itertools import combinations
+
+    k = elem2verts.shape[1]
+    parts = [np.sort(elem2verts[:, c], axis=1)
+             for c in combinations(range(k), t)]
+    occ = np.concatenate(parts)
+    keys = _encode_rows(occ, V_g)
+    uniq_keys, inv = np.unique(keys, return_inverse=True)
+    own = np.full(len(uniq_keys), np.iinfo(np.int64).max)
+    np.minimum.at(own, inv, np.tile(owners, len(parts)))
+    return uniq_keys, own
+
+
+def _lookup_gids(local_verts: np.ndarray, vgids: np.ndarray,
+                 uniq_keys: np.ndarray, V_g: int) -> np.ndarray:
+    """Local entity (rows of local vertex ids) -> global entity id."""
+    gverts = np.sort(vgids[local_verts], axis=1)
+    keys = _encode_rows(gverts, V_g)
+    pos = np.searchsorted(uniq_keys, keys)
+    assert (uniq_keys[pos] == keys).all(), "local entity missing globally"
+    return pos
+
+
 def build_picparts(
     coords: np.ndarray,
     elem2verts: np.ndarray,
@@ -382,7 +456,73 @@ def build_picparts(
     vert_send_ids, vert_recv_ids = _exchange_tables(vert_gid, vert_owner, V_g)
     elem_send_ids, elem_recv_ids = _exchange_tables(elem_gid, elem_owner, E_g)
 
+    # --- per-dimension comm metadata: the reference's setupComm runs for
+    # EVERY entity dimension (src/pumipic_comm.cpp:12-184).  dim-1 "sides"
+    # use the local mesh's edge (2D) / face (3D) numbering; 3D edges get a
+    # deterministic picpart-local numbering of their own.
+    dim = elem2verts.shape[1] - 1
+    side_t = dim                       # side arity: 2 verts in 2D, 3 in 3D
+    uniq_side, side_own_g = _global_subentities(elem2verts, owners, V_g, side_t)
+    Ns_max = max(
+        (m.nedges if dim == 2 else m.nfaces) for m in meshes
+    )
+    sg_l, so_l = [], []
+    for r in range(num_ranks):
+        m = meshes[r]
+        lverts = np.asarray(m.edge2verts if dim == 2 else m.face2verts)
+        gid = _lookup_gids(lverts, vert_gids_per_rank[r], uniq_side, V_g)
+        sg_l.append(gid)
+        so_l.append(side_own_g[gid])
+    side_gid = pad1(sg_l, Ns_max, -1)
+    side_owner = pad1(so_l, Ns_max, -1)
+    side_send_ids, side_recv_ids = _exchange_tables(
+        side_gid, side_owner, len(uniq_side))
+
+    edge_fields = {}
+    if dim == 3:
+        uniq_edge, edge_own_g = _global_subentities(
+            elem2verts, owners, V_g, 2)
+        e2v_l, eg3_l, eo3_l = [], [], []
+        from itertools import combinations
+
+        for r in range(num_ranks):
+            lev = np.asarray(meshes[r].elem2verts)
+            pairs = np.concatenate([
+                np.sort(lev[:, c], axis=1)
+                for c in combinations(range(4), 2)
+            ])
+            lkeys = _encode_rows(pairs, meshes[r].nverts)
+            _, first = np.unique(lkeys, return_index=True)
+            loc_edges = pairs[np.sort(first)]      # deterministic local order
+            gid = _lookup_gids(loc_edges, vert_gids_per_rank[r],
+                               uniq_edge, V_g)
+            e2v_l.append(loc_edges)
+            eg3_l.append(gid)
+            eo3_l.append(edge_own_g[gid])
+        Ne3_max = max(len(g) for g in eg3_l)
+        edge_gid = pad1(eg3_l, Ne3_max, -1)
+        edge_owner = pad1(eo3_l, Ne3_max, -1)
+        e2v = np.stack([
+            np.concatenate(
+                [a, np.full((Ne3_max - len(a), 2), -1, a.dtype)])
+            for a in e2v_l
+        ])
+        edge_send_ids, edge_recv_ids = _exchange_tables(
+            edge_gid, edge_owner, len(uniq_edge))
+        edge_fields = dict(
+            edge2verts=jnp.asarray(e2v, LID_DTYPE),
+            edge_gid=jnp.asarray(edge_gid, LID_DTYPE),
+            edge_owner=jnp.asarray(edge_owner, LID_DTYPE),
+            edge_send_ids=jnp.asarray(edge_send_ids, LID_DTYPE),
+            edge_recv_ids=jnp.asarray(edge_recv_ids, LID_DTYPE),
+        )
+
     return PicParts(
+        side_gid=jnp.asarray(side_gid, LID_DTYPE),
+        side_owner=jnp.asarray(side_owner, LID_DTYPE),
+        side_send_ids=jnp.asarray(side_send_ids, LID_DTYPE),
+        side_recv_ids=jnp.asarray(side_recv_ids, LID_DTYPE),
+        **edge_fields,
         mesh=stacked_mesh,
         elem_owner=jnp.asarray(elem_owner, LID_DTYPE),
         elem_safe=jnp.asarray(elem_safe),

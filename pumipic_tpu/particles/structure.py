@@ -181,7 +181,9 @@ class ParticleStructure:
     ) -> "ParticleStructure":
         """Single-process semantics of ``ps->migrate``: particles assigned to
         another process are removed; the rest rebuild.  The distributed path
-        lives in :mod:`pumipic_tpu.parallel.migrate` (bucketed all_to_all)."""
+        is :func:`pumipic_tpu.parallel.migrate.migrate_structure` — every
+        layout rides the bucketed collective and rebuilds on arrival
+        (the reference's per-structure ``*_migrate`` quartet)."""
         keep = new_process == my_rank
         return self.rebuild(jnp.where(keep, new_elem, -1))
 

@@ -159,6 +159,145 @@ def test_reduce_comm_array_max():
         np.testing.assert_allclose(out[r][valid], maxrank[vg[r][valid]])
 
 
+def test_side_comm_ownership_invariants():
+    """Per-dim setupComm parity (src/pumipic_comm.cpp:12-184): edge-dim
+    (dim-1) ownership must be the min adjacent element owner, and every
+    local side must map to a real global side."""
+    coords, tris, owners, pp = _build()
+    sg = np.asarray(pp.side_gid)
+    so = np.asarray(pp.side_owner)
+
+    # independent global edge ownership
+    pairs = np.concatenate([
+        np.sort(tris[:, c], axis=1) for c in ((0, 1), (0, 2), (1, 2))
+    ])
+    keys = pairs[:, 0] * coords.shape[0] + pairs[:, 1]
+    uniq, inv = np.unique(keys, return_inverse=True)
+    own_g = np.full(len(uniq), 10**9)
+    np.minimum.at(own_g, inv, np.tile(owners, 3))
+
+    vg = np.asarray(pp.vert_gid)
+    ev = np.asarray(pp.mesh.edge2verts)
+    for r in range(R):
+        valid = sg[r] >= 0
+        assert valid.sum() > 0
+        # recompute gid from local edge verts -> global verts
+        lv = ev[r][: valid.sum()]
+        gkeys = np.sort(vg[r][lv], axis=1)
+        gkeys = gkeys[:, 0] * coords.shape[0] + gkeys[:, 1]
+        pos = np.searchsorted(uniq, gkeys)
+        np.testing.assert_array_equal(uniq[pos], gkeys)
+        np.testing.assert_array_equal(sg[r][valid], pos)
+        np.testing.assert_array_equal(so[r][valid], own_g[pos])
+
+
+@pytest.mark.parametrize("dim", [1])
+def test_reduce_comm_array_edge_dim(dim):
+    """reduceCommArray on dim-1 entities: SUM fan-in/fan-out over buffered
+    copies — every copy of a global edge ends with its copy count (the
+    comm_array test invariant, test/test_comm_array.cpp:48-61, on edges)."""
+    coords, tris, owners, pp = _build()
+    mesh = make_device_mesh(R)
+    sharding = NamedSharding(mesh, P(RANK_AXIS))
+    pp_d = jax.device_put(pp, sharding)
+
+    sg = np.asarray(pp.side_gid)
+    field = jnp.asarray((sg >= 0).astype(np.float32))
+    field = jax.device_put(field, sharding)
+
+    @jax.jit
+    @lambda f: jax.shard_map(
+        f, mesh=mesh, in_specs=(P(RANK_AXIS), P(RANK_AXIS)),
+        out_specs=P(RANK_AXIS), check_vma=False,
+    )
+    def run(pp_l, fld):
+        lpp = ppm.local_view(pp_l)
+        send, recv = lpp.side_send_ids, lpp.side_recv_ids
+        out = red.reduce_comm_array(send, recv, fld[0], red.Op.SUM)
+        return out[None]
+
+    out = np.asarray(run(pp_d, field))
+    n_gl = int(sg.max()) + 1
+    copies = np.zeros(n_gl, np.int64)
+    for r in range(R):
+        valid = sg[r] >= 0
+        np.add.at(copies, sg[r][valid], 1)
+    for r in range(R):
+        valid = sg[r] >= 0
+        np.testing.assert_allclose(out[r][valid], copies[sg[r][valid]])
+
+
+def test_picparts_3d_per_dim_comm():
+    """3D picparts: face (dim-2... dim-1=2) and edge (dim-1) comm tables
+    exist, obey min-ownership, and reduce correctly on the edge dim —
+    the reference builds comm for every dim (pumipic_comm.cpp:12-184)."""
+    from pumipic_tpu.mesh.core import Mesh3D
+
+    coords, tets = gen.box_tet_mesh(4, 4, 4)
+    owners = ppm.partition_rcb(coords, tets, R)
+    pp = ppm.build_picparts(
+        coords, tets, owners, R,
+        ppm.PicPartsInput(ppm.BufferMethod.BFS, 2, 1),
+        mesh_cls=Mesh3D,
+    )
+    assert pp.side_send_ids is not None        # faces
+    assert pp.edge_send_ids is not None        # edges
+    assert pp.comm_array_size(2) == pp.mesh.nfaces
+    assert pp.comm_array_size(1) == pp.edge2verts.shape[1]
+
+    # edge ownership = min adjacent element owner (global recompute)
+    from itertools import combinations
+    V_g = coords.shape[0]
+    pairs = np.concatenate([
+        np.sort(tets[:, c], axis=1) for c in combinations(range(4), 2)
+    ])
+    keys = pairs[:, 0].astype(np.int64) * V_g + pairs[:, 1]
+    uniq, inv = np.unique(keys, return_inverse=True)
+    own_g = np.full(len(uniq), 10**9)
+    np.minimum.at(own_g, inv, np.tile(owners, 6))
+
+    eg = np.asarray(pp.edge_gid)
+    eo = np.asarray(pp.edge_owner)
+    e2v = np.asarray(pp.edge2verts)
+    vg = np.asarray(pp.vert_gid)
+    for r in range(R):
+        valid = eg[r] >= 0
+        assert valid.sum() > 0
+        lv = e2v[r][valid]
+        gk = np.sort(vg[r][lv], axis=1)
+        gk = gk[:, 0].astype(np.int64) * V_g + gk[:, 1]
+        pos = np.searchsorted(uniq, gk)
+        np.testing.assert_array_equal(eg[r][valid], pos)
+        np.testing.assert_array_equal(eo[r][valid], own_g[pos])
+
+    # SUM fan-in/out on the edge dim
+    mesh = make_device_mesh(R)
+    sharding = NamedSharding(mesh, P(RANK_AXIS))
+    pp_d = jax.device_put(pp, sharding)
+    field = jax.device_put(jnp.asarray((eg >= 0).astype(np.float32)),
+                           sharding)
+
+    @jax.jit
+    @lambda f: jax.shard_map(
+        f, mesh=mesh, in_specs=(P(RANK_AXIS), P(RANK_AXIS)),
+        out_specs=P(RANK_AXIS), check_vma=False,
+    )
+    def run(pp_l, fld):
+        lpp = ppm.local_view(pp_l)
+        return red.reduce_comm_array(
+            lpp.edge_send_ids, lpp.edge_recv_ids, fld[0], red.Op.SUM
+        )[None]
+
+    out = np.asarray(run(pp_d, field))
+    copies = np.zeros(len(uniq), np.int64)
+    for r in range(R):
+        valid = eg[r] >= 0
+        np.add.at(copies, eg[r][valid], 1)
+    for r in range(R):
+        valid = eg[r] >= 0
+        np.testing.assert_allclose(out[r][valid], copies[eg[r][valid]])
+
+
 def test_migrate_roundtrip():
     """Send particles sitting in buffered (unsafe) elements to their owners;
     total count conserved, arrivals land on the owning rank with the right
@@ -234,6 +373,209 @@ def test_migrate_roundtrip():
     assert len(seen) == total
     for p, (dest, gid) in expect_dest.items():
         assert seen[p] == (dest, gid), (p, expect_dest[p], seen[p])
+
+
+def _check_layout_invariants(ps_h, layout, elem_offsets, row_to_elem,
+                             soa_width, sigma, num_elems):
+    """Post-rebuild layout invariants on host views (test_structure.cpp
+    rebuild checks / SCS_buildFns layout contracts)."""
+    elem, active = ps_h["elem"], ps_h["active"]
+    n = int(active.sum())
+    if layout == "csr":
+        off = elem_offsets
+        assert off[-1] == n
+        for e in range(num_elems):
+            seg = elem[off[e]:off[e + 1]]
+            assert np.all(seg == e)
+            assert np.all(active[off[e]:off[e + 1]])
+    elif layout == "cabm":
+        off = elem_offsets
+        assert np.all(off % soa_width == 0)
+        for e in range(num_elems):
+            seg_a = active[off[e]:off[e + 1]]
+            assert np.all(elem[off[e]:off[e + 1]][seg_a] == e)
+    elif layout == "dps":
+        # actives-first compaction
+        assert np.all(active[:n]) and not active[n:].any()
+    elif layout == "scs":
+        ppe = np.zeros(num_elems, np.int64)
+        live = elem[active]
+        np.add.at(ppe, live, 1)
+        counts = np.zeros(len(row_to_elem), np.int64)
+        valid = row_to_elem < num_elems
+        counts[valid] = ppe[row_to_elem[valid]]
+        sig = min(sigma, len(row_to_elem))
+        for w0 in range(0, len(row_to_elem), sig):
+            wc = counts[w0:w0 + sig]
+            assert np.all(np.diff(wc) <= 0)
+
+
+@pytest.mark.parametrize("layout", ["dps", "csr", "cabm", "scs"])
+@pytest.mark.parametrize("neighbor", [False, True])
+def test_migrate_structure_all_layouts(layout, neighbor):
+    """Structure-integrated distributed migration: every container layout
+    rides the collective and rebuilds its layout invariant on arrival —
+    the reference's per-structure migrate (scs/SCS_migrate.h:4-221,
+    csr/CSR_migrate.hpp, cabm/cabm_migrate.hpp, dps/dps_migrate.hpp)."""
+    from pumipic_tpu.particles import CSR, DPS, CabM, SellCSigma, SCSInput
+
+    coords, tris, owners, pp = _build()
+    mesh = make_device_mesh(R)
+    sharding = NamedSharding(mesh, P(RANK_AXIS))
+    pp_d = jax.device_put(pp, sharding)
+    plan = None
+    if neighbor:
+        from pumipic_tpu.parallel import distributor as dstm
+
+        plan = mig.build_neighbor_plan(dstm.from_picparts(pp))
+
+    eg = np.asarray(pp.elem_gid)
+    es = np.asarray(pp.elem_safe)
+    E_l = pp.mesh.nelems
+    # CabM pads every occupied element's segment to the SoA width (8), so it
+    # needs room for 2*16 distinct elements x 8 slots after migration
+    cap = 256 if layout == "cabm" else 64
+
+    builders = {
+        "dps": lambda elems, fields: DPS(E_l, elems, fields=fields,
+                                         capacity=cap),
+        "csr": lambda elems, fields: CSR(E_l, elems, fields=fields,
+                                         capacity=cap),
+        "cabm": lambda elems, fields: CabM(E_l, elems, fields=fields,
+                                           capacity=cap, soa_width=8),
+        "scs": lambda elems, fields: SellCSigma(
+            E_l, elems, fields=fields, capacity=cap,
+            scs_input=SCSInput(chunk_size=4, sigma=8)),
+    }
+
+    pid = 0
+    expect_dest = {}
+    pos_of = {}
+    ps_list = []
+    for r in range(R):
+        safe_l = np.nonzero(es[r] & (eg[r] >= 0))[0]
+        unsafe_l = np.nonzero(~es[r] & (eg[r] >= 0))[0]
+        sl = np.concatenate([safe_l[:8], unsafe_l[:8]])
+        elems = np.asarray(sl, np.int64)
+        pids = np.arange(pid, pid + len(sl), dtype=np.int32)
+        pos = np.stack([pids.astype(np.float32),
+                        pids.astype(np.float32) * 2 + 1], axis=1)
+        for i, le in enumerate(sl):
+            dest = r if es[r][le] else owners[eg[r][le]]
+            expect_dest[pid + i] = (int(dest), int(eg[r][le]))
+            pos_of[pid + i] = tuple(pos[i])
+        pid += len(sl)
+        ps_list.append(builders[layout](
+            elems, {"pos": jnp.asarray(pos), "pid": jnp.asarray(pids)}
+        ))
+    total = pid
+
+    ps_stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *ps_list)
+    ps_stacked = jax.device_put(ps_stacked, sharding)
+
+    @jax.jit
+    @lambda f: jax.shard_map(
+        f, mesh=mesh, in_specs=(P(RANK_AXIS), P(RANK_AXIS), P()),
+        out_specs=(P(RANK_AXIS), P()), check_vma=False,
+    )
+    def run(pp_l, ps_s, plan_r):
+        lpp = ppm.local_view(pp_l)
+        ps = ppm.local_view(ps_s)
+        me = jax.lax.axis_index(RANK_AXIS).astype(jnp.int32)
+        dest = mig.set_unsafe_procs(
+            lpp.elem_safe, lpp.elem_owner, ps.elem, ps.active, me
+        )
+        ps2, res = mig.migrate_structure(
+            ps, ps.elem, dest, lpp.elem_gid, lpp.elem_gid_sorted,
+            lpp.elem_gid_perm, me, R, 32, plan=plan_r,
+        )
+        stats = {
+            "alive": jax.lax.psum(
+                jnp.sum(ps2.active.astype(jnp.int32)), RANK_AXIS),
+            "overflow": jax.lax.pmax(
+                (res.overflow | ps2.overflowed).astype(jnp.int32), RANK_AXIS),
+            "unresolved": jax.lax.psum(res.num_recv_unresolved, RANK_AXIS),
+            "illegal": jax.lax.psum(res.num_illegal_dest, RANK_AXIS),
+        }
+        return jax.tree_util.tree_map(lambda a: a[None], ps2), stats
+
+    out, stats = run(pp_d, ps_stacked, plan)
+    assert int(stats["overflow"]) == 0
+    assert int(stats["unresolved"]) == 0
+    assert int(stats["illegal"]) == 0
+    assert int(stats["alive"]) == total
+
+    seen = {}
+    for r in range(R):
+        ps_r = jax.tree_util.tree_map(lambda a, _r=r: a[_r], out)
+        h = ps_r.copy_to_host()
+        for s in range(cap):
+            if h["active"][s]:
+                p = int(h["pid"][s])
+                le = int(h["elem"][s])
+                assert p not in seen
+                seen[p] = (r, int(eg[r][le]))
+                np.testing.assert_allclose(h["pos"][s], pos_of[p])
+        _check_layout_invariants(
+            h, layout,
+            None if ps_r.elem_offsets is None else np.asarray(ps_r.elem_offsets),
+            None if ps_r.row_to_elem is None else np.asarray(ps_r.row_to_elem),
+            8, 8, E_l,
+        )
+    assert len(seen) == total
+    for p, want in expect_dest.items():
+        assert seen[p] == want, (p, want, seen[p])
+
+
+@pytest.mark.parametrize("layout", ["csr", "scs"])
+def test_pseudo_push_and_search_distributed_3d(layout):
+    """Distributed 3D mini-app at 8 ranks: straight push + 3D search +
+    LB'd safe-zone migration with structure rebuild on arrival — the
+    reference's 2-rank pseudoPushAndSearch with migrate_lb_ptcls
+    (test/pseudoPushAndSearch.cpp:204-206,524).  Counts conserved modulo
+    genuine domain exits; migration must actually fire."""
+    from pumipic_tpu.models.pseudo_push_and_search import (
+        PushSearchConfig, make_picparts_setup_3d,
+    )
+
+    R8 = 8
+    coords, tets = gen.box_tet_mesh(6, 6, 6)
+    cfg = PushSearchConfig(
+        num_ptcls=800, num_iterations=4, distance=0.12,
+        push_dir=(1.0, 0.7, 0.4), structure=layout, use_locator=False,
+    )
+    mesh = make_device_mesh(R8)
+    pp, ps, step = make_picparts_setup_3d(
+        coords, tets, cfg, mesh, use_lb=True,
+    )
+    total_sent = 0
+    alive_hist = []
+    for _ in range(cfg.num_iterations):
+        ps, stats = step(ps)
+        assert int(stats["overflow"]) == 0
+        assert int(stats["unresolved"]) == 0
+        assert int(stats["illegal_dest"]) == 0
+        total_sent += int(stats["sent"])
+        alive_hist.append(int(stats["alive"]))
+    # particles only leave by genuine domain exit
+    assert alive_hist == sorted(alive_hist, reverse=True)
+    assert alive_hist[-1] > 0
+    assert total_sent > 0, "no cross-picpart migration exercised"
+
+    # pid uniqueness and element validity across ranks
+    eg = np.asarray(pp.elem_gid)
+    seen = set()
+    for r in range(R8):
+        ps_r = jax.tree_util.tree_map(lambda a, _r=r: a[_r], ps)
+        h = ps_r.copy_to_host()
+        for s in range(ps_r.capacity):
+            if h["active"][s]:
+                p = int(h["pid"][s])
+                assert p not in seen
+                seen.add(p)
+                assert eg[r][int(h["elem"][s])] >= 0
+    assert len(seen) == alive_hist[-1]
 
 
 def test_pseudo_xgcm_picparts_end_to_end():
