@@ -48,6 +48,9 @@ def main():
     else:
         mesh = make_default_mesh(int(os.environ.get("WO18_ELEMS", 24_000)))
     device_mesh = make_device_mesh()
+    cpe = float(os.environ.get("WO18_CPE", 16.0))
+    widths = os.environ.get("WO18_WIDTHS", "")
+    widths = (tuple(int(w) for w in widths.split("/")) if widths else None)
     for peel in modes:
         cfg = XGCmConfig(
             num_ptcls=n,
@@ -56,10 +59,13 @@ def main():
             max_search_iters=64,
             gyro=GyroConfig(),
             peel=peel.strip(),
+            locator_cpe=cpe,
+            search_widths=widths,
         )
         dt, alive = run(mesh, cfg, device_mesh, iters)
-        print(f"peel={peel}: {dt:.1f} ms/step  alive={alive}  "
-              f"({n/dt*1e3/1e6:.1f}M ptcl-steps/s)", flush=True)
+        print(f"peel={peel} cpe={cpe} widths={widths}: {dt:.1f} ms/step  "
+              f"alive={alive}  ({n/dt*1e3/1e6:.1f}M ptcl-steps/s)",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -218,7 +218,7 @@ def attach_cell_rows_3d(grid: LocatorGrid3D, walk_geom,
 def build_locator_grid_3d(coords: np.ndarray, elem2verts: np.ndarray,
                           cells_per_elem: float = 2.0,
                           walk_geom=None,
-                          peel: str = "lines") -> LocatorGrid3D:
+                          peel: str = "auto") -> LocatorGrid3D:
     """3D analog of :func:`build_locator_grid` (tet meshes)."""
     coords = np.asarray(coords, np.float64)
     ev = np.asarray(elem2verts, np.int64)
@@ -261,6 +261,9 @@ def build_locator_grid_3d(coords: np.ndarray, elem2verts: np.ndarray,
         nx=nx, ny=ny, nz=nz,
     )
     if walk_geom is not None:
+        if peel == "auto":
+            rows_bytes = out.cell_elem.shape[0] * 26 * 4
+            peel = "lines" if rows_bytes > PEEL_AUTO_LINES_BYTES else "rows"
         if peel == "lines":
             out = attach_cell_lines_3d(out, walk_geom)
         else:
@@ -458,10 +461,19 @@ def attach_cell_lines_3d(grid: LocatorGrid3D, walk_geom,
     return dataclasses.replace(grid, cell_lines=jnp.asarray(rows))
 
 
+# peel="auto" policy: 2-candidate containment rows win while their table is
+# near/below the measured gather cliff (21.5 MB table = 76 ms at 10M,
+# beats every split-gather variant); the slim separating-line peel wins on
+# big meshes (120k elems: 314 vs 339 ms at a 110 MB rows table).  The
+# crossover is bracketed, not measured — 32 MB splits the proven bands
+# (perf/walk_opt18.py, docs/PERFORMANCE.md round-3).
+PEEL_AUTO_LINES_BYTES = 32e6
+
+
 def build_locator_grid(coords: np.ndarray, elem2verts: np.ndarray,
                        cells_per_elem: float = 16.0,
                        walk_geom=None, aux=None,
-                       peel: str = "lines") -> LocatorGrid2D:
+                       peel: str = "auto") -> LocatorGrid2D:
     """Host build: bucket element centroids into ~cells_per_elem*E cells and
     flood-fill empty cells from their neighbors."""
     coords = np.asarray(coords, np.float64)
@@ -509,6 +521,9 @@ def build_locator_grid(coords: np.ndarray, elem2verts: np.ndarray,
         ny=jnp.int32(ny),
     )
     if walk_geom is not None:
+        if peel == "auto":
+            rows_bytes = out.cell_elem.shape[0] * 14 * 4
+            peel = "lines" if rows_bytes > PEEL_AUTO_LINES_BYTES else "rows"
         if peel == "lines" and aux is None:
             out = attach_cell_lines(out, walk_geom)
         else:

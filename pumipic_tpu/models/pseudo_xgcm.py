@@ -55,10 +55,14 @@ class XGCmConfig:
     max_search_iters: int = 128
     # background-grid point-location accelerator (global-mesh modes)
     use_locator: bool = True
-    # peel flavor: "lines" = slim separating-line cells (default; measured
-    # faster — docs/PERFORMANCE.md round-3), "rows" = 2-candidate
-    # containment rows
-    peel: str = "lines"
+    # peel flavor: "auto" picks 2-candidate containment rows for small
+    # meshes (fastest at the 24k class: 178 vs 209 ms) and the slim
+    # separating-line peel for big ones (120k: 314 vs 339 ms) by rows-table
+    # size; "rows"/"lines" force a variant (docs/PERFORMANCE.md round-3)
+    peel: str = "auto"
+    # locator grid resolution (cells per element); 16 is the measured 24k
+    # optimum (walk_opt17) — big meshes may trade resolution for table size
+    locator_cpe: float = 16.0
     # override for the walk's compaction pyramid (None = default; see
     # ops/search.py and perf/walk_opt2.py measurements)
     search_widths: Optional[Tuple[int, ...]] = None
@@ -216,6 +220,7 @@ class PseudoXGCm:
             self.locator = build_locator_grid(
                 np.asarray(mesh.coords), np.asarray(mesh.elem2verts),
                 walk_geom=mesh.walk_geom, peel=cfg.peel,
+                cells_per_elem=cfg.locator_cpe,
             )
         self.step_fn = self._make_step()   # unjitted (for compile checks)
         self._step = jax.jit(self.step_fn)
@@ -378,6 +383,7 @@ def make_dp_setup(mesh: Mesh2D, cfg: XGCmConfig, device_mesh, seed: int = ELEMEN
         locator = build_locator_grid(
             np.asarray(mesh.coords), np.asarray(mesh.elem2verts),
             walk_geom=mesh.walk_geom, peel=cfg.peel,
+            cells_per_elem=cfg.locator_cpe,
         )
 
     def per_device_step(s):
@@ -562,7 +568,8 @@ def make_picparts_setup(
             # and scatter guesses back through the subset index
             sub_ev = ev_h[r][valid_e]
             g = build_locator_grid(cz_h[r][: (vg_h[r] >= 0).sum()], sub_ev,
-                                   walk_geom=wg_h[r], peel=cfg.peel)
+                                   walk_geom=wg_h[r], peel=cfg.peel,
+                                   cells_per_elem=cfg.locator_cpe)
             # cell ids are positions within valid_e == local elem ids when
             # valid elements are a prefix (they are: padding is appended)
             grids.append(g)
@@ -595,16 +602,31 @@ def make_picparts_setup(
 
     rot_tables = jax.device_put(jnp.asarray(rot_h), sharding)
 
+    # packed per-element routing (safe | owner | sbar in ONE f32): the hot
+    # step pays a single particle-rate gather where set_unsafe_procs + the
+    # LB's sbar lookup + noncore priority cost three (pack_route)
+    n_sbars = bt.num_sbars if bt is not None else 0
+    assert mig.route_pack_bound_ok(n_sbars, R), (
+        f"route pack exceeds f32 exactness: S={n_sbars} R={R}")
+    route = jnp.stack([
+        mig.pack_route(
+            pp.elem_safe[r], pp.elem_owner[r],
+            bt.sbar_of_elem[r] if bt is not None else None, R,
+        )
+        for r in range(R)
+    ])
+    route = jax.device_put(route, sharding)
+
     @jax.jit
     @_partial(
         jax.shard_map,
         mesh=device_mesh,
         in_specs=(P(RANK_AXIS), P(RANK_AXIS), P(), P(), P(RANK_AXIS),
-                  P(RANK_AXIS), P(RANK_AXIS)),
+                  P(RANK_AXIS), P(RANK_AXIS), P(RANK_AXIS)),
         out_specs=(P(RANK_AXIS), P(RANK_AXIS), P()),
         check_vma=False,
     )
-    def step(pp_l, gmap_l, bt_r, nplan_r, loc_l, rot_l, s):
+    def step(pp_l, gmap_l, bt_r, nplan_r, loc_l, rot_l, route_l, s):
         lpp = ppm.local_view(pp_l)
         lmesh = lpp.mesh
         s = ppm.local_view(s)
@@ -642,15 +664,17 @@ def make_picparts_setup(
             "elem": res.elem_ids,
             "active": active & (res.elem_ids >= 0),
         }
-        dest = mig.set_unsafe_procs(
-            lpp.elem_safe, lpp.elem_owner, res.elem_ids, mid["active"], me
+        # one-gather routing: dest (setUnsafeProcs semantics), per-particle
+        # sbar and noncore priority decoded from the packed f32 table
+        dest, sbar_p, noncore_p = mig.route_particles(
+            route_l[0], res.elem_ids, mid["active"], me, R
         )
         if bt_r is not None:
             # migrate_lb_ptcls analog: diffusion plan + particle selection
             dest = lbm.repartition(
                 bt_r, bt_r.sbar_of_elem[me], res.elem_ids,
                 mid["active"], dest, me, lb_tol,
-                elem_owner=lpp.elem_owner,
+                sbar_of_ptcl=sbar_p, noncore=noncore_p,
             )
         mres = mig.migrate(
             mid, res.elem_ids, dest, lpp.elem_gid,
@@ -690,7 +714,7 @@ def make_picparts_setup(
         )
 
     return pp, state, gyro_map, (
-        lambda s: step(pp, gyro_map, bt, nplan, locator, rot_tables, s)
+        lambda s: step(pp, gyro_map, bt, nplan, locator, rot_tables, route, s)
     )
 
 

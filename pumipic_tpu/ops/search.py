@@ -295,6 +295,83 @@ def _core_3d_bcc(mesh: Mesh3D):
     return core
 
 
+def _core_3d_hybrid(mesh: Mesh3D):
+    """Hybrid BCC + segment-clip core (``search_mesh``'s interleaved BCC
+    descent with intersection fallback, adjacency.hpp:558-768).
+
+    Key TPU observation: the intersection ("Möller–Trumbore") exit choice
+    can be computed from the SAME 16-col barycentric affine row as the BCC
+    test — each face's plane crossing parameter along orig→dest is
+    ``t_k = l_k(orig) / (l_k(orig) - l_k(dest))`` for faces whose
+    coordinate decreases — so sliver-robust clipping costs the same gather
+    as greedy BCC (the 20-col ``walk_planes`` table is never touched).
+    Walkers fall back to the greedy most-negative-coordinate step when the
+    segment yields no exiting face (degenerate direction, orig == dest, or
+    a guess trajectory the segment never enters)."""
+
+    def core(e_safe, dest, orig, need_t):
+        dx, dy, dz = dest
+        ox, oy, oz = orig
+        g = mesh.walk_geom[e_safe]
+        ld = []
+        lo = []
+        for k in range(3):
+            c = 4 * k
+            ld.append(g[:, c] * dx + g[:, c + 1] * dy + g[:, c + 2] * dz
+                      + g[:, c + 3])
+            lo.append(g[:, c] * ox + g[:, c + 1] * oy + g[:, c + 2] * oz
+                      + g[:, c + 3])
+        ld = [1.0 - ld[0] - ld[1] - ld[2]] + ld     # w0 first: k = 0..3
+        lo = [1.0 - lo[0] - lo[1] - lo[2]] + lo
+        mags = []
+        for k in range(3):
+            c = 4 * k
+            mags.append(jnp.abs(g[:, c] * dx) + jnp.abs(g[:, c + 1] * dy)
+                        + jnp.abs(g[:, c + 2] * dz) + jnp.abs(g[:, c + 3]))
+        tols = [BCC_REL_TOL * m + BCC_ABS_TOL for m in mags]
+        tols = [tols[0] + tols[1] + tols[2]] + tols
+        inside = (
+            (ld[0] >= -tols[0]) & (ld[1] >= -tols[1])
+            & (ld[2] >= -tols[2]) & (ld[3] >= -tols[3])
+        )
+
+        # BCC choice: most negative destination coordinate
+        wmin = ld[0]
+        kmin_bcc = jnp.zeros(e_safe.shape, jnp.int32)
+        for k in (1, 2, 3):
+            take = ld[k] < wmin
+            wmin = jnp.where(take, ld[k], wmin)
+            kmin_bcc = jnp.where(take, k, kmin_bcc)
+
+        # segment-clip choice: earliest crossing among exiting faces
+        t_exit = jnp.full(e_safe.shape, jnp.inf, dx.dtype)
+        kmin_seg = jnp.zeros(e_safe.shape, jnp.int32)
+        for k in range(4):
+            denom = lo[k] - ld[k]                    # > 0: coordinate falls
+            t_k = lo[k] / jnp.where(denom == 0, 1.0, denom)
+            valid = (denom > 0) & (t_k < t_exit)
+            t_exit = jnp.where(valid, t_k, t_exit)
+            kmin_seg = jnp.where(valid, k, kmin_seg)
+        seg_ok = jnp.isfinite(t_exit)
+        exit_local = jnp.where(seg_ok, kmin_seg, kmin_bcc)
+
+        next_elem = jnp.where(
+            exit_local == 0, g[:, 12],
+            jnp.where(
+                exit_local == 1, g[:, 13],
+                jnp.where(exit_local == 2, g[:, 14], g[:, 15]),
+            ),
+        ).astype(jnp.int32)
+        face4 = mesh.elem2faces[e_safe]
+        side = jnp.take_along_axis(face4, exit_local[:, None], axis=1)[:, 0]
+        t = None
+        if need_t:
+            t = jnp.where(seg_ok, t_exit, 1.0)
+        return inside, next_elem, side, t
+
+    return core
+
+
 def _core_3d_mt(mesh: Mesh3D):
     """Intersection (trace-through) core: clip the orig→dest segment against
     the current tet's outward face planes and cross the exit face — the
@@ -694,13 +771,19 @@ def search_mesh_3d(
     the most negative vertex weight (cheapest; one 16-col gather per step).
     ``method='intersection'``: clip the orig→dest segment against the tet's
     face planes and cross the exit face (the Möller–Trumbore trace of
-    adjacency.tpp:232-364; robust on sliver tets, one 20-col gather)."""
+    adjacency.tpp:232-364; robust on sliver tets, one 20-col gather).
+    ``method='hybrid'``: the reference ``search_mesh``'s interleaved BCC +
+    intersection-fallback walk (adjacency.hpp:558-768) — segment-clip exit
+    computed from the SAME 16-col row as BCC (sliver-robust at BCC cost),
+    greedy fallback when the segment has no exiting face."""
     elem0 = jnp.where(
         active, jnp.clip(elem_init.astype(jnp.int32), 0, mesh.nelems - 1),
         INVALID,
     )
     done0 = ~active
-    core = _core_3d_mt(mesh) if method == "intersection" else _core_3d_bcc(mesh)
+    core = {
+        "intersection": _core_3d_mt, "hybrid": _core_3d_hybrid,
+    }.get(method, _core_3d_bcc)(mesh)
     step = _make_step(core, mesh, boundary_handler, False, record_exit)
     return _run_walk(
         step, elem0, _components(x_tgt), done0, _components(x_orig),
@@ -752,22 +835,45 @@ def search_mesh_2d_accel(
     n = elem_prev.shape[0]
     n_aux = 0 if aux_capture is None else aux_capture.shape[1]
     if grid.cell_lines is not None:
-        # slim separating-line peel: ONE 5-col gather picks between the
-        # cell's two candidates exactly (A's barycentric coordinate toward
-        # B — see attach_cell_lines); containment then rides the walk's
-        # first pass off the small walk_geom table.  ~1/3 the peel bytes of
-        # the 14-col containment rows at the same miss tail
-        # (docs/PERFORMANCE.md round-3).
+        # slim separating-line peel: a 5-col gather off the cell table picks
+        # between the cell's two candidates exactly (A's barycentric
+        # coordinate toward B — see attach_cell_lines), then ONE 12-col
+        # gather off the SMALL walk_geom table proves containment inline —
+        # same peel structure as the 14-col rows (no full-width walk pass;
+        # a level-0 step costs ~3x its gather in elementwise consumers,
+        # measured in perf/walk_opt18.py) but the big-table traffic drops
+        # from 14 to 5 columns.  Survivors sit on the picked candidate as
+        # guess-trajectory walkers, exactly like the rows peel.
         g = grid.cell_lines[grid.cell_of(dest)]        # (N, 5)
         dx, dy = dest
         pick_a = g[:, 0] * dx + g[:, 1] * dy + g[:, 2] >= 0
         e0 = jnp.where(pick_a, g[:, 3], g[:, 4]).astype(jnp.int32)
+        wg = mesh.walk_geom[e0]                        # (N, 12) small table
+        l1 = wg[:, 0] * dx + wg[:, 1] * dy + wg[:, 2]
+        l2 = wg[:, 3] * dx + wg[:, 4] * dy + wg[:, 5]
+        w0 = 1.0 - l1 - l2
+        m1 = (jnp.abs(wg[:, 0] * dx) + jnp.abs(wg[:, 1] * dy)
+              + jnp.abs(wg[:, 2]))
+        m2 = (jnp.abs(wg[:, 3] * dx) + jnp.abs(wg[:, 4] * dy)
+              + jnp.abs(wg[:, 5]))
+        t1 = BCC_REL_TOL * m1 + BCC_ABS_TOL
+        t2 = BCC_REL_TOL * m2 + BCC_ABS_TOL
+        inside = (w0 >= -(t1 + t2)) & (l1 >= -t1) & (l2 >= -t2)
         elem0 = jnp.where(active, e0, INVALID)
-        aux0 = tuple(jnp.zeros((n,), jnp.float32) for _ in range(n_aux))
+        fg0 = active & ~inside
+        done0 = ~active | (active & inside)
+        if n_aux:
+            av = aux_capture[e0]
+            aux0 = tuple(jnp.where(active & inside, av[:, k], 0.0)
+                         for k in range(n_aux))
+        else:
+            aux0 = ()
+        # it0=1: the peel containment test counts as one walk iteration
+        # (the reference's per-containment-test budget)
         return _run_walk(
-            step, elem0, dest, done0=~active, orig=_components(x_orig),
-            max_iters=max_iters, fallback=fallback, fg0=active,
-            record_exit=record_exit, widths=widths, aux0=aux0,
+            step, elem0, dest, done0=done0, orig=_components(x_orig),
+            max_iters=max_iters, fallback=fallback, fg0=fg0,
+            record_exit=record_exit, widths=widths, it0=1, aux0=aux0,
         )
     if grid.cell_rows is not None:
         # peeled first pass off the cell-resident candidate rows: the guess
@@ -857,7 +963,9 @@ def search_mesh_3d_accel(
     gather and the first containment test collapse into one gather with a
     second candidate for straddling cells (see the 2D path).
     """
-    core = _core_3d_mt(mesh) if method == "intersection" else _core_3d_bcc(mesh)
+    core = {
+        "intersection": _core_3d_mt, "hybrid": _core_3d_hybrid,
+    }.get(method, _core_3d_bcc)(mesh)
     step = _make_step(core, mesh, boundary_handler, True, record_exit)
     fallback = jnp.where(
         active, jnp.clip(elem_prev.astype(jnp.int32), 0, mesh.nelems - 1),
@@ -865,16 +973,35 @@ def search_mesh_3d_accel(
     )
     dest = _components(x_tgt)
     if grid.cell_lines is not None:
-        # slim separating-plane peel (see the 2D path / attach_cell_lines_3d)
+        # slim separating-plane peel with inline containment off the small
+        # walk_geom table (see the 2D path / attach_cell_lines_3d)
         g = grid.cell_lines[grid.cell_of(dest)]        # (N, 6)
         dx, dy, dz = dest
         pick_a = g[:, 0] * dx + g[:, 1] * dy + g[:, 2] * dz + g[:, 3] >= 0
         e0 = jnp.where(pick_a, g[:, 4], g[:, 5]).astype(jnp.int32)
+        wg = mesh.walk_geom[e0]                        # (N, 16) small table
+        l1 = wg[:, 0] * dx + wg[:, 1] * dy + wg[:, 2] * dz + wg[:, 3]
+        l2 = wg[:, 4] * dx + wg[:, 5] * dy + wg[:, 6] * dz + wg[:, 7]
+        l3 = wg[:, 8] * dx + wg[:, 9] * dy + wg[:, 10] * dz + wg[:, 11]
+        w0 = 1.0 - l1 - l2 - l3
+        m1 = (jnp.abs(wg[:, 0] * dx) + jnp.abs(wg[:, 1] * dy)
+              + jnp.abs(wg[:, 2] * dz) + jnp.abs(wg[:, 3]))
+        m2 = (jnp.abs(wg[:, 4] * dx) + jnp.abs(wg[:, 5] * dy)
+              + jnp.abs(wg[:, 6] * dz) + jnp.abs(wg[:, 7]))
+        m3 = (jnp.abs(wg[:, 8] * dx) + jnp.abs(wg[:, 9] * dy)
+              + jnp.abs(wg[:, 10] * dz) + jnp.abs(wg[:, 11]))
+        t1 = BCC_REL_TOL * m1 + BCC_ABS_TOL
+        t2 = BCC_REL_TOL * m2 + BCC_ABS_TOL
+        t3 = BCC_REL_TOL * m3 + BCC_ABS_TOL
+        inside = ((w0 >= -(t1 + t2 + t3)) & (l1 >= -t1) & (l2 >= -t2)
+                  & (l3 >= -t3))
         elem0 = jnp.where(active, e0, INVALID)
+        fg0 = active & ~inside
+        done0 = ~active | (active & inside)
         return _run_walk(
-            step, elem0, dest, done0=~active, orig=_components(x_orig),
-            max_iters=max_iters, fallback=fallback, fg0=active,
-            record_exit=record_exit, widths=widths,
+            step, elem0, dest, done0=done0, orig=_components(x_orig),
+            max_iters=max_iters, fallback=fallback, fg0=fg0,
+            record_exit=record_exit, widths=widths, it0=1,
         )
     if grid.cell_rows is not None:
         g = grid.cell_rows[grid.cell_of(dest)]          # (N, 26)

@@ -139,53 +139,89 @@ def plan_flows(
     w_sr: jax.Array,          # (R, S) movable weight per (rank, sbar)
     w_fixed: jax.Array,       # (R,) immovable weight per rank (dest-attributed)
     tol: float = 1.05,
-    max_iters: int = 256,
-    alpha: float = 0.5,
+    max_iters: int = 8,
+    alpha: float = 0.5,       # kept for API compat; unused
 ) -> jax.Array:
-    """Tolerance-terminated Jacobi flow relaxation over the sbar pair edges
-    (the ``engpar::balanceWeights(input, tol, step_factor)`` replacement,
-    pumipic_lb.cpp:496-530): iterate until ``max(w)/avg <= tol`` or the
-    movable weight stops flowing, bounded by ``max_iters``.  Returns integer
-    particle flows per edge.  Pure function of replicated inputs → identical
-    on every rank."""
+    """Sbar-level Gauss-Seidel water-filling — the
+    ``engpar::balanceWeights(input, tol, step_factor)`` replacement
+    (pumipic_lb.cpp:496-530), converging WITHIN one call.
+
+    Weight held in an sbar is freely re-assignable among the sbar's member
+    ranks (a member's safe zone covers the element, so any member is a
+    legal destination — selectParticles targets, lb.hpp:253).  Each sweep
+    visits every sbar once and water-fills its total movable weight over
+    the members' base loads (load minus this sbar's current allocation):
+    the max load never increases, and a fully concentrated population
+    reaches the achievable optimum in a few sweeps instead of one
+    sbar-hop per APP step like the round-2 per-edge Jacobi (VERDICT r2 #5).
+    Sweeps stop when ``max(load)/avg <= tol`` (bounded by ``max_iters``).
+
+    Returns integer per-edge flows aligned with ``bt``'s edge list: the
+    (R,S) allocation delta is decomposed into edge flows by matching the
+    senders' and receivers' cumulative intervals within each sbar (exact,
+    vectorized, deterministic).  Pure function of replicated inputs →
+    identical plan on every rank.
+    """
     R, S = w_sr.shape
-    P = bt.num_edges
     src, dst, sb = bt.edge_src, bt.edge_dst, bt.edge_sbar
 
-    outdeg = jax.ops.segment_sum(
-        jnp.ones((P,), jnp.float32), src, num_segments=R
-    )
-    outdeg = jnp.maximum(outdeg, 1.0)
+    # member matrix from the (all ordered pairs) edge list: every member of
+    # a real sbar appears as a source (sbars have >= 2 members by build)
+    member = jnp.zeros((S, R), bool).at[sb, src].set(True, mode="drop")
 
     total = jnp.sum(w_fixed) + jnp.sum(w_sr)
     avg = jnp.maximum(total / R, 1e-30)
 
+    def waterfill(B, T):
+        """λ with sum_m max(λ - B_m, 0) = T (non-members carry B = +inf)."""
+        Bs = jnp.sort(B)
+        cum = jnp.cumsum(jnp.where(jnp.isfinite(Bs), Bs, 0.0))
+        j = jnp.arange(1, R + 1, dtype=w_sr.dtype)
+        lam_j = (T + cum) / j
+        prevB = jnp.concatenate([jnp.full((1,), -jnp.inf, Bs.dtype), Bs[:-1]])
+        valid = (lam_j >= prevB - 1e-6) & jnp.isfinite(Bs)
+        jstar = jnp.max(jnp.where(valid, jnp.arange(R), -1))
+        return lam_j[jnp.maximum(jstar, 0)]
+
+    def sbar_body(s, carry):
+        a, loads = carry
+        m = member[s]
+        a_s = a[:, s]
+        B = jnp.where(m, loads - a_s, jnp.inf)
+        T = jnp.sum(jnp.where(m, a_s, 0.0))
+        lam = waterfill(B, T)
+        a_new = jnp.where(m, jnp.maximum(lam - B, 0.0), 0.0)
+        # exact mass conservation under float drift
+        a_new = a_new * (T / jnp.maximum(jnp.sum(a_new), 1e-30))
+        loads = jnp.where(m, loads - a_s + a_new, loads)
+        return a.at[:, s].set(a_new), loads
+
     def cond(carry):
-        w, avail, flows, it, moved = carry
-        imb = jnp.max(w) / avg
-        # stop on convergence OR stall (single-hop diffusion can bottom out
-        # above tol when overloaded sbars have no under-loaded members;
-        # further spreading happens on the next app step's re-plan)
-        return (it < max_iters) & (imb > tol) & ((it == 0) | (moved > 1e-3))
+        a, loads, it = carry
+        return (it < max_iters) & (jnp.max(loads) / avg > tol)
 
     def body(carry):
-        w, avail, flows, it, _ = carry
-        surplus = w[src] - avg
-        deficit = avg - w[dst]
-        f = alpha * jnp.minimum(surplus, deficit) / outdeg[src]
-        f = jnp.clip(f, 0.0, avail[src, sb])
-        w = w + jax.ops.segment_sum(f, dst, num_segments=R) \
-              - jax.ops.segment_sum(f, src, num_segments=R)
-        avail = avail.at[src, sb].add(-f)
-        return w, avail, flows + f, it + 1, jnp.sum(f)
+        a, loads, it = carry
+        a, loads = jax.lax.fori_loop(0, S, sbar_body, (a, loads))
+        return a, loads, it + 1
 
-    w0 = w_fixed + jnp.sum(w_sr, axis=1)
-    _, _, flows, _, _ = jax.lax.while_loop(
-        cond, body,
-        (w0, w_sr, jnp.zeros((P,), jnp.float32), jnp.int32(0),
-         jnp.float32(0)),
+    loads0 = w_fixed + jnp.sum(w_sr, axis=1)
+    a, _, _ = jax.lax.while_loop(cond, body, (w_sr, loads0, jnp.int32(0)))
+
+    # allocation delta -> per-edge flows: within each sbar, senders' and
+    # receivers' cumulative intervals overlap exactly where weight moves
+    send = jnp.maximum(w_sr - a, 0.0)                      # (R, S)
+    recv = jnp.maximum(a - w_sr, 0.0)
+    s_hi = jnp.cumsum(send, axis=0)
+    s_lo = s_hi - send
+    r_hi = jnp.cumsum(recv, axis=0)
+    r_lo = r_hi - recv
+    f = jnp.maximum(
+        0.0,
+        jnp.minimum(s_hi[src, sb], r_hi[dst, sb])
+        - jnp.maximum(s_lo[src, sb], r_lo[dst, sb]),
     )
-    return jnp.floor(flows).astype(jnp.int32)
+    return jnp.floor(f + 1e-4).astype(jnp.int32)
 
 
 def _edge_intervals(bt: BalancerTables, flows: jax.Array, me: jax.Array):
@@ -297,11 +333,18 @@ def repartition(
     tol: float = 1.05,
     elem_owner: Optional[jax.Array] = None,  # (E,) for noncore-first priority
     axis_name: str = RANK_AXIS,
+    sbar_of_ptcl: Optional[jax.Array] = None,  # (N,) pre-decoded sbar (-1)
+    noncore: Optional[jax.Array] = None,       # (N,) pre-decoded priority
 ) -> jax.Array:
     """Full LB pass inside shard_map (repartition, lb.hpp:352-362): weight
     accumulation with forced migrations counted at their destination
     (addWeights analog), tolerance-terminated diffusion plan, particle
-    selection.  Returns updated dest_rank."""
+    selection.  Returns updated dest_rank.
+
+    ``sbar_of_ptcl``/``noncore``: per-particle values already decoded from
+    the packed routing gather (:func:`pumipic_tpu.parallel.migrate.
+    route_particles`) — skips this function's own particle-rate gathers
+    off ``sbar_of_elem_local``/``elem_owner``."""
     S = bt.num_sbars
     R = jax.lax.axis_size(axis_name)
     if R == 1:
@@ -310,11 +353,14 @@ def repartition(
         # exchange/diffusion/selection out of the single-rank executable
         return dest_rank
 
-    sbar = jnp.where(
-        active & (new_elem >= 0),
-        sbar_of_elem_local[jnp.maximum(new_elem, 0)],
-        -1,
-    )
+    if sbar_of_ptcl is not None:
+        sbar = sbar_of_ptcl
+    else:
+        sbar = jnp.where(
+            active & (new_elem >= 0),
+            sbar_of_elem_local[jnp.maximum(new_elem, 0)],
+            -1,
+        )
     staying = active & (dest_rank == me)
     leaving = active & (dest_rank != me)
 
@@ -341,8 +387,7 @@ def repartition(
     w_sr = jax.lax.all_gather(w_local, axis_name)          # (R, S)
 
     flows = plan_flows(bt, w_sr, w_fixed, tol)
-    noncore = None
-    if elem_owner is not None:
+    if noncore is None and elem_owner is not None:
         noncore = (
             active & (new_elem >= 0)
             & (elem_owner[jnp.maximum(new_elem, 0)] != me)

@@ -73,6 +73,59 @@ def set_unsafe_procs(
     return jnp.where(active & (new_elem >= 0) & ~safe, owner, my_rank)
 
 
+def pack_route(
+    elem_safe: jax.Array,     # (E,) bool
+    elem_owner: jax.Array,    # (E,) int
+    sbar_of_elem: Optional[jax.Array],   # (E,) int (-1 = none) or None
+    num_ranks: int,
+) -> jax.Array:
+    """Pack (safe, owner, sbar) into ONE f32 per element:
+    ``((sbar+2)*2 + safe) * R + owner`` — exact in f32 while the packed
+    value stays < 2^24 (R·S up to ~8M).  The picparts hot step then pays a
+    single particle-rate gather where set_unsafe_procs + the LB +
+    noncore-priority used three (safe, owner, sbar) — each ~22 ms at 10M
+    (docs/PERFORMANCE.md round-3 picparts split)."""
+    E = elem_safe.shape[0]
+    sb = (jnp.full((E,), -1, jnp.int32) if sbar_of_elem is None
+          else sbar_of_elem.astype(jnp.int32))
+    owner = jnp.maximum(elem_owner.astype(jnp.int32), 0)
+    val = ((sb + 2) * 2 + elem_safe.astype(jnp.int32)) * num_ranks + owner
+    return val.astype(jnp.float32)
+
+
+def route_pack_bound_ok(num_sbars: int, num_ranks: int) -> bool:
+    """Static exactness bound for :func:`pack_route` (checked by callers —
+    both are build-time constants)."""
+    return ((num_sbars + 2) * 2 + 1) * num_ranks + num_ranks < (1 << 24)
+
+
+def route_particles(
+    route: jax.Array,         # (E,) from pack_route
+    new_elem: jax.Array,      # (N,) post-search local element (-1 lost)
+    active: jax.Array,
+    my_rank: jax.Array,
+    num_ranks: int,
+):
+    """Decode the packed routing gather: returns (dest_rank, sbar, noncore)
+    with set_unsafe_procs semantics for dest (stay while safe, else owner;
+    ptcl_ops.hpp:32-52), per-particle sbar for the balancer, and the
+    noncore flag (element owned elsewhere) for selection priority —
+    all off ONE f32 gather, pure f32 arithmetic at particle rate."""
+    Rf = jnp.float32(num_ranks)
+    v = route[jnp.maximum(new_elem, 0)]
+    t = jnp.floor(v / Rf)
+    owner_f = v - t * Rf
+    half = jnp.floor(t / 2.0)
+    safe = (t - half * 2.0) > 0.5
+    sbar = half.astype(jnp.int32) - 2
+    ok = active & (new_elem >= 0)
+    me_f = my_rank.astype(jnp.float32)
+    dest = jnp.where(ok & ~safe, owner_f, me_f).astype(jnp.int32)
+    sbar = jnp.where(ok, sbar, -1)
+    noncore = ok & (owner_f != me_f)
+    return dest, sbar, noncore
+
+
 def gid_to_lid(gid_sorted: jax.Array, gid_perm: jax.Array, gids: jax.Array
                ) -> jax.Array:
     """Translate global element ids to local ids via binary search over the

@@ -159,6 +159,37 @@ def test_reduce_comm_array_max():
         np.testing.assert_allclose(out[r][valid], maxrank[vg[r][valid]])
 
 
+def test_route_pack_matches_explicit_gathers():
+    """The packed one-gather routing must reproduce set_unsafe_procs,
+    the LB's sbar lookup, and the noncore flag exactly."""
+    rng = np.random.default_rng(17)
+    E, N, Rn, S = 500, 4000, 6, 37
+    safe = jnp.asarray(rng.uniform(size=E) < 0.6)
+    owner = jnp.asarray(rng.integers(0, Rn, E), jnp.int32)
+    sbar = jnp.asarray(
+        np.where(rng.uniform(size=E) < 0.7, rng.integers(0, S, E), -1),
+        jnp.int32)
+    new_elem = jnp.asarray(
+        np.where(rng.uniform(size=N) < 0.9, rng.integers(0, E, N), -1),
+        jnp.int32)
+    active = jnp.asarray(rng.uniform(size=N) < 0.95)
+    me = jnp.int32(2)
+
+    assert mig.route_pack_bound_ok(S, Rn)
+    route = mig.pack_route(safe, owner, sbar, Rn)
+    dest, sbar_p, noncore = mig.route_particles(
+        route, new_elem, active, me, Rn)
+
+    want_dest = mig.set_unsafe_procs(safe, owner, new_elem, active, me)
+    np.testing.assert_array_equal(np.asarray(dest), np.asarray(want_dest))
+    ok = np.asarray(active) & (np.asarray(new_elem) >= 0)
+    e_c = np.maximum(np.asarray(new_elem), 0)
+    np.testing.assert_array_equal(
+        np.asarray(sbar_p), np.where(ok, np.asarray(sbar)[e_c], -1))
+    np.testing.assert_array_equal(
+        np.asarray(noncore), ok & (np.asarray(owner)[e_c] != 2))
+
+
 def test_side_comm_ownership_invariants():
     """Per-dim setupComm parity (src/pumipic_comm.cpp:12-184): edge-dim
     (dim-1) ownership must be the min adjacent element owner, and every

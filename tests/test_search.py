@@ -215,6 +215,53 @@ def test_search_3d_intersection_method():
                 assert w / vol >= -1e-4, (i, got)
 
 
+def test_search_3d_hybrid_method():
+    """Hybrid BCC+segment-clip walk (search_mesh's interleaved fallback,
+    adjacency.hpp:558-768): must agree with both pure methods on found/lost
+    status and produce containing elements."""
+    coords, tets = gen.box_tet_mesh(4, 4, 4)
+    m = Mesh3D.from_arrays(coords, tets)
+    rng = np.random.default_rng(13)
+    n = 256
+    orig = rng.uniform(0.05, 0.95, size=(n, 3))
+    tgt = np.clip(orig + rng.normal(scale=0.25, size=(n, 3)), -0.5, 1.5)
+    res0 = search.search_mesh_3d(
+        m, jnp.asarray(orig), jnp.asarray(orig),
+        jnp.zeros(n, jnp.int32), jnp.ones(n, bool),
+    )
+    start = res0.elem_ids
+    res_bcc = search.search_mesh_3d(
+        m, jnp.asarray(orig), jnp.asarray(tgt), start, jnp.ones(n, bool), 200,
+    )
+    res_hyb = search.search_mesh_3d(
+        m, jnp.asarray(orig), jnp.asarray(tgt), start, jnp.ones(n, bool), 200,
+        method="hybrid",
+    )
+    a, b = np.asarray(res_bcc.elem_ids), np.asarray(res_hyb.elem_ids)
+    np.testing.assert_array_equal(a < 0, b < 0)
+    assert (a < 0).sum() > 0                       # exits exercised
+    # found elements must contain the target (tie-tolerant)
+    cz = np.asarray(m.coords)
+    ev = np.asarray(m.elem2verts)
+    for i in np.nonzero(b >= 0)[0]:
+        v = cz[ev[b[i]]]
+        vol = np.dot(v[3] - v[0], np.cross(v[1] - v[0], v[2] - v[0]))
+        for k in range(4):
+            vv = v.copy()
+            vv[k] = tgt[i]
+            w = np.dot(vv[3] - vv[0], np.cross(vv[1] - vv[0], vv[2] - vv[0]))
+            assert w / vol >= -1e-4, (i, b[i])
+    # accel path accepts the hybrid core too
+    from pumipic_tpu.mesh.locator import build_locator_grid_3d
+
+    grid = build_locator_grid_3d(coords, tets, walk_geom=m.walk_geom)
+    res_acc = search.search_mesh_3d_accel(
+        m, grid, jnp.asarray(orig), jnp.asarray(tgt), start,
+        jnp.ones(n, bool), 200, method="hybrid",
+    )
+    np.testing.assert_array_equal(b, np.asarray(res_acc.elem_ids))
+
+
 def test_search_2d_pt():
     coords, tris = gen.rectangle_mesh(4, 4)
     m = Mesh2D.from_arrays(coords, tris)
@@ -260,8 +307,9 @@ def test_search_3d_accel_matches_plain():
         np.asarray(res_plain.elem_ids), np.asarray(res_peel.elem_ids)
     )
 
-    # slim separating-plane peel (default) must match exactly too
-    grid_lines = build_locator_grid_3d(coords, tets, walk_geom=m.walk_geom)
+    # slim separating-plane peel must match exactly too
+    grid_lines = build_locator_grid_3d(coords, tets, walk_geom=m.walk_geom,
+                                       peel="lines")
     assert grid_lines.cell_lines is not None
     assert grid_lines.cell_lines.shape[1] == 6
     res_lines = search.search_mesh_3d_accel(
@@ -319,7 +367,8 @@ def test_search_2d_accel_with_rows_and_compacted_guess_retry():
     grid = build_locator_grid(coords, tris, walk_geom=m.walk_geom,
                               peel="rows")
     assert grid.cell_rows is not None and grid.cell_rows.shape[1] == 14
-    grid_lines = build_locator_grid(coords, tris, walk_geom=m.walk_geom)
+    grid_lines = build_locator_grid(coords, tris, walk_geom=m.walk_geom,
+                                    peel="lines")
     assert grid_lines.cell_lines is not None
     assert grid_lines.cell_lines.shape[1] == 5
     rng = np.random.default_rng(6)
@@ -353,7 +402,8 @@ def test_cell_lines_decision_exactness():
 
     coords, tris, cls = gen.annulus_mesh(8, 48, 0.3, 1.0)
     m = Mesh2D.from_arrays(coords, tris, cls)
-    grid = build_locator_grid(coords, tris, walk_geom=m.walk_geom)
+    grid = build_locator_grid(coords, tris, walk_geom=m.walk_geom,
+                              peel="lines")
     rows = np.asarray(grid.cell_lines)
     geom = np.asarray(m.walk_geom)
     rng = np.random.default_rng(11)

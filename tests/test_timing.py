@@ -86,3 +86,44 @@ def test_picparts_stats_expose_per_rank_telemetry():
         print_fn=None,
     )
     assert "alive" in out and "migrated" in out
+
+
+def test_memaudit_leak_check_detects_growth_and_flat_loops():
+    """Live-buffer audit (the memcheck/destroy_test analog): a state-evolving
+    jitted loop must leave the buffer census flat; deliberately retained
+    buffers must be reported."""
+    import jax
+    import jax.numpy as jnp
+
+    from pumipic_tpu.utils import memaudit
+
+    @jax.jit
+    def step(s):
+        return {"x": s["x"] * 1.01 + 1.0, "y": s["y"] - 0.5}
+
+    state = {"x": jnp.zeros(1024), "y": jnp.ones(1024)}
+    for _ in range(3):
+        state = step(state)          # warm caches before the baseline
+    jax.block_until_ready(state)
+
+    lc = memaudit.LeakCheck()
+    for _ in range(10):
+        state = step(state)          # old buffers die as references drop
+    jax.block_until_ready(state)
+    d = lc.assert_flat(tol_buffers=2)
+    assert abs(d.count) <= 2
+
+    # a genuine leak (host list pinning device buffers) is caught
+    lc.reset()
+    pinned = []
+    for _ in range(8):
+        state = step(state)
+        pinned.append(state["x"])
+    jax.block_until_ready(state)
+    try:
+        lc.assert_flat(tol_buffers=2)
+    except AssertionError as e:
+        assert "live-buffer delta" in str(e)
+    else:
+        raise AssertionError("leak not detected")
+    del pinned
