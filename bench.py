@@ -74,13 +74,18 @@ def main():
             n_rings = max(int(np.sqrt(mesh_elems / 8)), 2)
             n_sectors = mesh_elems // (2 * n_rings)
             coords, tris, cls = annulus_mesh(n_rings, n_sectors, 0.3, 1.0)
+        # Slot capacity is pure per-step cost (every particle-rate op runs
+        # at capacity width); at R=1 nothing migrates so tight headroom is
+        # safe — overflow is counted and would invalidate the run loudly.
+        capf = float(os.environ.get("BENCH_CAPF", 1.05))
         pp, state, gyro_map, pstep = make_picparts_setup(
-            coords, tris, cls, cfg, device_mesh, use_lb=True
+            coords, tris, cls, cfg, device_mesh, use_lb=True,
+            cap_factor=capf,
         )
 
         def step(s):
             s, fwd, stats = pstep(s)
-            return s, {"fwd": fwd}
+            return s, {"fwd": fwd, "overflow": stats["overflow"]}
 
     else:
         state, step = make_dp_setup(mesh, cfg, device_mesh)
@@ -95,6 +100,9 @@ def main():
     jax.block_until_ready(fields)
     dt = (time.perf_counter() - t0) / iters
 
+    if mode == "picparts":
+        assert int(jax.device_get(fields["overflow"])) == 0, (
+            "migration bucket overflow — BENCH_CAPF too tight")
     n_chips = len(device_mesh.devices.flat)
     ptcls_per_sec_per_chip = num_ptcls / dt / n_chips
     out = {

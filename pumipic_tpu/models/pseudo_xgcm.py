@@ -60,9 +60,11 @@ class XGCmConfig:
     # separating-line peel for big ones (120k: 314 vs 339 ms) by rows-table
     # size; "rows"/"lines" force a variant (docs/PERFORMANCE.md round-3)
     peel: str = "auto"
-    # locator grid resolution (cells per element); 16 is the measured 24k
-    # optimum (walk_opt17) — big meshes may trade resolution for table size
-    locator_cpe: float = 16.0
+    # locator grid resolution (cells per element); None = auto — 16 for
+    # small meshes (measured 24k optimum, walk_opt17), 4 + lines peel +
+    # wider first pyramid level for big ones (120k: 275.9 ms vs 364 at
+    # cpe16/rows; docs/PERFORMANCE.md round-3)
+    locator_cpe: Optional[float] = None
     # override for the walk's compaction pyramid (None = default; see
     # ops/search.py and perf/walk_opt2.py measurements)
     search_widths: Optional[Tuple[int, ...]] = None
@@ -71,6 +73,29 @@ class XGCmConfig:
     h: float = 0.0
     k: float = 0.0
     d: float = 0.9
+
+
+def resolve_locator_policy(cfg: XGCmConfig, nelems: int, num_ptcls: int):
+    """Resolve (cells_per_elem, peel, search_widths) for a mesh size.
+
+    Auto policy (measured, docs/PERFORMANCE.md round-3): while the cpe16
+    2-candidate rows table stays near the gather cliff (<= 32 MB, i.e.
+    ~36k elements) keep cpe16 + rows; past it, drop to cpe4 with the slim
+    separating-line peel (sub-cliff 5-col table) and open the pyramid's
+    first level to N/8 for the higher (7.2%) peel-miss tail.
+    """
+    cpe, peel, widths = cfg.locator_cpe, cfg.peel, cfg.search_widths
+    if cpe is None:
+        if nelems * 16 * 14 * 4 <= 32e6:
+            cpe = 16.0
+        else:
+            cpe = 4.0
+            if peel == "auto":
+                peel = "lines"
+            if widths is None and num_ptcls >= 1 << 16:
+                widths = (max(num_ptcls // 8, 2048),
+                          max(num_ptcls // 128, 2048), 2048)
+    return cpe, peel, widths
 
 
 def seed_particles_per_element(
@@ -214,13 +239,15 @@ class PseudoXGCm:
 
         self.gyro_fwd, self.gyro_bwd = build_gyro_mappings(mesh, cfg.gyro)
         self.locator = None
+        cpe, peel, self._widths = resolve_locator_policy(
+            cfg, mesh.nelems, len(ptcl_elems))
         if cfg.use_locator:
             from pumipic_tpu.mesh.locator import build_locator_grid
 
             self.locator = build_locator_grid(
                 np.asarray(mesh.coords), np.asarray(mesh.elem2verts),
-                walk_geom=mesh.walk_geom, peel=cfg.peel,
-                cells_per_elem=cfg.locator_cpe,
+                walk_geom=mesh.walk_geom, peel=peel,
+                cells_per_elem=cpe,
             )
         self.step_fn = self._make_step()   # unjitted (for compile checks)
         self._step = jax.jit(self.step_fn)
@@ -249,12 +276,12 @@ class PseudoXGCm:
             if self.locator is not None:
                 res = search_ops.search_mesh_2d_accel(
                     mesh, self.locator, x, xtgt, elem, active,
-                    cfg.max_search_iters, widths=cfg.search_widths,
+                    cfg.max_search_iters, widths=self._widths,
                 )
             else:
                 res = search_ops.search_mesh_2d(
                     mesh, x, xtgt, elem, active, cfg.max_search_iters,
-                    widths=cfg.search_widths,
+                    widths=self._widths,
                 )
 
             # rebuild/migrate (updatePtclPositions + migrate_lb_ptcls; one
@@ -377,13 +404,15 @@ def make_dp_setup(mesh: Mesh2D, cfg: XGCmConfig, device_mesh, seed: int = ELEMEN
     gyro_fwd, gyro_bwd = build_gyro_mappings(mesh, cfg.gyro)
     gyro = cfg.gyro
     locator = None
+    cpe, peel, widths = resolve_locator_policy(
+        cfg, mesh.nelems, len(ptcl_elems))
     if cfg.use_locator:
         from pumipic_tpu.mesh.locator import build_locator_grid
 
         locator = build_locator_grid(
             np.asarray(mesh.coords), np.asarray(mesh.elem2verts),
-            walk_geom=mesh.walk_geom, peel=cfg.peel,
-            cells_per_elem=cfg.locator_cpe,
+            walk_geom=mesh.walk_geom, peel=peel,
+            cells_per_elem=cpe,
         )
 
     def per_device_step(s):
@@ -398,12 +427,12 @@ def make_dp_setup(mesh: Mesh2D, cfg: XGCmConfig, device_mesh, seed: int = ELEMEN
         if locator is not None:
             res = search_ops.search_mesh_2d_accel(
                 mesh, locator, orig, xtgt, elem, active,
-                cfg.max_search_iters, widths=cfg.search_widths,
+                cfg.max_search_iters, widths=widths,
             )
         else:
             res = search_ops.search_mesh_2d(
                 mesh, orig, xtgt, elem, active, cfg.max_search_iters,
-                widths=cfg.search_widths,
+                widths=widths,
             )
         new_active = res.elem_ids >= 0
         new_state = {
@@ -451,6 +480,7 @@ def make_picparts_setup(
     use_lb: bool = False,
     lb_tol: float = 1.05,
     neighbor_migration: bool = True,
+    cap_factor: float = 1.5,
 ):
     """Distributed pseudoXGCm over BFS-buffered PICparts: per step —
     push → local search → safe-zone migration → gyro scatter →
@@ -497,8 +527,15 @@ def make_picparts_setup(
 
     own_of_ptcl = owners[g_elems]
     elem_gid_h = np.asarray(pp.elem_gid)
+    # Per-rank slot capacity: every particle-rate op in the step runs at
+    # CAPACITY width (padded slots ride the gathers/sorts), so headroom is
+    # pure per-step cost — the R=1 picparts-vs-dp gap was almost entirely
+    # this padding (perf/picparts_split2.py: tables-as-constants changed
+    # nothing; 1.5x slots did).  Keep cap_factor tight when migration
+    # volume is bounded; overflow is counted, never silent.
     n_cap = max(
-        int(max((own_of_ptcl == r).sum() for r in range(R)) * 1.5) + 8, 64
+        int(max((own_of_ptcl == r).sum() for r in range(R)) * cap_factor)
+        + 8, 64
     )
     # per-rank rotation tables (local element -> per-step rotation)
     rot_h = np.stack([
@@ -553,6 +590,11 @@ def make_picparts_setup(
     # per-rank locator grids (built from each picpart's VALID entities only;
     # padded coords would pollute the bounds)
     locator = None
+    # per-rank policy from the LOCAL (padded) mesh size — spatial
+    # decomposition shrinks per-rank tables, so parts usually stay on the
+    # small-mesh (cpe16 + rows) side of the policy
+    pp_cpe, pp_peel, pp_widths = resolve_locator_policy(
+        cfg, pp.mesh.nelems, n_cap)
     if cfg.use_locator:
         from pumipic_tpu.mesh.locator import LocatorGrid2D, build_locator_grid
 
@@ -568,8 +610,8 @@ def make_picparts_setup(
             # and scatter guesses back through the subset index
             sub_ev = ev_h[r][valid_e]
             g = build_locator_grid(cz_h[r][: (vg_h[r] >= 0).sum()], sub_ev,
-                                   walk_geom=wg_h[r], peel=cfg.peel,
-                                   cells_per_elem=cfg.locator_cpe)
+                                   walk_geom=wg_h[r], peel=pp_peel,
+                                   cells_per_elem=pp_cpe)
             # cell ids are positions within valid_e == local elem ids when
             # valid elements are a prefix (they are: padding is appended)
             grids.append(g)
@@ -646,12 +688,12 @@ def make_picparts_setup(
         if lloc is not None:
             res = search_ops.search_mesh_2d_accel(
                 lmesh, lloc, (s["x0"], s["x1"]), xtgt, elem, active,
-                cfg.max_search_iters, widths=cfg.search_widths,
+                cfg.max_search_iters, widths=pp_widths,
             )
         else:
             res = search_ops.search_mesh_2d(
                 lmesh, (s["x0"], s["x1"]), xtgt, elem, active,
-                cfg.max_search_iters, widths=cfg.search_widths,
+                cfg.max_search_iters, widths=pp_widths,
             )
 
         mid = {
@@ -683,6 +725,11 @@ def make_picparts_setup(
         )
         s2 = mres.state
 
+        # gyroScatter + gyroSync.  The reference scatters fwd AND bwd
+        # (gyroScatter.hpp:169-232), but with the identity projection both
+        # directions share one map, so the bwd pipeline is value-identical
+        # to fwd and XLA CSEs it away — the step returns the shared field
+        # once (build_gyro_mappings likewise builds one map for both).
         fwd = scatter_ops.gyro_scatter(
             s2["elem"], s2["active"], lmesh.elem2verts, gmap,
             lmesh.nverts, gyro.num_rings, gyro.points_per_ring, gyro.rmax,
