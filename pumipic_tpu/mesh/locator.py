@@ -61,6 +61,12 @@ class LocatorGrid2D:
     # containment itself moves to the walk's first (small-table) pass.
     # Built by ``attach_cell_lines``; preferred by the search when present.
     cell_lines: Optional[jax.Array] = None
+    # optional split-rows layout (``attach_cell_rows(split=True)``): when
+    # set, ``cell_rows`` holds candidate A's [affine 6 | elemA] and this
+    # holds candidate B's — two INDEPENDENT 7-col gathers from two
+    # sub-cliff tables instead of one 14-col above-cliff gather (the
+    # gather-cost cliff is per-table size; see docs/PERFORMANCE.md)
+    cell_rows_b: Optional[jax.Array] = None
 
     def cell_of(self, pts) -> jax.Array:
         """Points -> (N,) clamped cell ids (f32 index arithmetic, one cast)."""
@@ -305,7 +311,8 @@ def _host_walk(geom: np.ndarray, e0: np.ndarray, px: np.ndarray,
 def attach_cell_rows(grid: LocatorGrid2D, walk_geom,
                      samples_per_cell: int = 8,
                      seed: int = 1729,
-                     aux: Optional[np.ndarray] = None) -> LocatorGrid2D:
+                     aux: Optional[np.ndarray] = None,
+                     split: bool = False) -> LocatorGrid2D:
     """Return a copy of ``grid`` whose cells carry TWO candidate walk rows.
 
     Candidates are calibrated by stratified random samples per cell located
@@ -346,6 +353,14 @@ def attach_cell_rows(grid: LocatorGrid2D, walk_geom,
         auxh = np.asarray(aux, np.float32)
         parts_a.append(auxh[a])
         parts_b.append(auxh[b])
+    if split:
+        return dataclasses.replace(
+            grid,
+            cell_rows=jnp.asarray(
+                np.concatenate(parts_a, axis=1).astype(np.float32)),
+            cell_rows_b=jnp.asarray(
+                np.concatenate(parts_b, axis=1).astype(np.float32)),
+        )
     rows = np.concatenate(parts_a + parts_b, axis=1).astype(np.float32)
     return dataclasses.replace(grid, cell_rows=jnp.asarray(rows))
 
@@ -527,5 +542,6 @@ def build_locator_grid(coords: np.ndarray, elem2verts: np.ndarray,
         if peel == "lines" and aux is None:
             out = attach_cell_lines(out, walk_geom)
         else:
-            out = attach_cell_rows(out, walk_geom, aux=aux)
+            out = attach_cell_rows(out, walk_geom, aux=aux,
+                                   split=(peel == "rows_split"))
     return out

@@ -634,6 +634,7 @@ def make_picparts_setup(
             ny=jnp.stack([g.ny for g in grids]),
             cell_rows=_stack_padded("cell_rows"),
             cell_lines=_stack_padded("cell_lines"),
+            cell_rows_b=_stack_padded("cell_rows_b"),
         )
         locator = jax.device_put(locator, sharding)
 

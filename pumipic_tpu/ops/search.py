@@ -875,6 +875,46 @@ def search_mesh_2d_accel(
             max_iters=max_iters, fallback=fallback, fg0=fg0,
             record_exit=record_exit, widths=widths, it0=1, aux0=aux0,
         )
+    if grid.cell_rows is not None and grid.cell_rows_b is not None:
+        # split-rows peel: candidate A and B live in two SEPARATE 7-col
+        # tables gathered with the same index — two independent sub-cliff
+        # gathers instead of one above-cliff 14-col gather (the gather
+        # cliff is per-table; unlike the rejected "lines" chain these two
+        # have no data dependency and can overlap).
+        c = grid.cell_of(dest)
+        ga_ = grid.cell_rows[c]                       # (N, 7)
+        gb_ = grid.cell_rows_b[c]                     # (N, 7)
+        elem_a = ga_[:, 6].astype(jnp.int32)
+        elem_b = gb_[:, 6].astype(jnp.int32)
+        dx, dy = dest
+
+        def _inside_row(g):
+            l1 = g[:, 0] * dx + g[:, 1] * dy + g[:, 2]
+            l2 = g[:, 3] * dx + g[:, 4] * dy + g[:, 5]
+            w0 = 1.0 - l1 - l2
+            m1 = (jnp.abs(g[:, 0] * dx) + jnp.abs(g[:, 1] * dy)
+                  + jnp.abs(g[:, 2]))
+            m2 = (jnp.abs(g[:, 3] * dx) + jnp.abs(g[:, 4] * dy)
+                  + jnp.abs(g[:, 5]))
+            t1 = BCC_REL_TOL * m1 + BCC_ABS_TOL
+            t2 = BCC_REL_TOL * m2 + BCC_ABS_TOL
+            return (w0 >= -(t1 + t2)) & (l1 >= -t1) & (l2 >= -t2)
+
+        inside_a = _inside_row(ga_)
+        inside_b = _inside_row(gb_)
+        inside = inside_a | inside_b
+        elem0 = jnp.where(
+            active, jnp.where(inside_a | ~inside, elem_a, elem_b), INVALID)
+        fg0 = active & ~inside
+        done0 = ~active | (active & inside)
+        aux0 = tuple(jnp.zeros((n,), jnp.float32) for _ in range(n_aux))
+        if n_aux:
+            raise ValueError("aux_capture unsupported with split rows")
+        return _run_walk(
+            step, elem0, dest, done0=done0, orig=_components(x_orig),
+            max_iters=max_iters, fallback=fallback, fg0=fg0,
+            record_exit=record_exit, widths=widths, it0=1, aux0=aux0,
+        )
     if grid.cell_rows is not None:
         # peeled first pass off the cell-resident candidate rows: the guess
         # gather, the containment test, and the edge-straddling second

@@ -371,6 +371,10 @@ def test_search_2d_accel_with_rows_and_compacted_guess_retry():
                                     peel="lines")
     assert grid_lines.cell_lines is not None
     assert grid_lines.cell_lines.shape[1] == 5
+    grid_split = build_locator_grid(coords, tris, walk_geom=m.walk_geom,
+                                    peel="rows_split")
+    assert grid_split.cell_rows.shape[1] == 7
+    assert grid_split.cell_rows_b is not None
     rng = np.random.default_rng(6)
     n = 2048
     elems = rng.integers(0, m.nelems, n)
@@ -381,7 +385,7 @@ def test_search_2d_accel_with_rows_and_compacted_guess_retry():
         m, jnp.asarray(orig), jnp.asarray(tgt),
         jnp.asarray(elems, jnp.int32), jnp.ones(n, bool), 200,
     )
-    for g in (grid, grid_lines):
+    for g in (grid, grid_lines, grid_split):
         for widths in ((256, 32), (512,), ()):
             res_accel = search.search_mesh_2d_accel(
                 m, g, jnp.asarray(orig), jnp.asarray(tgt),
