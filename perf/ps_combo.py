@@ -59,6 +59,20 @@ def pseudo_push(elem, active, fields):
     return {"vals": jnp.where(active[:, None], new, fields["vals"])}
 
 
+class _Cfg:
+    def __init__(self, ne, nptcl, dist, structs, iters, seed=0):
+        self.ne, self.nptcl, self.dist = ne, nptcl, dist
+        self.structs, self.iters, self.seed = structs, iters, seed
+
+
+def run_config(ne, nptcl, dist, structs="scs,csr,cabm,dps", iters=3,
+               seed=0):
+    """One sweep configuration in-process (callable from perf/sweep.py —
+    avoids per-config process boundaries, which both recompile everything
+    and occasionally wedge the relay on first contact)."""
+    return _run(_Cfg(ne, nptcl, dist, structs, iters, seed))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ne", type=int, default=5000)
@@ -68,8 +82,10 @@ def main():
     ap.add_argument("--structs", default="scs,csr,cabm,dps")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--seed", type=int, default=0)
-    args = ap.parse_args()
+    _run(ap.parse_args())
 
+
+def _run(args):
     ppe, elems = distribute.distribute_particles(
         args.ne, args.nptcl, args.dist, args.seed
     )
@@ -154,12 +170,14 @@ def main():
     for struct, r in results.items():
         r["push_vs_scs"] = r["pseudo_push_ms"] / ref["pseudo_push_ms"]
         r["rebuild_vs_scs"] = r["rebuild_ms"] / ref["rebuild_ms"]
-    print(json.dumps({
+    rec = {
         "config": {"ne": args.ne, "np": args.nptcl, "dist": args.dist,
                    "iters": args.iters,
                    "device": str(jax.devices()[0])},
         "results": results,
-    }))
+    }
+    print(json.dumps(rec))
+    return rec
 
 
 if __name__ == "__main__":

@@ -30,33 +30,20 @@ def main():
     structs = "scs,csr,cabm,dps"
     iters = 3
 
+    # Run every configuration IN ONE PROCESS: per-config subprocesses
+    # recompile identical shapes from scratch on the remote-compile relay
+    # (minutes each) and occasionally wedge on first contact; in-process
+    # the jit cache carries shapes across distributions for free.
+    sys.path.insert(0, os.path.join(HERE, ".."))
+    from perf.ps_combo import run_config
+
     rows = []
     if True:
         for ne, dist in configs:
-            cmd = [
-                sys.executable, os.path.join(HERE, "ps_combo.py"),
-                "--ne", str(ne), "--np", str(ne * 10_000),
-                "--dist", dist, "--structs", structs, "--iters", str(iters),
-            ]
             print(f"== ne={ne} np={ne * 10000} dist={dist}", flush=True)
-            env = dict(os.environ)
-            # APPEND the repo root — replacing PYTHONPATH would drop the
-            # TPU plugin path (/root/.axon_site); see CLAUDE.md
-            env["PYTHONPATH"] = os.pathsep.join(
-                [os.path.join(HERE, "..")]
-                + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
-            )
-            out = subprocess.run(
-                cmd, capture_output=True, text=True, env=env,
-            )
-            lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
-            if not lines:
-                print(out.stdout[-2000:])
-                print(out.stderr[-2000:])
-                raise RuntimeError(f"ps_combo failed for ne={ne} {dist}")
-            line = lines[-1]
-            rec = json.loads(line)
-            print(line, flush=True)
+            rec = run_config(ne, ne * 10_000, dist, structs, iters)
+            with open(os.path.join(HERE, "sweep_results.json"), "w") as f:
+                json.dump(rows, f, indent=1)   # incremental: survive an OOM
             for struct, r in rec["results"].items():
                 rows.append({
                     "ne": ne, "np": ne * 10_000, "dist": dist,

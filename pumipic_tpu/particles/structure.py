@@ -339,12 +339,21 @@ def _rebuild(
     counts = jnp.diff(start)
     j = jnp.arange(C, dtype=LID_DTYPE)
 
+    def segment_of_slot(offsets):
+        # slot -> segment index via a MESH-rate scatter + slot-rate cumsum:
+        # a slot-rate searchsorted costs log(S) gather rounds and regressed
+        # SCS/CabM rebuild at 24M (perf/sweep round-3); one cumsum is
+        # bandwidth-bound.  Repeated offsets (empty segments) accumulate at
+        # the same slot, so the cumsum skips them correctly.
+        ind = jnp.zeros((C,), LID_DTYPE).at[offsets[1:-1]].add(
+            1, mode="drop")
+        return jnp.cumsum(ind)
+
     if ps.layout == "cabm":
         seg = ((counts + ps.soa_width - 1) // ps.soa_width) * ps.soa_width
         offsets = jnp.concatenate(
             [jnp.zeros(1, seg.dtype), jnp.cumsum(seg)]).astype(LID_DTYPE)
-        elem_j = (jnp.searchsorted(offsets, j, side="right") - 1).astype(
-            LID_DTYPE)
+        elem_j = segment_of_slot(offsets)
         elem_c = jnp.clip(elem_j, 0, E - 1)
         rank_j = j - offsets[elem_c]
         elem_offsets = offsets
@@ -360,8 +369,7 @@ def _rebuild(
         chunk_off = jnp.concatenate(
             [jnp.zeros(1, chunk_slots.dtype), jnp.cumsum(chunk_slots)]
         ).astype(LID_DTYPE)
-        ch = (jnp.searchsorted(chunk_off, j, side="right") - 1).astype(
-            LID_DTYPE)
+        ch = segment_of_slot(chunk_off)
         ch_c = jnp.clip(ch, 0, nchunks - 1)
         o = j - chunk_off[ch_c]
         # chunk is a small power of two; f32 division is exact for o < 2^24
