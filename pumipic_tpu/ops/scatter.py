@@ -17,7 +17,7 @@ single gather/segment-sum pipeline.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,8 +42,21 @@ def count_per_key(key: jax.Array, num_keys: int) -> jax.Array:
     return jnp.diff(bounds)
 
 
+def _auto_lo_width(num_keys: int) -> int:
+    """One-hot work scales with (lo_width + ceil(num_keys/lo_width)); pick
+    the power-of-two minimizer (~sqrt(num_keys)) within [128, 1024].
+    128 is optimal through ~32k keys; big meshes (120k elements) save ~30%
+    of the one-hot elements at 256-512."""
+    best, best_cost = 128, None
+    for lw in (128, 256, 512, 1024):
+        cost = lw + -(-(num_keys + 1) // lw)
+        if best_cost is None or cost < best_cost:
+            best, best_cost = lw, cost
+    return best
+
+
 def count_per_key_matmul(key: jax.Array, num_keys: int,
-                         lo_width: int = 128) -> jax.Array:
+                         lo_width: Optional[int] = None) -> jax.Array:
     """Histogram as ONE MXU matmul: split the key into (hi, lo) digits and
     compute ``hi_onehot.T @ lo_onehot`` — entry (h, l) counts keys with
     value h*lo_width + l.  Exact (0/1 operands, f32 accumulation) for
@@ -61,6 +74,8 @@ def count_per_key_matmul(key: jax.Array, num_keys: int,
     """
     if num_keys + 1 >= (1 << 24) or key.shape[0] >= (1 << 24):
         return count_per_key(key, num_keys).astype(jnp.float32)
+    if lo_width is None:
+        lo_width = _auto_lo_width(num_keys)
     n_hi = -(-(num_keys + 1) // lo_width)
     kf = key.astype(jnp.float32)                  # exact < 2^24
     lw = jnp.float32(lo_width)
