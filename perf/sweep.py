@@ -22,11 +22,16 @@ def main():
     # would be hours of TPU; 3 evolving iterations are enough for the
     # seconds-scale per-op numbers, and the top size runs one distribution.
     if quick:
-        configs = [(1000, "uniform")]
+        configs = [(1000, "uniform", 10_000)]
+    elif "--large-e" in sys.argv:
+        # largeE_smallP (test_largeE_smallP.sh): many elements, few
+        # particles per element — stresses mesh-rate layout machinery
+        configs = [(ne, d, 10) for ne in (50_000, 120_000)
+                   for d in ("uniform", "exponential")]
     else:
-        configs = [(ne, d) for ne in (1000, 2400)
+        configs = [(ne, d, 10_000) for ne in (1000, 2400)
                    for d in ("uniform", "gaussian", "exponential")]
-        configs.append((5500, "uniform"))
+        configs.append((5500, "uniform", 10_000))
     structs = "scs,csr,cabm,dps"
     iters = 3
 
@@ -39,14 +44,14 @@ def main():
 
     rows = []
     if True:
-        for ne, dist in configs:
-            print(f"== ne={ne} np={ne * 10000} dist={dist}", flush=True)
-            rec = run_config(ne, ne * 10_000, dist, structs, iters)
+        for ne, dist, ppe in configs:
+            print(f"== ne={ne} np={ne * ppe} dist={dist}", flush=True)
+            rec = run_config(ne, ne * ppe, dist, structs, iters)
             with open(os.path.join(HERE, "sweep_results.json"), "w") as f:
                 json.dump(rows, f, indent=1)   # incremental: survive an OOM
             for struct, r in rec["results"].items():
                 rows.append({
-                    "ne": ne, "np": ne * 10_000, "dist": dist,
+                    "ne": ne, "np": ne * ppe, "dist": dist,
                     "struct": struct, **{k: v for k, v in r.items()},
                 })
 
