@@ -14,7 +14,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pumipic_tpu.mesh import generate as gen
 from pumipic_tpu.mesh.core import Mesh3D
 from pumipic_tpu.ops import push as push_ops
 from pumipic_tpu.ops import search as search_ops

@@ -13,9 +13,7 @@ annulus/disk meshes whose class ids are radial bands.
 """
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -24,7 +22,6 @@ import numpy as np
 
 from pumipic_tpu.mesh import generate as gen
 from pumipic_tpu.mesh.core import Mesh2D
-from pumipic_tpu.ops import geometry as geo
 from pumipic_tpu.ops import push as push_ops
 from pumipic_tpu.ops import scatter as scatter_ops
 from pumipic_tpu.ops import search as search_ops

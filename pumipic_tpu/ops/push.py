@@ -15,7 +15,7 @@ All kernels are fused elementwise maps over the flat particle axis (the
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

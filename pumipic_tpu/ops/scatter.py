@@ -17,12 +17,10 @@ single gather/segment-sum pipeline.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-
-from pumipic_tpu.utils.types import LID_DTYPE
 
 
 def count_per_key(key: jax.Array, num_keys: int) -> jax.Array:

@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pumipic_tpu.utils.types import LID_DTYPE
 
 
 def _static_field(**kw):

@@ -15,7 +15,7 @@ logic.  Load balance across devices is by construction (equal shard sizes).
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

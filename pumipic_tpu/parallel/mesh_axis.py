@@ -8,7 +8,7 @@ this package go through the axis name, not device ids.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -16,8 +16,6 @@ LOCAL views (see :func:`pumipic_tpu.parallel.picparts.local_view`).
 from __future__ import annotations
 
 from enum import Enum
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -14,7 +14,7 @@ plus the particle's element.
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

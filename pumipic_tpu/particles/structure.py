@@ -30,14 +30,13 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from functools import partial
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pumipic_tpu.utils.types import LID_DTYPE, REAL_DTYPE, round_up
+from pumipic_tpu.utils.types import LID_DTYPE, round_up
 
 
 def _static_field(**kw):
