@@ -275,6 +275,22 @@ def _rebuild(
     active = elem >= 0
     fields = ps.fields
 
+    if ps.layout == "dps" and new_ptcl_elems is None:
+        # Reference DPS rebuild semantics (dps_rebuild.hpp): rewrite parent
+        # element + activity IN PLACE — no sorting, no field movement; holes
+        # from removed particles simply stay inactive.  This makes the
+        # per-step rebuild of the mini-app loops O(N) elementwise (the
+        # actives-first compaction below costs a 10M stable argsort + one
+        # gather per field ≈ 180 ms/step at 10M on the TPU — only the
+        # particle-ADD path needs it, to pack arrivals into holes).
+        return dataclasses.replace(
+            ps,
+            elem=elem,
+            active=active,
+            num_ptcls=jnp.sum(active.astype(jnp.int32)),
+            overflowed=jnp.zeros((), bool),
+        )
+
     if new_ptcl_elems is not None:
         add_active = new_ptcl_elems >= 0
         elem = jnp.concatenate([elem, new_ptcl_elems.astype(LID_DTYPE)])
