@@ -40,7 +40,7 @@ def main():
     )
     from pumipic_tpu.parallel.mesh_axis import make_device_mesh
 
-    mode = os.environ.get("BENCH_MODE", "dp")  # dp | picparts
+    mode = os.environ.get("BENCH_MODE", "dp")  # dp | picparts | pps3d
     # BENCH_MESH: path to a .msh/.msh.gz file (e.g. data/xgc_like_120k.msh.gz,
     # the XGC 120k-element workload analog) — exercises the file-ingestion
     # path instead of the in-memory annulus generator.
@@ -87,6 +87,36 @@ def main():
             s, fwd, stats = pstep(s)
             return s, {"fwd": fwd, "overflow": stats["overflow"]}
 
+    elif mode == "pps3d":
+        # the reference's second headline workload: pseudoPushAndSearch
+        # (3D straight-line push + tet adjacency search + layout rebuild,
+        # test/pseudoPushAndSearch.cpp).  Benchmark config uses periodic
+        # wrap so the 10M-particle population is steady across steps
+        # (reference remove-on-exit semantics drain the box; wall physics
+        # is exercised by gitr_like and the wall-mode tests).
+        from pumipic_tpu.mesh.core import Mesh3D
+        from pumipic_tpu.mesh.generate import box_tet_mesh
+        from pumipic_tpu.models.pseudo_push_and_search import (
+            PseudoPushAndSearch, PushSearchConfig,
+        )
+
+        n_side = max(int(round((mesh_elems / 6) ** (1.0 / 3.0))), 2)
+        coords3, tets = box_tet_mesh(n_side, n_side, n_side)
+        mesh = Mesh3D.from_arrays(coords3, tets)
+        cfg3 = PushSearchConfig(
+            num_ptcls=num_ptcls,
+            structure=os.environ.get("BENCH_STRUCT", "dps"),
+            wall="periodic",
+            distance=float(os.environ.get("BENCH_DIST", 0.05)),
+            max_search_iters=64,
+        )
+        app = PseudoPushAndSearch(mesh, cfg3)
+        state = app.ptcls
+
+        def step(ptcls):
+            ptcls2, iters = app._step(ptcls)
+            return ptcls2, {"iters": iters}
+
     else:
         state, step = make_dp_setup(mesh, cfg, device_mesh)
 
@@ -105,8 +135,14 @@ def main():
             "migration bucket overflow — BENCH_CAPF too tight")
     n_chips = len(device_mesh.devices.flat)
     ptcls_per_sec_per_chip = num_ptcls / dt / n_chips
+    if mode == "pps3d":
+        metric = "pseudoPushAndSearch 3D push+search+rebuild throughput"
+        alive = int(jax.device_get(state.active).sum())
+    else:
+        metric = "pseudoXGCm push+search+rebuild+gyroScatter throughput"
+        alive = int(jax.device_get(state["active"]).sum())
     out = {
-        "metric": "pseudoXGCm push+search+rebuild+gyroScatter throughput",
+        "metric": metric,
         "value": round(ptcls_per_sec_per_chip, 1),
         "unit": "particle-steps/s/chip",
         "vs_baseline": round(ptcls_per_sec_per_chip / PROXY_BASELINE_PTCLS_PER_SEC, 3),
@@ -115,7 +151,7 @@ def main():
             "mesh_elems": mesh.nelems,
             "ms_per_step": round(dt * 1e3, 3),
             "chips": n_chips,
-            "alive": int(jax.device_get(state["active"]).sum()),
+            "alive": alive,
         },
     }
     print(json.dumps(out))

@@ -105,6 +105,11 @@ class LocatorGrid3D:
     # optional slim separating-plane rows [gx gy gz gc | elemA | elemB] →
     # (n_cells, 6) f32, the 3D analog of LocatorGrid2D.cell_lines
     cell_lines: Optional[jax.Array] = None
+    # optional split-rows layout (``attach_cell_rows_3d(split=True)``):
+    # ``cell_rows`` holds candidate A's [affine 12 | elemA] (n_cells, 13)
+    # and this holds candidate B's — two independent half-width gathers
+    # instead of one 26-col gather (the gather cliff is per-table)
+    cell_rows_b: Optional[jax.Array] = None
 
     def cell_of(self, pts) -> jax.Array:
         if isinstance(pts, tuple):
@@ -190,10 +195,14 @@ def _top2_per_cell(cell, found, ce):
 
 def attach_cell_rows_3d(grid: LocatorGrid3D, walk_geom,
                         samples_per_cell: int = 8,
-                        seed: int = 1729) -> LocatorGrid3D:
+                        seed: int = 1729,
+                        split: bool = False) -> LocatorGrid3D:
     """3D analog of :func:`attach_cell_rows`: sample-calibrated TWO
     candidate elements per cell, rows [A affine (12) | elemA | B affine
-    (12) | elemB] → (n_cells, 26) f32."""
+    (12) | elemB] → (n_cells, 26) f32.  ``split=True`` stores the
+    candidates as two separate (n_cells, 13) tables instead
+    (``cell_rows`` + ``cell_rows_b``) so the peel issues two independent
+    half-byte gathers."""
     geom = np.asarray(walk_geom)
     ce = np.asarray(grid.cell_elem, dtype=np.int64)
     nx, ny, nz = grid.nx, grid.ny, grid.nz
@@ -214,6 +223,14 @@ def attach_cell_rows_3d(grid: LocatorGrid3D, walk_geom,
     pz = o[2] + (iz + u[:, 2]) * h[2]
     found = _host_walk_3d(geom, ce[cell], px, py, pz)
     a, b = _top2_per_cell(cell, found, ce)
+    if split:
+        rows_a = np.concatenate(
+            [geom[a][:, 0:12], a[:, None]], axis=1).astype(np.float32)
+        rows_b = np.concatenate(
+            [geom[b][:, 0:12], b[:, None]], axis=1).astype(np.float32)
+        return dataclasses.replace(
+            grid, cell_rows=jnp.asarray(rows_a),
+            cell_rows_b=jnp.asarray(rows_b))
     rows = np.concatenate(
         [geom[a][:, 0:12], a[:, None].astype(np.float32),
          geom[b][:, 0:12], b[:, None].astype(np.float32)],
@@ -273,7 +290,8 @@ def build_locator_grid_3d(coords: np.ndarray, elem2verts: np.ndarray,
         if peel == "lines":
             out = attach_cell_lines_3d(out, walk_geom)
         else:
-            out = attach_cell_rows_3d(out, walk_geom)
+            out = attach_cell_rows_3d(out, walk_geom,
+                                      split=(peel == "rows_split"))
     return out
 
 

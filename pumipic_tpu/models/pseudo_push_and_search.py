@@ -38,6 +38,53 @@ class PushSearchConfig:
     structure: str = "scs"
     max_search_iters: int = 100
     use_locator: bool = True
+    # wall behavior: "remove" = reference semantics (delete on exit,
+    # test/pseudoPushAndSearch.cpp deletes leavers), "reflect" = specular
+    # wall, "periodic" = wrap the pushed position back into the domain box
+    # BEFORE the search (steady-state benchmark mode: the particle
+    # population never drains, and with the grid-accelerated search a wrap
+    # is an ordinary one-guess locate, not a cross-domain walk)
+    wall: str = "remove"
+    # 3D locator policy: tet meshes have a much higher 2-candidate guess-miss
+    # rate than triangle meshes (a locator cell overlaps ~6 Kuhn tets), so
+    # the resolution and the pyramid widths matter more than in 2D.  None =
+    # auto (resolve_locator_policy_3d, measured on the TPU — see
+    # docs/PERFORMANCE.md round-3 3D findings).
+    cells_per_elem: Optional[float] = None
+    peel: str = "auto"
+    widths: Optional[Tuple[int, ...]] = None
+
+
+def resolve_locator_policy_3d(cfg: PushSearchConfig, nelems: int,
+                              num_ptcls: int):
+    """Resolve (cells_per_elem, peel, widths) for a tet mesh.
+
+    Measured on the TPU at 10M particles / 24.5k tets (perf/pps3d_opt.py,
+    docs/PERFORMANCE.md round-3 3D findings): the tet 2-candidate guess-miss
+    rate is an order of magnitude above the triangle meshes' (37% at cpe2,
+    19% at cpe8 — a locator cell overlaps ~6 Kuhn tets), so the policy
+    spends locator memory on resolution and opens the pyramid's first
+    level wide enough to absorb the miss tail without extra full-width
+    16-col walk passes."""
+    cpe, peel, widths = cfg.cells_per_elem, cfg.peel, cfg.widths
+    if cpe is None:
+        if nelems * 16 * 26 * 4 <= 48e6:
+            # TPU-measured winner at 24.5k tets / 10M (miss 13.7%): the
+            # above-cliff 40 MB rows gather still beats both lines
+            # variants (369.6/369.4 vs 338.3 ms) and every coarser grid
+            cpe = 16.0
+        else:
+            # big tet meshes: follow the 2D big-table result (chained
+            # sub-cliff lines beat a far-above-cliff rows gather)
+            cpe = 4.0
+            if peel == "auto":
+                peel = "lines"
+    if widths is None and num_ptcls >= 1 << 16:
+        # first level must absorb the tet miss tail (13.7% at cpe16)
+        # without full-width 16-col walk passes
+        widths = (max(num_ptcls // 4, 2048),
+                  max(num_ptcls // 64, 2048), 2048)
+    return cpe, peel, widths
 
 
 class PseudoPushAndSearch:
@@ -61,38 +108,62 @@ class PseudoPushAndSearch:
             "pid": jnp.arange(cfg.num_ptcls, dtype=jnp.int32),
         }
         self.direction = jnp.asarray(d, jnp.float32)
-        self.ptcls = _BUILDERS[cfg.structure](
-            mesh.nelems, np.sort(elems), {
-                "x": fields["x"][np.argsort(elems, kind="stable")],
-                "pid": fields["pid"][np.argsort(elems, kind="stable")],
-            }
-        )
+        sorted_fields = {
+            "x": fields["x"][np.argsort(elems, kind="stable")],
+            "pid": fields["pid"][np.argsort(elems, kind="stable")],
+        }
+        if cfg.structure in ("csr", "dps"):
+            # this app never ADDS particles (rebuild only deactivates
+            # leavers), so slot capacity = num_ptcls exactly: every
+            # particle-rate op in the step runs at true width instead of
+            # the constructor's 1.2x padded default (the same capacity-
+            # padding tax as the picparts R=1 finding, docs/PERFORMANCE.md
+            # round-3 finding 6)
+            self.ptcls = _BUILDERS_CAP[cfg.structure](
+                mesh.nelems, np.sort(elems), sorted_fields, cfg.num_ptcls)
+        else:
+            self.ptcls = _BUILDERS[cfg.structure](
+                mesh.nelems, np.sort(elems), sorted_fields)
         self._step = self._make_step()
 
     def _make_step(self):
         mesh, cfg, direction = self.mesh, self.cfg, self.direction
         locator = None
+        widths = None
         if cfg.use_locator:
             from pumipic_tpu.mesh.locator import build_locator_grid_3d
 
+            cpe, peel, widths = resolve_locator_policy_3d(
+                cfg, mesh.nelems, cfg.num_ptcls)
             locator = build_locator_grid_3d(
                 np.asarray(mesh.coords), np.asarray(mesh.elem2verts),
-                walk_geom=mesh.walk_geom,
+                cells_per_elem=cpe, walk_geom=mesh.walk_geom, peel=peel,
             )
+        handler = (search_ops.reflect_on_exit_3d if cfg.wall == "reflect"
+                   else search_ops.remove_on_exit)
+        coords_h = np.asarray(mesh.coords)
+        box_lo = jnp.asarray(coords_h.min(axis=0), jnp.float32)
+        box_ext = jnp.asarray(
+            coords_h.max(axis=0) - coords_h.min(axis=0), jnp.float32)
 
         @jax.jit
         def step(ptcls):
             x = ptcls.get("x")
             xtgt = push_ops.straight_line_push(x, direction, cfg.distance)
+            if cfg.wall == "periodic":
+                # torus topology: wrap before the search; nudge off the
+                # exact boundary so the wrapped point is strictly interior
+                xtgt = (xtgt - box_lo) % box_ext + box_lo
             if locator is not None:
                 res = search_ops.search_mesh_3d_accel(
                     mesh, locator, x, xtgt, ptcls.elem, ptcls.active,
-                    cfg.max_search_iters,
+                    cfg.max_search_iters, boundary_handler=handler,
+                    widths=widths,
                 )
             else:
                 res = search_ops.search_mesh_3d(
                     mesh, x, xtgt, ptcls.elem, ptcls.active,
-                    cfg.max_search_iters,
+                    cfg.max_search_iters, boundary_handler=handler,
                 )
             ptcls2 = ptcls.set("x", res.dest).rebuild(res.elem_ids)
             return ptcls2, res.iters

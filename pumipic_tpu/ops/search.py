@@ -1043,6 +1043,46 @@ def search_mesh_3d_accel(
             max_iters=max_iters, fallback=fallback, fg0=fg0,
             record_exit=record_exit, widths=widths, it0=1,
         )
+    if grid.cell_rows is not None and grid.cell_rows_b is not None:
+        # split-rows peel (3D): candidates A and B in two separate 13-col
+        # tables, two independent half-byte gathers at the same index
+        # (see the 2D split branch; the gather cliff is per-table)
+        c = grid.cell_of(dest)
+        ga_ = grid.cell_rows[c]                        # (N, 13)
+        gb_ = grid.cell_rows_b[c]                      # (N, 13)
+        elem_a = ga_[:, 12].astype(jnp.int32)
+        elem_b = gb_[:, 12].astype(jnp.int32)
+        dx, dy, dz = dest
+
+        def _inside_row3(g):
+            l1 = g[:, 0] * dx + g[:, 1] * dy + g[:, 2] * dz + g[:, 3]
+            l2 = g[:, 4] * dx + g[:, 5] * dy + g[:, 6] * dz + g[:, 7]
+            l3 = g[:, 8] * dx + g[:, 9] * dy + g[:, 10] * dz + g[:, 11]
+            w0 = 1.0 - l1 - l2 - l3
+            m1 = (jnp.abs(g[:, 0] * dx) + jnp.abs(g[:, 1] * dy)
+                  + jnp.abs(g[:, 2] * dz) + jnp.abs(g[:, 3]))
+            m2 = (jnp.abs(g[:, 4] * dx) + jnp.abs(g[:, 5] * dy)
+                  + jnp.abs(g[:, 6] * dz) + jnp.abs(g[:, 7]))
+            m3 = (jnp.abs(g[:, 8] * dx) + jnp.abs(g[:, 9] * dy)
+                  + jnp.abs(g[:, 10] * dz) + jnp.abs(g[:, 11]))
+            t1 = BCC_REL_TOL * m1 + BCC_ABS_TOL
+            t2 = BCC_REL_TOL * m2 + BCC_ABS_TOL
+            t3 = BCC_REL_TOL * m3 + BCC_ABS_TOL
+            return ((w0 >= -(t1 + t2 + t3)) & (l1 >= -t1) & (l2 >= -t2)
+                    & (l3 >= -t3))
+
+        inside_a = _inside_row3(ga_)
+        inside_b = _inside_row3(gb_)
+        inside = inside_a | inside_b
+        elem0 = jnp.where(
+            active, jnp.where(inside_a | ~inside, elem_a, elem_b), INVALID)
+        fg0 = active & ~inside
+        done0 = ~active | (active & inside)
+        return _run_walk(
+            step, elem0, dest, done0=done0, orig=_components(x_orig),
+            max_iters=max_iters, fallback=fallback, fg0=fg0,
+            record_exit=record_exit, widths=widths, it0=1,
+        )
     if grid.cell_rows is not None:
         g = grid.cell_rows[grid.cell_of(dest)]          # (N, 26)
         elem_a = g[:, 12].astype(jnp.int32)

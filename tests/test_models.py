@@ -95,6 +95,28 @@ def test_pseudo_push_and_search(structure):
     assert 0 < history[-1] < 500
 
 
+@pytest.mark.parametrize("wall", ["periodic", "reflect"])
+def test_pseudo_push_and_search_walls(wall):
+    """Non-default wall modes sustain the population: periodic wraps the
+    pushed position (torus topology, steady-state benchmark mode) and
+    reflect bounces it; both keep every particle alive in a valid element
+    inside the box."""
+    coords, tets = gen.box_tet_mesh(4, 4, 4)
+    mesh = Mesh3D.from_arrays(coords, tets)
+    cfg = PushSearchConfig(
+        num_ptcls=400, num_iterations=6, distance=0.11, structure="dps",
+        wall=wall,
+    )
+    app = PseudoPushAndSearch(mesh, cfg)
+    history = app.run()
+    assert history == [400] * 6
+    h = app.ptcls.copy_to_host()
+    elem = h["elem"][h["active"]]
+    assert ((elem >= 0) & (elem < mesh.nelems)).all()
+    x = h["x"][h["active"]]
+    assert (x >= -1e-5).all() and (x <= 1 + 1e-5).all()
+
+
 def test_gitr_like_app():
     from pumipic_tpu.models.gitr_like import GitrConfig, GitrLike
 

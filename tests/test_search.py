@@ -320,6 +320,19 @@ def test_search_3d_accel_matches_plain():
         np.asarray(res_plain.elem_ids), np.asarray(res_lines.elem_ids)
     )
 
+    # split-rows peel (two independent 13-col tables) must match exactly too
+    grid_split = build_locator_grid_3d(coords, tets, walk_geom=m.walk_geom,
+                                       peel="rows_split")
+    assert grid_split.cell_rows_b is not None
+    assert grid_split.cell_rows.shape[1] == 13
+    res_split = search.search_mesh_3d_accel(
+        m, grid_split, jnp.asarray(orig), jnp.asarray(tgt),
+        jnp.asarray(elems, jnp.int32), jnp.ones(n, bool), 100,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_plain.elem_ids), np.asarray(res_split.elem_ids)
+    )
+
 
 def test_search_3d_reflect_boundary():
     coords, tets = gen.box_tet_mesh(4, 4, 4)
