@@ -43,6 +43,10 @@ CONFIGS = {
     "cpe32_lines": (32.0, "lines", (N // 4, N // 64, 2048)),
     # two independent 13-col tables (20 MB each) vs one 26-col 40 MB gather
     "cpe16_split": (16.0, "rows_split", (N // 4, N // 64, 2048)),
+    # big-mesh (PPS_SIDE=27, 118k tets) candidates: the cpe16 rows table is
+    # 193 MB there, so the policy falls to lines — pick its resolution
+    "cpe8_lines": (8.0, "lines", (N // 4, N // 64, 2048)),
+    "cpe4_lines_half": (4.0, "lines", (N // 2, N // 32, 2048)),
 }
 
 

@@ -13,6 +13,8 @@ import sys
 import os
 
 HERE = os.path.dirname(__file__)
+OUT = os.environ.get("SWEEP_OUT",
+                     os.path.join(HERE, "sweep_results.json"))
 
 
 def main():
@@ -33,6 +35,9 @@ def main():
                    for d in ("uniform", "gaussian", "exponential")]
         configs.append((5500, "uniform", 10_000))
     structs = "scs,csr,cabm,dps"
+    for a in sys.argv[1:]:
+        if a.startswith("--structs="):
+            structs = a.split("=", 1)[1]
     iters = 3
 
     # Run every configuration IN ONE PROCESS: per-config subprocesses
@@ -47,13 +52,15 @@ def main():
         for ne, dist, ppe in configs:
             print(f"== ne={ne} np={ne * ppe} dist={dist}", flush=True)
             rec = run_config(ne, ne * ppe, dist, structs, iters)
-            with open(os.path.join(HERE, "sweep_results.json"), "w") as f:
-                json.dump(rows, f, indent=1)   # incremental: survive an OOM
             for struct, r in rec["results"].items():
                 rows.append({
                     "ne": ne, "np": ne * ppe, "dist": dist,
                     "struct": struct, **{k: v for k, v in r.items()},
                 })
+            # incremental (AFTER appending, so an OOM on the next config
+            # cannot lose this one): survive the known 55M HBM limit
+            with open(OUT, "w") as f:
+                json.dump(rows, f, indent=1)
 
     # markdown table for BASELINE.md
     print("\n| ne | np | dist | struct | push ms | rebuild ms | "
@@ -64,9 +71,9 @@ def main():
               f"{r['pseudo_push_ms']:.2f} | {r['rebuild_ms']:.2f} | "
               f"{r['migrate_churn_ms']:.2f} | "
               f"{100 * r['padded_fraction']:.1f} |")
-    with open(os.path.join(HERE, "sweep_results.json"), "w") as f:
+    with open(OUT, "w") as f:
         json.dump(rows, f, indent=1)
-    print(f"\nwrote {os.path.join(HERE, 'sweep_results.json')}")
+    print(f"\nwrote {OUT}")
 
 
 if __name__ == "__main__":
