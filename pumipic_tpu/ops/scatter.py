@@ -53,6 +53,11 @@ def _auto_lo_width(num_keys: int) -> int:
     return best
 
 
+# largest key count whose histogram is exact in one f32 MXU accumulation;
+# beyond it the histogram runs in chunks of half this (int32-accumulated)
+_MATMUL_MAX_N = 1 << 24
+
+
 def count_per_key_matmul(key: jax.Array, num_keys: int,
                          lo_width: Optional[int] = None) -> jax.Array:
     """Histogram as ONE MXU matmul: split the key into (hi, lo) digits and
@@ -67,11 +72,28 @@ def count_per_key_matmul(key: jax.Array, num_keys: int,
 
     Exactness bounds: the f32 key cast needs ``num_keys < 2^24`` and the f32
     MXU accumulation needs every bucket count < 2^24 (guaranteed when the
-    total key count is); outside them this silently undercounts, so fall
-    back to the sorted histogram (both are static shape facts).
+    total key count is); outside them this silently undercounts (both are
+    static shape facts).  Key VALUES >= 2^24 fall back to the sorted
+    histogram; key COUNTS >= 2^24 split into chunks whose per-bucket counts
+    are provably < 2^24 and accumulate exactly in int32 (a 2^24-slot array
+    at 1.8x capacity padding is just an 18M-slot structure rebuild — common,
+    not extreme).
     """
-    if num_keys + 1 >= (1 << 24) or key.shape[0] >= (1 << 24):
+    if num_keys + 1 >= (1 << 24):
         return count_per_key(key, num_keys).astype(jnp.float32)
+    n = key.shape[0]
+    if n >= _MATMUL_MAX_N:
+        chunk = _MATMUL_MAX_N // 2
+        nch = -(-n // chunk)
+        pad = nch * chunk - n
+        kp = jnp.concatenate(
+            [key, jnp.full((pad,), num_keys, key.dtype)]) if pad else key
+        tot = jnp.zeros((num_keys,), jnp.int32)
+        for c in range(nch):
+            tot = tot + count_per_key_matmul(
+                kp[c * chunk:(c + 1) * chunk], num_keys, lo_width
+            ).astype(jnp.int32)
+        return tot.astype(jnp.float32)
     if lo_width is None:
         lo_width = _auto_lo_width(num_keys)
     n_hi = -(-(num_keys + 1) // lo_width)

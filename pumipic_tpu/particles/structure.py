@@ -65,9 +65,15 @@ class SCSInput:
     chunk_size: int = 8
     sigma: Optional[int] = None
     vertical_slice: int = 64
-    # SCS chunk padding inflates skewed distributions; default capacity
-    # headroom is higher than CSR/DPS for that reason.
-    padding_factor: float = 1.8
+    # Capacity floor as a multiple of the particle count.  The constructor
+    # sizes capacity from the σ-sorted chunk-padded LAYOUT (×1.1 headroom),
+    # exactly like the reference (``constructOffsets`` sets capacity_);
+    # σ-sorting keeps that layout near N even for skewed distributions, and
+    # every slot-rate rebuild op scales with capacity — the old 1.8 default
+    # ran the 10M rebuild at 18M slot width for no benefit (round-3b,
+    # perf/scs_opt.py).  Overflow is counted and :func:`rebuild_checked`
+    # re-materializes, mirroring the reference's reallocation.
+    padding_factor: float = 1.2
 
 
 @jax.tree_util.register_dataclass
@@ -344,33 +350,52 @@ def _rebuild(
     # rebuild is one stable sort + ONE gather per field, like CSR/DPS,
     # instead of per-field scatters (VERDICT r2 weak #4; matches the
     # gather-free reshuffle economics of SCS_rebuild.h:3-120).
+    #
+    # Round-3b reformulation (perf/scs_opt.py, 1.28x SCS / 1.56x CabM at
+    # 10M on the TPU):
+    # - per-element counts come from the MXU one-hot histogram + a
+    #   mesh-rate cumsum instead of gathering the sorted keys back
+    #   (``key[order]``) and binary-searching them — one slot-rate gather
+    #   gone;
+    # - the within-segment offset ``o`` comes from scattering each
+    #   segment-start's JUMP (previous segment length) and cumsumming —
+    #   replaces the slot-rate ``offsets[segment]`` gather;
+    # - element/row metadata stays in SEPARATE 1-D gathers: packing them
+    #   into an s32 (R,3) table makes XLA copy the gathered columns through
+    #   a 128x-padded s32[1,C] layout (8.6 GB at 18M slots, OOM;
+    #   perf/scs_bisect.py) — the round-2 "all-float rows" gather rule
+    #   applied to int tables.
+    from pumipic_tpu.ops.scatter import count_per_key_matmul
+
     E, M = ps.num_elems, elem.shape[0]
     key = jnp.where(active, elem, E)
     order = jnp.argsort(key, stable=True)
-    sorted_elem = key[order]
-    start = jnp.searchsorted(
-        sorted_elem, jnp.arange(E + 1, dtype=key.dtype)
-    ).astype(LID_DTYPE)
-    counts = jnp.diff(start)
+    counts = count_per_key_matmul(key, E).astype(LID_DTYPE)
+    start = jnp.concatenate(
+        [jnp.zeros(1, LID_DTYPE), jnp.cumsum(counts).astype(LID_DTYPE)])
     j = jnp.arange(C, dtype=LID_DTYPE)
 
-    def segment_of_slot(offsets):
-        # slot -> segment index via a MESH-rate scatter + slot-rate cumsum:
-        # a slot-rate searchsorted costs log(S) gather rounds and regressed
-        # SCS/CabM rebuild at 24M (perf/sweep round-3); one cumsum is
-        # bandwidth-bound.  Repeated offsets (empty segments) accumulate at
-        # the same slot, so the cumsum skips them correctly.
-        ind = jnp.zeros((C,), LID_DTYPE).at[offsets[1:-1]].add(
-            1, mode="drop")
-        return jnp.cumsum(ind)
+    def segment_offsets_of_slot(offsets):
+        # slot -> (segment index, segment start) via MESH-rate scatters +
+        # slot-rate cumsums: where the segment id increments (at
+        # offsets[c]), the segment start jumps by the previous segment's
+        # length.  Repeated offsets (empty segments) accumulate at the same
+        # slot, so the cumsums skip them correctly.  A slot-rate
+        # searchsorted costs log(S) gather rounds and regressed at 24M
+        # (perf/sweep round-3); cumsums are bandwidth-bound.
+        pos = offsets[1:-1]
+        jump = jnp.diff(offsets)[:-1]
+        ind = jnp.zeros((C,), LID_DTYPE).at[pos].add(1, mode="drop")
+        gj = jnp.zeros((C,), LID_DTYPE).at[pos].add(jump, mode="drop")
+        return jnp.cumsum(ind), jnp.cumsum(gj)
 
     if ps.layout == "cabm":
         seg = ((counts + ps.soa_width - 1) // ps.soa_width) * ps.soa_width
         offsets = jnp.concatenate(
             [jnp.zeros(1, seg.dtype), jnp.cumsum(seg)]).astype(LID_DTYPE)
-        elem_j = segment_of_slot(offsets)
+        elem_j, seg_start = segment_offsets_of_slot(offsets)
         elem_c = jnp.clip(elem_j, 0, E - 1)
-        rank_j = j - offsets[elem_c]
+        rank_j = j - seg_start
         elem_offsets = offsets
         row_to_elem = elem_to_row = None
         needed = offsets[E]
@@ -384,14 +409,13 @@ def _rebuild(
         chunk_off = jnp.concatenate(
             [jnp.zeros(1, chunk_slots.dtype), jnp.cumsum(chunk_slots)]
         ).astype(LID_DTYPE)
-        ch = segment_of_slot(chunk_off)
-        ch_c = jnp.clip(ch, 0, nchunks - 1)
-        o = j - chunk_off[ch_c]
+        ch, chunk_start = segment_offsets_of_slot(chunk_off)
+        o = j - chunk_start
         # chunk is a small power of two; f32 division is exact for o < 2^24
         of = o.astype(jnp.float32)
         rank_j = jnp.floor(of / chunk).astype(LID_DTYPE)
         local_row = (o - rank_j * chunk).astype(LID_DTYPE)
-        row = ch_c * chunk + local_row
+        row = jnp.clip(ch, 0, nchunks - 1) * chunk + local_row
         elem_j = row_to_elem[jnp.minimum(row, row_to_elem.shape[0] - 1)]
         elem_c = jnp.clip(elem_j, 0, E - 1)
         elem_offsets = (
@@ -496,9 +520,13 @@ def CSR(num_elems, ptcl_elems, fields=None, field_spec=None, capacity=None,
 
 
 def CabM(num_elems, ptcl_elems, fields=None, field_spec=None, capacity=None,
-         padding_factor=1.5, soa_width=8, name="ptcls"):
+         padding_factor=1.2, soa_width=8, name="ptcls"):
     """AoSoA-flavored container: element segments padded to the SoA width
-    (cabm/cabm.hpp:15-186); on TPU the width aligns to the 8-row sublane."""
+    (cabm/cabm.hpp:15-186); on TPU the width aligns to the 8-row sublane.
+
+    Capacity sizes from the SoA-padded layout (×1.1) with a
+    ``padding_factor``×N floor — layout-exact like the reference, with
+    :func:`rebuild_checked` covering growth (round-3b)."""
     if capacity is None:
         pe = np.asarray(ptcl_elems)
         ppe = np.bincount(pe[pe >= 0], minlength=num_elems)

@@ -273,3 +273,21 @@ def test_count_per_key_matmul_matches_sorted():
         want = np.bincount(key, minlength=nk + 1)[:nk]
         np.testing.assert_array_equal(a, want)
         np.testing.assert_array_equal(b.astype(np.int64), want)
+
+
+def test_count_per_key_matmul_chunked(monkeypatch):
+    """Key counts >= _MATMUL_MAX_N run in int32-accumulated chunks (incl. a
+    ragged tail padded with the overflow bucket) and stay exact."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pumipic_tpu.ops import scatter
+
+    monkeypatch.setattr(scatter, "_MATMUL_MAX_N", 4096)
+    rng = np.random.default_rng(23)
+    nk = 300
+    for n in (4096, 4097, 10_000):                   # exact, ragged, multi
+        key = rng.integers(0, nk + 1, n)             # nk == overflow bucket
+        got = np.asarray(
+            scatter.count_per_key_matmul(jnp.asarray(key, jnp.int32), nk))
+        want = np.bincount(key, minlength=nk + 1)[:nk]
+        np.testing.assert_array_equal(got.astype(np.int64), want)
