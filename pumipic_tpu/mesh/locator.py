@@ -495,11 +495,12 @@ def attach_cell_lines_3d(grid: LocatorGrid3D, walk_geom,
 
 
 # peel="auto" policy: 2-candidate containment rows win while their table is
-# near/below the measured gather cliff (21.5 MB table = 76 ms at 10M,
-# beats every split-gather variant); the slim separating-line peel wins on
-# big meshes (120k elems: 314 vs 339 ms at a 110 MB rows table).  The
-# crossover is bracketed, not measured — 32 MB splits the proven bands
-# (perf/walk_opt18.py, docs/PERFORMANCE.md round-3).
+# at or below the 32 MB band (21.5 MB/24k-cpe16 = 178 ms; 26.9 MB/120k-cpe4
+# = 245.5 ms, beating the lines peel's 275.9 — perf/walk_opt19); the slim
+# separating-line peel only wins once the rows table is far past the cliff
+# (120k at cpe16: lines 314 vs rows 339 on a 110 MB table, walk_opt18).
+# With resolve_locator_policy dropping cpe on big meshes, auto thus resolves
+# to rows everywhere unless a caller forces an oversized cpe.
 PEEL_AUTO_LINES_BYTES = 32e6
 
 

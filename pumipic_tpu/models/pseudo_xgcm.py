@@ -52,15 +52,16 @@ class XGCmConfig:
     max_search_iters: int = 128
     # background-grid point-location accelerator (global-mesh modes)
     use_locator: bool = True
-    # peel flavor: "auto" picks 2-candidate containment rows for small
-    # meshes (fastest at the 24k class: 178 vs 209 ms) and the slim
-    # separating-line peel for big ones (120k: 314 vs 339 ms) by rows-table
-    # size; "rows"/"lines" force a variant (docs/PERFORMANCE.md round-3)
+    # peel flavor: "auto" picks 2-candidate containment rows whenever the
+    # rows table fits under the 32 MB band (at policy-resolved cpe that is
+    # every mesh: 24k/cpe16 178 ms, 120k/cpe4 245.5 ms) and the slim
+    # separating-line peel only for oversized tables; "rows"/"lines" force
+    # a variant (docs/PERFORMANCE.md round-3, perf/walk_opt19)
     peel: str = "auto"
     # locator grid resolution (cells per element); None = auto — 16 for
-    # small meshes (measured 24k optimum, walk_opt17), 4 + lines peel +
-    # wider first pyramid level for big ones (120k: 275.9 ms vs 364 at
-    # cpe16/rows; docs/PERFORMANCE.md round-3)
+    # small meshes (measured 24k optimum, walk_opt17), 4 + wider first
+    # pyramid level for big ones (120k: 245.5 ms vs 364 at cpe16/rows;
+    # docs/PERFORMANCE.md round-3, perf/walk_opt19)
     locator_cpe: Optional[float] = None
     # override for the walk's compaction pyramid (None = default; see
     # ops/search.py and perf/walk_opt2.py measurements)
@@ -77,9 +78,11 @@ def resolve_locator_policy(cfg: XGCmConfig, nelems: int, num_ptcls: int):
 
     Auto policy (measured, docs/PERFORMANCE.md round-3): while the cpe16
     2-candidate rows table stays near the gather cliff (<= 32 MB, i.e.
-    ~36k elements) keep cpe16 + rows; past it, drop to cpe4 with the slim
-    separating-line peel (sub-cliff 5-col table) and open the pyramid's
-    first level to N/8 for the higher (7.2%) peel-miss tail.
+    ~36k elements) keep cpe16 + rows; past it, drop to cpe4 — still rows
+    (one mid-size 14-col gather beats the lines peel's chained sub-cliff
+    gathers even at 120k: 245.5 vs 275.9 ms, perf/walk_opt19) — and open
+    the pyramid's first level to N/8 for the higher (7.2%) peel-miss tail.
+    cpe2 loses both ways (374 rows / 367 lines: the 14% miss tail).
     """
     cpe, peel, widths = cfg.locator_cpe, cfg.peel, cfg.search_widths
     if cpe is None:
@@ -87,8 +90,6 @@ def resolve_locator_policy(cfg: XGCmConfig, nelems: int, num_ptcls: int):
             cpe = 16.0
         else:
             cpe = 4.0
-            if peel == "auto":
-                peel = "lines"
             if widths is None and num_ptcls >= 1 << 16:
                 widths = (max(num_ptcls // 8, 2048),
                           max(num_ptcls // 128, 2048), 2048)

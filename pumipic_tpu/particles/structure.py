@@ -382,7 +382,9 @@ def _rebuild(
         # length.  Repeated offsets (empty segments) accumulate at the same
         # slot, so the cumsums skip them correctly.  A slot-rate
         # searchsorted costs log(S) gather rounds and regressed at 24M
-        # (perf/sweep round-3); cumsums are bandwidth-bound.
+        # (perf/sweep round-3); cumsums are bandwidth-bound.  (int32 vs f32
+        # cumsum at slot rate is neutral on the TPU — 10.6 vs 11.0 ms at
+        # 12M, perf/scs_split.py — so no dtype games here.)
         pos = offsets[1:-1]
         jump = jnp.diff(offsets)[:-1]
         ind = jnp.zeros((C,), LID_DTYPE).at[pos].add(1, mode="drop")
