@@ -269,6 +269,51 @@ def _scs_row_order(counts: jax.Array, sigma: int, chunk: int, num_elems: int):
     return row_to_elem, elem_to_row, chunk_width
 
 
+# Rebuild moves every field through ONE packed wide-row gather instead of
+# one full-width gather per field: 4-byte fields are bitcast to f32 lanes,
+# concatenated to an (M, W) matrix, gathered once, and split back (the
+# round-2 gather cost model: per-full-width-gather fixed cost dominates —
+# MINIMIZE THE NUMBER of gathers, then bytes; the concat is a fused
+# bandwidth-bound copy).  Falls back to per-field gathers when any field
+# is not 4-byte-wide.  Flag exists for A/B harnesses (perf/scs_split.py).
+PACKED_REBUILD_GATHER = True
+
+
+def _gather_fields(fields, take, extra=()):
+    """out[j] = in[take[j]] for every field, plus ``extra`` (M,) 4-byte
+    columns riding the same rows.  Returns (out_fields, out_extra)."""
+    packable = PACKED_REBUILD_GATHER and (fields or extra) and all(
+        v.dtype.itemsize == 4 for v in fields.values()
+    ) and all(e.dtype.itemsize == 4 for e in extra)
+    if not packable:
+        return (
+            {k: v[take] for k, v in fields.items()},
+            tuple(e[take] for e in extra),
+        )
+    cols = []
+    layout = []  # (name, inner_shape, dtype, ncols)
+    for k, v in fields.items():
+        flat = v.reshape(v.shape[0], -1)
+        cols.append(jax.lax.bitcast_convert_type(flat, jnp.float32))
+        layout.append((k, v.shape[1:], v.dtype, flat.shape[1]))
+    for e in extra:
+        cols.append(jax.lax.bitcast_convert_type(e[:, None], jnp.float32))
+    packed = jnp.concatenate(cols, axis=1)
+    rows = packed[take]
+    out_fields = {}
+    c = 0
+    for k, inner, dt, w in layout:
+        blk = jax.lax.bitcast_convert_type(rows[:, c:c + w], dt)
+        out_fields[k] = blk.reshape((rows.shape[0],) + inner)
+        c += w
+    out_extra = []
+    for e in extra:
+        out_extra.append(
+            jax.lax.bitcast_convert_type(rows[:, c:c + 1], e.dtype)[:, 0])
+        c += 1
+    return out_fields, tuple(out_extra)
+
+
 @jax.jit
 def _rebuild(
     ps: ParticleStructure,
@@ -311,26 +356,31 @@ def _rebuild(
         # IS the slot order, so rebuild needs no slot array and no
         # scatters at all — out[j] = in[order[j]] per field.  Scatter-free
         # rebuild is ~2x cheaper at 10M (ps_combo).
+        from pumipic_tpu.ops.scatter import count_per_key_matmul
+
         E, M = ps.num_elems, elem.shape[0]
         if ps.layout == "csr":
             key = jnp.where(active, elem, E)
             order = jnp.argsort(key, stable=True)
-            sorted_key = key[order]
-            start = jnp.searchsorted(
-                sorted_key, jnp.arange(E + 1, dtype=key.dtype)
-            ).astype(LID_DTYPE)
+            # offsets from the MXU histogram (mesh-rate cumsum) instead of
+            # searchsorted over key[order] — removes a full-width gather
+            counts = count_per_key_matmul(key, E).astype(LID_DTYPE)
+            start = jnp.concatenate(
+                [jnp.zeros(1, LID_DTYPE), jnp.cumsum(counts).astype(LID_DTYPE)])
             elem_offsets = start                    # (E+1,) dense CSR
             needed = start[E]
         else:
+            key = elem
             order = jnp.argsort(jnp.where(active, 0, 1), stable=True)
-            sorted_key = elem[order]
             elem_offsets = None
             needed = jnp.sum(active.astype(LID_DTYPE))
         take = order[:C]
         j = jnp.arange(C, dtype=LID_DTYPE)
         out_active = j < needed
-        out_elem = jnp.where(out_active, sorted_key[:C].astype(LID_DTYPE), -1)
-        out_fields = {k: v[take] for k, v in fields.items()}
+        # the slot's element rides the packed field gather as an extra lane
+        # (key[take] == sorted_key[:C])
+        out_fields, (sk,) = _gather_fields(fields, take, extra=(key,))
+        out_elem = jnp.where(out_active, sk.astype(LID_DTYPE), -1)
         n = jnp.sum(active.astype(jnp.int32))
         return dataclasses.replace(
             ps,
@@ -426,15 +476,21 @@ def _rebuild(
         ).astype(LID_DTYPE)
         needed = chunk_off[nchunks]
 
+    # one 2-lane gather for (counts, start) at elem_c instead of two
+    # small-table gathers (bitcast lanes; same trick as the field pack)
+    meta = jax.lax.bitcast_convert_type(
+        jnp.stack([counts, start[:E]], axis=1), jnp.float32)
+    meta_c = jax.lax.bitcast_convert_type(meta[elem_c], LID_DTYPE)
+    counts_c, start_c = meta_c[:, 0], meta_c[:, 1]
     valid = (
         (elem_j >= 0) & (elem_j < E) & (rank_j >= 0)
-        & (rank_j < counts[elem_c]) & (j < needed)
+        & (rank_j < counts_c) & (j < needed)
     )
-    src_pos = jnp.minimum(start[elem_c] + rank_j, M - 1)
+    src_pos = jnp.minimum(start_c + rank_j, M - 1)
     src = order[src_pos]
     take = jnp.where(valid, src, 0)
 
-    out_fields = {k: v[take] for k, v in fields.items()}
+    out_fields, _ = _gather_fields(fields, take)
     out_elem = jnp.where(valid, elem_c, -1).astype(LID_DTYPE)
     out_active = valid
     n = jnp.sum(active.astype(jnp.int32))
