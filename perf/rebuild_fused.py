@@ -31,12 +31,25 @@ def main():
     ppe, elems = distribute.distribute_particles(NE, NP, "uniform", seed=7)
     spec = {"pos": ((3,), jnp.float32), "vel": ((3,), jnp.float32),
             "pid": ((), jnp.int32)}
+    import dataclasses
+
     structures = {
         "scs": SellCSigma(NE, elems, field_spec=spec,
                           scs_input=SCSInput(chunk_size=32)),
         "csr": CSR(NE, elems, field_spec=spec),
         "cabm": CabM(NE, elems, field_spec=spec),
     }
+    # unique pids on the active slots so the loop can assert conservation
+    expected = {}
+    for name, ps in structures.items():
+        pid = jnp.arange(ps.capacity, dtype=jnp.int32)
+        structures[name] = dataclasses.replace(
+            ps, fields={**ps.fields, "pid": pid})
+        act0 = jax.device_get(ps.active)
+        assert int(act0.sum()) == NP, (
+            f"{name}: construction placed {int(act0.sum())}/{NP}")
+        expected[name] = (int(act0.sum()),
+                          int(jax.device_get(pid)[act0].astype("int64").sum()))
     raw_rebuild = S._rebuild.__wrapped__
 
     def churn(ps, i):
@@ -45,9 +58,20 @@ def main():
         ne = jnp.where(ps.active & move, (e + 1) % NE, e)
         return jnp.where(ps.active, ne, -1)
 
-    for packed in (False, True):
-        S.PACKED_REBUILD_GATHER = packed
+    modes = (
+        ("packed=0", dict(PACKED_REBUILD_GATHER=False,
+                          SCS_VALID_FROM_KEYLANE=False)),
+        ("packed=1 keylane=0", dict(PACKED_REBUILD_GATHER=True,
+                                    SCS_VALID_FROM_KEYLANE=False)),
+        ("packed=1 keylane=1", dict(PACKED_REBUILD_GATHER=True,
+                                    SCS_VALID_FROM_KEYLANE=True)),
+    )
+    for label, flags in modes:
+        for k, v in flags.items():
+            setattr(S, k, v)
         for name, ps in structures.items():
+            if name in ("csr",) and "keylane=1" in label:
+                continue  # keylane only affects scs/cabm
             @jax.jit
             def loop(p):
                 def body(i, c):
@@ -58,9 +82,18 @@ def main():
             t0 = time.perf_counter()
             out = jax.block_until_ready(loop(out))
             dt = (time.perf_counter() - t0) * 1e3 / ITERS
-            print(f"packed={int(packed)} {name}: {dt:.1f} ms/rebuild "
-                  f"(capacity={ps.capacity}, nptcls={int(out.num_ptcls)})",
-                  flush=True)
+            # corruption tripwires: the TPU flushes denormal bit patterns in
+            # f32-carried int lanes (round-3c) — CPU tests cannot catch it,
+            # so every TPU A/B asserts conservation here.
+            act = jax.device_get(out.active)
+            pid = jax.device_get(out.fields["pid"])
+            n_act = int(act.sum())
+            pid_sum = int(pid[act].astype("int64").sum())
+            ok = (n_act, pid_sum) == expected[name]
+            print(f"{label} {name}: {dt:.1f} ms/rebuild "
+                  f"(capacity={ps.capacity}, active={n_act}, "
+                  f"pid_conserved={ok})", flush=True)
+            assert ok, f"{label} {name}: particle/pid corruption"
 
 
 if __name__ == "__main__":

@@ -210,19 +210,24 @@ def build_neighbor_plan(distributor) -> NeighborPlan:
 # ---------------------------------------------------------------------------
 
 def _to_lanes(arr):
+    # Carrier dtype is s32: f32 payloads are bitcast (bit-exact through int
+    # pipelines), NOT the reverse — int32 values below 2^23 bitcast to f32
+    # are denormals and the TPU flushes them to zero in copy/fusion paths
+    # (measured, round-3c; same rule as the rebuild field pack and the
+    # walk-state pack in ops/search.py:647).
     if arr.ndim == 1:
         arr = arr[:, None]
     if arr.dtype == jnp.float32:
-        return arr
+        return jax.lax.bitcast_convert_type(arr, jnp.int32)
     if arr.dtype == jnp.int32:
-        return jax.lax.bitcast_convert_type(arr, jnp.float32)
+        return arr
     if arr.dtype == jnp.bool_:
-        return arr.astype(jnp.float32)
+        return arr.astype(jnp.int32)
     raise TypeError(f"unsupported migrate dtype {arr.dtype}")
 
 
 def _pack_payload(state, leaving, gid):
-    """Pack gid + every field into (N, F) f32 lanes (ints bitcast), so the
+    """Pack gid + every field into (N, F) s32 lanes (floats bitcast), so the
     collective moves ONE buffer regardless of member count — the reference
     sends one message per member type per neighbor (SCS_migrate.h:147-175)."""
     payload_parts = [_to_lanes(gid.astype(jnp.int32))]
@@ -265,12 +270,8 @@ def _bucket_slots(key: jax.Array, num_buckets: int, cap: int):
 
 def _fill_send(payload, slot, num_buckets: int, cap: int):
     F = payload.shape[1]
-    send = jnp.zeros((num_buckets * cap, F), jnp.float32)
-    send = send.at[:, 0].set(
-        jax.lax.bitcast_convert_type(
-            jnp.full((num_buckets * cap,), INVALID, jnp.int32), jnp.float32
-        )
-    )
+    send = jnp.zeros((num_buckets * cap, F), jnp.int32)
+    send = send.at[:, 0].set(jnp.int32(INVALID))
     return send.at[slot].set(payload, mode="drop")
 
 
@@ -279,7 +280,7 @@ def _place_arrivals(state, staying, new_elem, recv, field_slices,
     """Translate arrival gids and place them into free slots (stayers keep
     theirs); stable argsort compaction instead of bounded nonzero."""
     N = new_elem.shape[0]
-    arr_gid = jax.lax.bitcast_convert_type(recv[:, 0], jnp.int32)
+    arr_gid = recv[:, 0]
     present = arr_gid >= 0
     arr_lid = gid_to_lid(gid_sorted, gid_perm, arr_gid)
     arr_valid = present & (arr_lid >= 0)
@@ -308,11 +309,11 @@ def _place_arrivals(state, staying, new_elem, recv, field_slices,
         lo, hi, dtype, ndim = field_slices[name]
         lanes = recv[:, lo:hi]
         if dtype == jnp.int32:
-            vals = jax.lax.bitcast_convert_type(lanes, jnp.int32)
-        elif dtype == jnp.bool_:
-            vals = lanes > 0.5
-        else:
             vals = lanes
+        elif dtype == jnp.bool_:
+            vals = lanes != 0
+        else:
+            vals = jax.lax.bitcast_convert_type(lanes, jnp.float32)
         if ndim == 1:
             vals = vals[:, 0]
         kept = jnp.where(
@@ -486,9 +487,7 @@ def _migrate_neighbors(
     for k in range(D):
         r_k = jax.lax.ppermute(send[k], axis_name, perm=list(plan.perms[k]))
         has_src = plan.src_of_round[my_rank, k] >= 0
-        invalid_col = jax.lax.bitcast_convert_type(
-            jnp.full((K,), INVALID, jnp.int32), jnp.float32
-        )
+        invalid_col = jnp.full((K,), INVALID, jnp.int32)
         r_k = jnp.where(has_src, r_k, r_k.at[:, 0].set(invalid_col))
         recvs.append(r_k)
     recv = jnp.stack(recvs)                                # (D, K, F)

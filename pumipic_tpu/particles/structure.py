@@ -277,39 +277,68 @@ def _scs_row_order(counts: jax.Array, sigma: int, chunk: int, num_elems: int):
 # bandwidth-bound copy).  Falls back to per-field gathers when any field
 # is not 4-byte-wide.  Flag exists for A/B harnesses (perf/scs_split.py).
 PACKED_REBUILD_GATHER = True
+# The pack holds (M, W) + its gathered rows live at once (~2x the field
+# bytes as transient HBM); past this limit fall back to per-field gathers,
+# which XLA frees between fields — keeps the 55M-particle DPS construction
+# (121M-row concat path) inside HBM exactly as before the pack landed.
+PACKED_REBUILD_BYTES_LIMIT = 1.5e9
+# SCS/CabM slot validity from the gathered key lane instead of the
+# counts[elem_c] small-table gather (see the keylane comment in _rebuild).
+# Flag for A/B harnesses (perf/rebuild_fused.py).
+SCS_VALID_FROM_KEYLANE = True
 
 
 def _gather_fields(fields, take, extra=()):
     """out[j] = in[take[j]] for every field, plus ``extra`` (M,) 4-byte
     columns riding the same rows.  Returns (out_fields, out_extra)."""
+    width = sum(
+        int(np.prod(v.shape[1:], dtype=np.int64)) for v in fields.values()
+    ) + len(extra)
+    nrows = next(iter(fields.values())).shape[0] if fields else (
+        extra[0].shape[0] if extra else 0)
     packable = PACKED_REBUILD_GATHER and (fields or extra) and all(
         v.dtype.itemsize == 4 for v in fields.values()
-    ) and all(e.dtype.itemsize == 4 for e in extra)
+    ) and all(
+        e.dtype.itemsize == 4 for e in extra
+    ) and nrows * width * 4 <= PACKED_REBUILD_BYTES_LIMIT
     if not packable:
         return (
             {k: v[take] for k, v in fields.items()},
             tuple(e[take] for e in extra),
         )
+    # The pack carrier is s32, NOT f32: int32 values below 2^23 bitcast to
+    # f32 are DENORMALS, and the TPU flushes them to zero somewhere in the
+    # copy/fusion pipeline (measured: 99.9% of small-int lanes zeroed at
+    # 1M-22M rows; the s32 carrier is bit-exact for both int and f32
+    # payloads — round-3c probe).  Same rule as the walk-state pack in
+    # ops/search.py:647.
     cols = []
     layout = []  # (name, inner_shape, dtype, ncols)
     for k, v in fields.items():
         flat = v.reshape(v.shape[0], -1)
-        cols.append(jax.lax.bitcast_convert_type(flat, jnp.float32))
+        cols.append(flat if flat.dtype == jnp.int32
+                    else jax.lax.bitcast_convert_type(flat, jnp.int32))
         layout.append((k, v.shape[1:], v.dtype, flat.shape[1]))
     for e in extra:
-        cols.append(jax.lax.bitcast_convert_type(e[:, None], jnp.float32))
+        ec = e[:, None]
+        cols.append(ec if ec.dtype == jnp.int32
+                    else jax.lax.bitcast_convert_type(ec, jnp.int32))
     packed = jnp.concatenate(cols, axis=1)
     rows = packed[take]
     out_fields = {}
     c = 0
     for k, inner, dt, w in layout:
-        blk = jax.lax.bitcast_convert_type(rows[:, c:c + w], dt)
+        blk = rows[:, c:c + w]
+        if dt != jnp.int32:
+            blk = jax.lax.bitcast_convert_type(blk, dt)
         out_fields[k] = blk.reshape((rows.shape[0],) + inner)
         c += w
     out_extra = []
     for e in extra:
-        out_extra.append(
-            jax.lax.bitcast_convert_type(rows[:, c:c + 1], e.dtype)[:, 0])
+        blk = rows[:, c:c + 1]
+        if e.dtype != jnp.int32:
+            blk = jax.lax.bitcast_convert_type(blk, e.dtype)
+        out_extra.append(blk[:, 0])
         c += 1
     return out_fields, tuple(out_extra)
 
@@ -476,21 +505,29 @@ def _rebuild(
         ).astype(LID_DTYPE)
         needed = chunk_off[nchunks]
 
-    # one 2-lane gather for (counts, start) at elem_c instead of two
-    # small-table gathers (bitcast lanes; same trick as the field pack)
-    meta = jax.lax.bitcast_convert_type(
-        jnp.stack([counts, start[:E]], axis=1), jnp.float32)
-    meta_c = jax.lax.bitcast_convert_type(meta[elem_c], LID_DTYPE)
-    counts_c, start_c = meta_c[:, 0], meta_c[:, 1]
-    valid = (
-        (elem_j >= 0) & (elem_j < E) & (rank_j >= 0)
-        & (rank_j < counts_c) & (j < needed)
-    )
-    src_pos = jnp.minimum(start_c + rank_j, M - 1)
+    # counts/start stay SEPARATE 1-D gathers: fusing them into a 2-lane
+    # (C,2) row gather gives the output a T(8,128) tiled layout — 64x
+    # padding, 7.9 GB at 16.6M slots, OOM (round-3c; same trap as the
+    # s32 (R,3) table in perf/scs_bisect.py).  Only WIDE f32 packs (the
+    # field gather below) get an efficient layout.
+    guard = (elem_j >= 0) & (elem_j < E) & (rank_j >= 0) & (j < needed)
+    src_pos0 = start[elem_c] + rank_j
+    src_pos = jnp.minimum(src_pos0, M - 1)
     src = order[src_pos]
-    take = jnp.where(valid, src, 0)
-
-    out_fields, _ = _gather_fields(fields, take)
+    if SCS_VALID_FROM_KEYLANE:
+        # Padding-slot validity from the gathered particle's OWN key riding
+        # the field pack as one extra lane: segments are key-sorted, so a
+        # rank overshoot past counts[elem_c] lands on a slot whose key is
+        # strictly greater (or the E sentinel) — key==elem_c exactly iff
+        # rank_j < counts[elem_c].  Saves the slot-rate counts[elem_c]
+        # small-table gather (~60 ms at 12M; the 2-lane (counts,start)
+        # fusion that saved both gathers OOMs per the note above).
+        out_fields, (key_src,) = _gather_fields(fields, src, extra=(key,))
+        valid = guard & (src_pos0 <= M - 1) & (key_src == elem_c)
+    else:
+        valid = guard & (rank_j < counts[elem_c])
+        take = jnp.where(valid, src, 0)
+        out_fields, _ = _gather_fields(fields, take)
     out_elem = jnp.where(valid, elem_c, -1).astype(LID_DTYPE)
     out_active = valid
     n = jnp.sum(active.astype(jnp.int32))

@@ -199,9 +199,10 @@ def test_gid_to_lid_translation():
 
 
 def test_migrate_payload_pack_unpack_types():
-    """The packed-f32 single-buffer payload (ints bitcast, bools as 0/1)
-    round-trips every supported dtype (SendViews/RecvViews parity,
-    SCS_migrate.h:147-175)."""
+    """The packed-s32 single-buffer payload (floats bitcast, bools as 0/1;
+    the s32 carrier is required — f32 lanes flush small-int denormal bit
+    patterns on TPU) round-trips every supported dtype (SendViews/RecvViews
+    parity, SCS_migrate.h:147-175)."""
     import numpy as np
     from pumipic_tpu.parallel import migrate as mig
 
@@ -217,17 +218,17 @@ def test_migrate_payload_pack_unpack_types():
     gid = jnp.asarray([3, 1, 0, 2], jnp.int32)
     payload, slices = mig._pack_payload(state, leaving, gid)
     assert payload.shape == (4, 1 + 1 + 1 + 1 + 2)
-    back_gid = jax.lax.bitcast_convert_type(payload[:, 0], jnp.int32)
-    np.testing.assert_array_equal(np.asarray(back_gid), np.asarray(gid))
+    assert payload.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(payload[:, 0]), np.asarray(gid))
     for name in ("x", "pid", "flag", "vec"):
         lo, hi, dtype, ndim = slices[name]
         lanes = payload[:, lo:hi]
         if dtype == jnp.int32:
-            vals = jax.lax.bitcast_convert_type(lanes, jnp.int32)
-        elif dtype == jnp.bool_:
-            vals = lanes > 0.5
-        else:
             vals = lanes
+        elif dtype == jnp.bool_:
+            vals = lanes != 0
+        else:
+            vals = jax.lax.bitcast_convert_type(lanes, jnp.float32)
         if ndim == 1:
             vals = vals[:, 0]
         np.testing.assert_array_equal(np.asarray(vals), np.asarray(state[name]))
