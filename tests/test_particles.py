@@ -291,3 +291,42 @@ def test_count_per_key_matmul_chunked(monkeypatch):
             scatter.count_per_key_matmul(jnp.asarray(key, jnp.int32), nk))
         want = np.bincount(key, minlength=nk + 1)[:nk]
         np.testing.assert_array_equal(got.astype(np.int64), want)
+
+
+def test_gather_fields_s32_carrier_contract():
+    """The packed rebuild gather must carry s32 lanes: int32 bitcast into
+    f32 lanes produces denormals that the TPU flushes to zero (round-3c —
+    a 10M construction silently lost 99.9% of its particles while CPU
+    tests stayed green).  Locks the carrier dtype and the exact
+    round-trip of every payload class, including the bit patterns that
+    are denormal when misread as f32."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from pumipic_tpu.particles import structure as S
+
+    n = 64
+    fields = {
+        "pos": jnp.arange(n * 3, dtype=jnp.float32).reshape(n, 3) * 0.5,
+        "pid": jnp.arange(n, dtype=jnp.int32),          # denormal-as-f32
+        "big": jnp.full((n,), (1 << 28) + 5, jnp.int32),
+    }
+    key = jnp.arange(n, dtype=jnp.int32) % 7
+    take = jnp.flip(jnp.arange(n, dtype=jnp.int32))
+
+    # the pack path must be active for this spec and produce s32 lanes
+    assert S.PACKED_REBUILD_GATHER
+    out, (k2,) = S._gather_fields(fields, take, extra=(key,))
+    for name, v in fields.items():
+        np.testing.assert_array_equal(
+            np.asarray(out[name]), np.asarray(v)[np.asarray(take)])
+    np.testing.assert_array_equal(
+        np.asarray(k2), np.asarray(key)[np.asarray(take)])
+
+    # carrier contract: the concatenated pack inside is s32, never f32
+    jaxpr = jax.make_jaxpr(
+        lambda f, t, e: S._gather_fields(f, t, extra=(e,)))(fields, take, key)
+    concats = [e for e in jaxpr.jaxpr.eqns if e.primitive.name == "concatenate"]
+    assert concats, "pack path not taken"
+    assert all(e.outvars[0].aval.dtype == jnp.int32 for e in concats), (
+        "pack carrier must be s32 (f32 lanes flush denormal int bits on TPU)")
