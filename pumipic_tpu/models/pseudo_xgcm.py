@@ -30,6 +30,13 @@ from pumipic_tpu.utils.types import LID_DTYPE
 
 ELEMENT_SEED = 1024 * 1024
 PARTICLE_SEED = 512 * 512
+# rotation push table shape: 1-D sinΔ (cosΔ recomputed by sqrt) vs (E,2)
+# rows.  REJECTED by measurement (perf/walk_opt20: 226.8 vs 178.1 ms at
+# 10M) — XLA fuses the narrow row gather into its consumers, so the
+# T(8,128) padding tax never materializes here, and the sqrt chain adds
+# elementwise cost to the hot path.  The tax is real only where a narrow
+# gather result is MATERIALIZED (rebuild meta fusion, round-3c).
+ROT_TABLE_1D = False
 
 
 @dataclass(frozen=True)
@@ -390,6 +397,12 @@ def make_dp_setup(mesh: Mesh2D, cfg: XGCmConfig, device_mesh, seed: int = ELEMEN
     # and rec-channel extraction outweigh the saved gather), so the push
     # keeps its rot-table gather (docs/PERFORMANCE.md round-2e).
     rot_table = push_ops.elliptical_rot_table(mesh.class_id, cfg.deg_per_push)
+    if ROT_TABLE_1D:
+        # 1-D sinΔ table: the (N,2) row-gather output pays a T(8,128)
+        # tiled layout (64x padded HBM traffic); cosΔ is recomputed
+        # elementwise from sqrt(1-sin²) — exact for Δ in (0°, deg]
+        # (ops/push.py elliptical_push_rot; A/B perf/walk_opt20.py)
+        rot_table = rot_table[:, 1]
     state = {
         "x0": jnp.asarray(pos[:, 0], jnp.float32),
         "x1": jnp.asarray(pos[:, 1], jnp.float32),

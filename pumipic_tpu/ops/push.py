@@ -119,8 +119,19 @@ def elliptical_push_rot(
     d: float,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Trig-free elliptical push gathering the element's rotation row; see
-    :func:`elliptical_push_rot_vals` for the gather-free capture variant."""
-    r = rot_table[jnp.maximum(elem, 0)]
+    :func:`elliptical_push_rot_vals` for the gather-free capture variant.
+
+    Accepts either the (E, 2) (cosΔ, sinΔ) table or the 1-D (E,) sinΔ
+    table: per-step Δ is in (0°, deg] so cosΔ = sqrt(1 - sin²Δ) exactly
+    (positive branch), and the 1-D gather avoids the (N, 2) gather
+    output's T(8,128) tiled layout — 64× padded HBM traffic (the same
+    narrow-gather tax measured in the rebuild meta fusion, round-3c)."""
+    e = jnp.maximum(elem, 0)
+    if rot_table.ndim == 1:
+        sd = rot_table[e]
+        cd = jnp.sqrt(jnp.maximum(1.0 - sd * sd, 0.0))
+        return elliptical_push_rot_vals(cphi, sphi, b, cd, sd, h, k, d)
+    r = rot_table[e]
     return elliptical_push_rot_vals(
         cphi, sphi, b, r[:, 0], r[:, 1], h, k, d
     )
