@@ -477,6 +477,17 @@ def _rebuild(
         elem_j, seg_start = segment_offsets_of_slot(offsets)
         elem_c = jnp.clip(elem_j, 0, E - 1)
         rank_j = j - seg_start
+        # src_pos without ANY slot-rate table gather: slots of segment e
+        # map to sorted positions shifted by the cumulative padding
+        # D[e] = seg_start[e] - start[e]; D jumps by pad[e-1] at each
+        # segment start, so one more mesh-rate scatter + slot-rate cumsum
+        # yields D per slot (the same trick as segment_offsets_of_slot;
+        # SCS cannot use it — its chunk-transposed slot order is not
+        # offset-by-a-segment-constant).
+        pad = (seg - counts).astype(LID_DTYPE)
+        pj = jnp.zeros((C,), LID_DTYPE).at[offsets[1:-1]].add(
+            pad[:-1], mode="drop")
+        cabm_src_pos0 = j - jnp.cumsum(pj)
         elem_offsets = offsets
         row_to_elem = elem_to_row = None
         needed = offsets[E]
@@ -511,7 +522,13 @@ def _rebuild(
     # s32 (R,3) table in perf/scs_bisect.py).  Only WIDE f32 packs (the
     # field gather below) get an efficient layout.
     guard = (elem_j >= 0) & (elem_j < E) & (rank_j >= 0) & (j < needed)
-    src_pos0 = start[elem_c] + rank_j
+    if ps.layout == "cabm" and SCS_VALID_FROM_KEYLANE:
+        # gather-free src (see the cumulative-padding cumsum above); only
+        # sound with keylane validity — the counts[elem_c] path needs the
+        # same gather anyway, so the flag gates both.
+        src_pos0 = cabm_src_pos0
+    else:
+        src_pos0 = start[elem_c] + rank_j
     src_pos = jnp.minimum(src_pos0, M - 1)
     src = order[src_pos]
     if SCS_VALID_FROM_KEYLANE:
