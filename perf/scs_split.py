@@ -1,5 +1,12 @@
 """Round-3c: where do SCS-rebuild's 1425 ms go (vs CSR 380 at 10M uniform)?
 
+CAUTION (measured): the tiny "stage sort"/"stage segmap" results are XLA
+slice-sinking artifacts — returning ``order[:1]``-shaped outputs lets XLA
+reduce the argsort itself, so those stages price almost nothing.  Only the
+full-pipeline numbers (and the standalone primitive timings) are
+decision-grade; the honest stage attribution came from perf/rebuild_fused
+A/Bs of real rebuild variants (docs/PERFORMANCE.md round-3c).
+
 Stage-split timings of the gather-formulated SCS rebuild pipeline plus
 primitive candidates, all fori-fused with evolving state in ONE process
 (docs/PERFORMANCE.md measurement rules).  Output drives the next
