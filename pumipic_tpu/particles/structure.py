@@ -22,9 +22,10 @@ ordinary masked vectorized ops over the flat slot axis.
 
 Capacity management: construction sizes capacity = max(num_ptcls × padding,
 minimum) (the reference's extra-padding inputs); a rebuild whose survivors
-exceed capacity sets ``overflowed`` — callers re-materialize through
-:func:`grow_if_overflowed` (host path, rare, mirrors the reference
-re-allocating its views).
+exceed capacity sets ``overflowed``.  Use :func:`rebuild_checked` where
+data loss is unacceptable (it retries from the pre-rebuild state on a
+grown structure); :func:`grow_if_overflowed` only adds headroom for future
+rebuilds (host path, rare, mirrors the reference re-allocating its views).
 """
 from __future__ import annotations
 
@@ -90,7 +91,10 @@ class ParticleStructure:
     elem: jax.Array            # (C,) int32
     active: jax.Array          # (C,) bool
     num_ptcls: jax.Array       # () int32 — traced so rebuilds never recompile
-    elem_offsets: Optional[jax.Array]   # (E+1,) slot offset per element (sorted layouts)
+    # layout-dependent: CSR/CabM hold the (E+1,) slot offsets per element;
+    # SCS holds the (E,) slot of each element's rank-0 particle (its slots
+    # are chunk-strided, not contiguous); DPS: None
+    elem_offsets: Optional[jax.Array]
     row_to_elem: Optional[jax.Array]    # (R,) SCS row order (others: None)
     elem_to_row: Optional[jax.Array]    # (E,)
     overflowed: jax.Array      # () bool — rebuild ran out of capacity
@@ -137,11 +141,14 @@ class ParticleStructure:
         return dataclasses.replace(self, fields=f)
 
     def ppe(self) -> jax.Array:
-        """Particles per element (E,)."""
-        seg = jnp.where(self.active, self.elem, self.num_elems)
-        return jax.ops.segment_sum(
-            jnp.ones_like(self.elem), seg, num_segments=self.num_elems + 1
-        )[: self.num_elems]
+        """Particles per element (E,) — the shared MXU-histogram path
+        (ops/scatter.particles_per_element), not a particle-rate
+        scatter-add."""
+        from pumipic_tpu.ops.scatter import particles_per_element
+
+        return particles_per_element(
+            self.elem, self.active, self.num_elems
+        ).astype(LID_DTYPE)
 
     def get_pids(self) -> Tuple[jax.Array, jax.Array]:
         """getPIDs analog (ps_for.hpp:63-85): element-sorted slot ids +
@@ -212,13 +219,18 @@ class ParticleStructure:
         h = self.copy_to_host()
         lines = [f"{self.name} ({self.layout}) capacity={self.capacity} "
                  f"nPtcls={int(h['active'].sum())}"]
-        by_elem: Dict[int, list] = {}
-        for s in range(self.capacity):
-            if h["active"][s]:
-                by_elem.setdefault(int(h["elem"][s]), []).append(s)
-        for e in range(min(self.num_elems, max_elems)):
-            slots = by_elem.get(e, [])
-            lines.append(f"  elem {e:>6d}: {len(slots):>4d} ptcls @ {slots[:16]}")
+        # vectorized grouping (a per-slot Python loop is minutes at 10M+)
+        live = np.flatnonzero(h["active"])
+        live_elem = h["elem"][live]
+        shown = min(self.num_elems, max_elems)
+        sel = live_elem < shown
+        order = np.argsort(live_elem[sel], kind="stable")
+        sl, se = live[sel][order], live_elem[sel][order]
+        starts = np.searchsorted(se, np.arange(shown + 1))
+        for e in range(shown):
+            slots = sl[starts[e]:starts[e + 1]]
+            lines.append(
+                f"  elem {e:>6d}: {len(slots):>4d} ptcls @ {slots[:16].tolist()}")
         out = "\n".join(lines)
         from pumipic_tpu.utils.plog import print_info
 
@@ -351,7 +363,12 @@ def _rebuild(
     new_ptcl_fields: Optional[Dict[str, jax.Array]],
 ) -> ParticleStructure:
     C = ps.capacity
-    elem = jnp.where(ps.active, new_elem.astype(LID_DTYPE), -1)
+    # out-of-range destinations (>= num_elems) are removals, exactly like
+    # negatives, in EVERY layout — without the upper-bound clamp the sorted
+    # layouts silently dropped such particles from slots while the DPS
+    # in-place path kept them (code-review round-3c)
+    ne = new_elem.astype(LID_DTYPE)
+    elem = jnp.where(ps.active & (ne >= 0) & (ne < ps.num_elems), ne, -1)
     active = elem >= 0
     fields = ps.fields
 
@@ -372,8 +389,10 @@ def _rebuild(
         )
 
     if new_ptcl_elems is not None:
-        add_active = new_ptcl_elems >= 0
-        elem = jnp.concatenate([elem, new_ptcl_elems.astype(LID_DTYPE)])
+        ape = new_ptcl_elems.astype(LID_DTYPE)
+        ape = jnp.where(ape < ps.num_elems, ape, -1)
+        add_active = ape >= 0
+        elem = jnp.concatenate([elem, ape])
         active = jnp.concatenate([active, add_active])
         fields = {
             k: jnp.concatenate([v, new_ptcl_fields[k]]) for k, v in fields.items()
@@ -503,10 +522,17 @@ def _rebuild(
         ).astype(LID_DTYPE)
         ch, chunk_start = segment_offsets_of_slot(chunk_off)
         o = j - chunk_start
-        # chunk is a small power of two; f32 division is exact for o < 2^24
-        of = o.astype(jnp.float32)
-        rank_j = jnp.floor(of / chunk).astype(LID_DTYPE)
-        local_row = (o - rank_j * chunk).astype(LID_DTYPE)
+        if chunk & (chunk - 1) == 0:
+            # power-of-two chunk: exact int shifts at any o (the previous
+            # f32 division was exact only for o < 2^24 — a >2M-particle
+            # chunk would silently corrupt the map; code-review round-3c)
+            sh = chunk.bit_length() - 1
+            rank_j = (o >> sh).astype(LID_DTYPE)
+            local_row = (o & (chunk - 1)).astype(LID_DTYPE)
+        else:
+            # int division by a trace-time constant strength-reduces; exact
+            rank_j = (o // chunk).astype(LID_DTYPE)
+            local_row = (o - rank_j * chunk).astype(LID_DTYPE)
         row = jnp.clip(ch, 0, nchunks - 1) * chunk + local_row
         elem_j = row_to_elem[jnp.minimum(row, row_to_elem.shape[0] - 1)]
         elem_c = jnp.clip(elem_j, 0, E - 1)
@@ -582,6 +608,14 @@ def _build(
     be -1 for none) into a fresh structure."""
     ptcl_elems = jnp.asarray(ptcl_elems, LID_DTYPE)
     n = ptcl_elems.shape[0]
+    for reserved in ("elem", "active"):
+        if (fields is not None and reserved in fields) or (
+            field_spec is not None and reserved in field_spec
+        ):
+            # copy_to_host would clobber the member with structure metadata
+            # and rebuild_checked/_grow would silently drop it
+            raise ValueError(
+                f"{name}: member field name {reserved!r} is reserved")
     if capacity is None:
         capacity = max(int(n * padding_factor), n + 8, 64)
     capacity = round_up(capacity, 8)
@@ -692,14 +726,17 @@ def rebuild_checked(
     new_ptcl_elems: Optional[jax.Array] = None,
     new_ptcl_fields: Optional[Dict[str, jax.Array]] = None,
     growth: float = 1.5,
-    max_retries: int = 4,
 ) -> ParticleStructure:
-    """Host-side rebuild that retries with a grown capacity on overflow.
+    """Host-side rebuild that recovers from overflow WITHOUT data loss.
 
     An overflowed ``rebuild`` drops out-of-capacity particles, so the result
     is unusable; this re-issues the rebuild on a larger structure built from
     the *pre-rebuild* state (the reference reallocates its views the same
-    way).  Costs a recompile when it fires — size capacity to make it rare.
+    way), whose constructor sizes capacity from the survivors + additions —
+    a single retry cannot overflow again.  Costs a recompile when it fires —
+    size capacity to make it rare.  This is the data-safe escape hatch;
+    :func:`grow_if_overflowed` only adds headroom for FUTURE rebuilds and
+    cannot resurrect what an overflowed rebuild already dropped.
     """
     out = ps.rebuild(new_elem, new_ptcl_elems, new_ptcl_fields)
     if not bool(out.overflowed):
@@ -755,11 +792,21 @@ def _grow(ps: ParticleStructure, growth: float) -> ParticleStructure:
     fields = {k: jnp.asarray(v) for k, v in host.items() if k not in ("elem", "active")}
     new_cap = int(ps.capacity * growth) + 64
     if ps.layout == "scs":
-        return SellCSigma(
-            ps.num_elems, elems, fields=fields, capacity=new_cap,
-            scs_input=SCSInput(chunk_size=ps.chunk_size, sigma=ps.sigma),
-            name=ps.name,
-        )
+        try:
+            return SellCSigma(
+                ps.num_elems, elems, fields=fields, capacity=new_cap,
+                scs_input=SCSInput(chunk_size=ps.chunk_size, sigma=ps.sigma),
+                name=ps.name,
+            )
+        except ValueError:
+            # skewed layouts can pad past new_cap; let the constructor size
+            # capacity from the padded layout with growth headroom instead
+            return SellCSigma(
+                ps.num_elems, elems, fields=fields, capacity=None,
+                scs_input=SCSInput(chunk_size=ps.chunk_size, sigma=ps.sigma,
+                                   padding_factor=growth),
+                name=ps.name,
+            )
     builder = {"dps": DPS, "csr": CSR, "cabm": CabM}[ps.layout]
     kw = {"soa_width": ps.soa_width} if ps.layout == "cabm" else {}
     return builder(ps.num_elems, elems, fields=fields, capacity=new_cap,
@@ -767,8 +814,14 @@ def _grow(ps: ParticleStructure, growth: float) -> ParticleStructure:
 
 
 def grow_if_overflowed(ps: ParticleStructure, growth: float = 1.5) -> ParticleStructure:
-    """Host-side capacity escape hatch: if the last rebuild overflowed,
-    re-materialize into a larger structure (new compile, rare)."""
+    """Host-side capacity headroom: if the last rebuild overflowed,
+    re-materialize the SURVIVING particles into a larger structure so
+    future rebuilds have room (new compile, rare).
+
+    This cannot recover the particles the overflowed rebuild already
+    dropped — when losing them is not acceptable, call
+    :func:`rebuild_checked` instead of ``rebuild`` so the retry runs from
+    the pre-rebuild state."""
     if not bool(ps.overflowed):
         return ps
     return _grow(ps, growth)

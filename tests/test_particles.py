@@ -330,3 +330,41 @@ def test_gather_fields_s32_carrier_contract():
     assert concats, "pack path not taken"
     assert all(e.outvars[0].aval.dtype == jnp.int32 for e in concats), (
         "pack carrier must be s32 (f32 lanes flush denormal int bits on TPU)")
+
+
+def test_out_of_range_new_elem_removes_in_every_layout():
+    """A destination >= num_elems is a removal, identically in all four
+    layouts (the sorted layouts used to drop such particles from slots
+    while DPS kept them live, with num_ptcls disagreeing with the active
+    mask)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pumipic_tpu.particles import CSR, DPS, CabM, SellCSigma
+
+    ne, n = 7, 40
+    elems = np.arange(n) % ne
+    spec = {"pid": ((), jnp.int32)}
+    for build in (SellCSigma, CSR, CabM, DPS):
+        ps = build(ne, elems, field_spec=spec)
+        new = jnp.where(jnp.arange(ps.capacity) % 5 == 0,
+                        jnp.int32(ne + 3), ps.elem)   # every 5th: bogus dest
+        out = ps.rebuild(jnp.where(ps.active, new, -1))
+        act = np.asarray(out.active)
+        n_expected = int(np.asarray(
+            ps.active & (new >= 0) & (new < ne)).sum())
+        assert int(act.sum()) == n_expected, build
+        assert int(out.num_ptcls) == n_expected, build
+        assert np.asarray(out.elem)[act].max() < ne
+
+
+def test_reserved_field_names_rejected():
+    import pytest
+    import numpy as np
+    import jax.numpy as jnp
+    from pumipic_tpu.particles import CSR
+
+    with pytest.raises(ValueError, match="reserved"):
+        CSR(4, np.zeros(8, np.int64), field_spec={"elem": ((), jnp.int32)})
+    with pytest.raises(ValueError, match="reserved"):
+        CSR(4, np.zeros(8, np.int64),
+            fields={"active": jnp.zeros((8,), jnp.float32)})
