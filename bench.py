@@ -109,6 +109,7 @@ def main():
             wall="periodic",
             distance=float(os.environ.get("BENCH_DIST", 0.05)),
             max_search_iters=64,
+            rebuild_mode=os.environ.get("BENCH_REBUILD", "sort"),
         )
         app = PseudoPushAndSearch(mesh, cfg3)
         state = app.ptcls

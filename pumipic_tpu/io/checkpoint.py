@@ -150,6 +150,9 @@ def write_particle_structure(path: str, ps, step: int = 0) -> str:
             "layout": ps.layout, "num_elems": ps.num_elems,
             "capacity": ps.capacity, "soa_width": ps.soa_width,
             "chunk_size": ps.chunk_size, "sigma": min(ps.sigma, 2**30),
+            "extra_padding": ps.scs_extra_padding,
+            "pad_strategy": ps.scs_pad_strategy,
+            "cabm_extra_padding": ps.cabm_extra_padding,
             "name": ps.name,
         }).encode(), dtype=np.uint8,
     )
@@ -167,12 +170,17 @@ def read_particle_structure(path: str):
     if cfg["layout"] == "scs":
         ps = SellCSigma(
             cfg["num_elems"], elem, fields=fields, capacity=cfg["capacity"],
-            scs_input=SCSInput(chunk_size=cfg["chunk_size"], sigma=cfg["sigma"]),
+            scs_input=SCSInput(
+                chunk_size=cfg["chunk_size"], sigma=cfg["sigma"],
+                extra_padding=cfg.get("extra_padding", 0.0),
+                pad_strategy=cfg.get("pad_strategy", "proportionally"),
+            ),
             name=cfg["name"],
         )
     elif cfg["layout"] == "cabm":
         ps = CabM(cfg["num_elems"], elem, fields=fields,
                   capacity=cfg["capacity"], soa_width=cfg["soa_width"],
+                  extra_padding=cfg.get("cabm_extra_padding", 0.0),
                   name=cfg["name"])
     else:
         builder = {"csr": CSR, "dps": DPS}[cfg["layout"]]

@@ -53,6 +53,13 @@ class PushSearchConfig:
     cells_per_elem: Optional[float] = None
     peel: str = "auto"
     widths: Optional[Tuple[int, ...]] = None
+    # "auto" = reshuffle-or-rebuild (SCS_rebuild.h semantics): scs/cabm keep
+    # unmoved particles in their slots and only place the movers, falling
+    # back to the full sort when counts outgrow the layout.  Structures are
+    # then built with ``extra_padding`` per-segment headroom so the
+    # reshuffle keeps fitting under steady-state drift.
+    rebuild_mode: str = "sort"
+    extra_padding: float = 0.15
 
 
 def resolve_locator_policy_3d(cfg: PushSearchConfig, nelems: int,
@@ -112,7 +119,17 @@ class PseudoPushAndSearch:
             "x": fields["x"][np.argsort(elems, kind="stable")],
             "pid": fields["pid"][np.argsort(elems, kind="stable")],
         }
-        if cfg.structure in ("csr", "dps"):
+        if cfg.rebuild_mode == "auto" and cfg.structure in ("scs", "cabm"):
+            pad = cfg.extra_padding
+            if cfg.structure == "scs":
+                self.ptcls = SellCSigma(
+                    mesh.nelems, np.sort(elems), fields=sorted_fields,
+                    scs_input=SCSInput(chunk_size=8, sigma=None,
+                                       extra_padding=pad))
+            else:
+                self.ptcls = CabM(mesh.nelems, np.sort(elems),
+                                  fields=sorted_fields, extra_padding=pad)
+        elif cfg.structure in ("csr", "dps"):
             # this app never ADDS particles (rebuild only deactivates
             # leavers), so slot capacity = num_ptcls exactly: every
             # particle-rate op in the step runs at true width instead of
@@ -165,7 +182,8 @@ class PseudoPushAndSearch:
                     mesh, x, xtgt, ptcls.elem, ptcls.active,
                     cfg.max_search_iters, boundary_handler=handler,
                 )
-            ptcls2 = ptcls.set("x", res.dest).rebuild(res.elem_ids)
+            ptcls2 = ptcls.set("x", res.dest).rebuild(
+                res.elem_ids, mode=cfg.rebuild_mode)
             return ptcls2, res.iters
 
         return step

@@ -30,6 +30,7 @@ rebuilds (host path, rare, mirrors the reference re-allocating its views).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from dataclasses import dataclass
 from typing import Callable, Dict, Optional, Tuple
 
@@ -66,6 +67,14 @@ class SCSInput:
     chunk_size: int = 8
     sigma: Optional[int] = None
     vertical_slice: int = 64
+    # Extra per-element slot padding (scs_input.hpp:4-11 padding strategies
+    # PAD_EVENLY / PAD_PROPORTIONALLY / PAD_INVERSELY): the layout reserves
+    # ~extra_padding×N additional slots distributed per element so the
+    # in-place reshuffle path (rebuild(mode="auto")) has holes to place
+    # movers into.  0.0 = exact layout (reshuffle then rarely fits, exactly
+    # like the reference without padding).
+    extra_padding: float = 0.0
+    pad_strategy: str = "proportionally"   # evenly | proportionally | inversely
     # Capacity floor as a multiple of the particle count.  The constructor
     # sizes capacity from the σ-sorted chunk-padded LAYOUT (×1.1 headroom),
     # exactly like the reference (``constructOffsets`` sets capacity_);
@@ -98,12 +107,23 @@ class ParticleStructure:
     row_to_elem: Optional[jax.Array]    # (R,) SCS row order (others: None)
     elem_to_row: Optional[jax.Array]    # (E,)
     overflowed: jax.Array      # () bool — rebuild ran out of capacity
+    # per-element slot capacity of the CURRENT layout (scs: chunk width of
+    # the element's chunk; cabm: SoA-padded segment width) — the reshuffle
+    # path's fits check (SCS_rebuild.h:3-120 decides reshuffle-vs-rebuild
+    # from exactly this).  None for dps/csr and before the first rebuild.
+    seg_cap: Optional[jax.Array] = None
     num_elems: int = _static_field(default=0)
     capacity: int = _static_field(default=0)
     layout: str = _static_field(default="dps")   # dps | csr | cabm | scs
     soa_width: int = _static_field(default=8)    # CabM SoA / TPU sublane width
     chunk_size: int = _static_field(default=8)   # SCS C
     sigma: int = _static_field(default=2**30)    # SCS σ
+    scs_extra_padding: float = _static_field(default=0.0)
+    scs_pad_strategy: str = _static_field(default="proportionally")
+    # CabM analog: per-segment headroom beyond the SoA rounding (the SoA
+    # width alone leaves <soa_width spare slots per segment — far too few
+    # for the reshuffle path at realistic per-element counts)
+    cabm_extra_padding: float = _static_field(default=0.0)
     name: str = _static_field(default="ptcls")
 
     # ---------------------------------------------------------------- API
@@ -174,16 +194,25 @@ class ParticleStructure:
         new_elem: jax.Array,
         new_ptcl_elems: Optional[jax.Array] = None,
         new_ptcl_fields: Optional[Dict[str, jax.Array]] = None,
+        mode: str = "sort",
     ) -> "ParticleStructure":
         """Reassign particles to elements; negative ``new_elem`` removes.
 
         Optionally appends a fixed-size batch of new particles (active where
         ``new_ptcl_elems >= 0``).  Mirrors ``SellCSigma::rebuild`` /
-        ``CSR::rebuild`` semantics; implementation is one fused
-        sort/scatter (csr/CSR_rebuild.hpp count→scan→scatter, minus the
-        reshuffle special case which a single sort already beats on TPU).
+        ``CSR::rebuild`` semantics: ``mode="sort"`` is the full
+        re-construction (one fused sort + packed gather,
+        csr/CSR_rebuild.hpp count→scan→scatter); ``mode="auto"`` first
+        tries the reference's in-place **reshuffle** (SCS_rebuild.h:3-120:
+        keep every unmoved particle in its slot and place only the movers
+        into holes) and falls back to the sort inside one ``lax.cond``
+        when the new per-element counts do not fit the current layout.
+        Reshuffle applies to scs/cabm without particle additions; dps is
+        already in-place and csr is dense (no holes), exactly like the
+        reference where only the masked layouts reshuffle.
         """
-        return _rebuild(self, new_elem, new_ptcl_elems, new_ptcl_fields)
+        return _rebuild(self, new_elem, new_ptcl_elems, new_ptcl_fields,
+                        mode=mode)
 
     def migrate(
         self,
@@ -252,11 +281,38 @@ class ParticleStructure:
 # layout machinery
 # ---------------------------------------------------------------------------
 
-def _scs_row_order(counts: jax.Array, sigma: int, chunk: int, num_elems: int):
+def _scs_pad_counts(counts, extra_padding: float, strategy: str, np_mod=jnp):
+    """Per-element extra padding (scs_input.hpp:4-11, SCS_buildFns.h:18-100
+    padding strategies): reserve ~extra_padding×N additional slots so holes
+    exist for the reshuffle path.  Works for jnp (in-jit) and numpy (host
+    capacity sizing) alike."""
+    if extra_padding <= 0.0:
+        return counts
+    total = np_mod.sum(counts)
+    if strategy == "evenly":
+        E = max(counts.shape[0], 1)
+        pad_val = np_mod.ceil(
+            total.astype(np_mod.float32) * extra_padding / E
+        ).astype(counts.dtype)
+        pad = np_mod.zeros_like(counts) + pad_val
+    elif strategy == "inversely":
+        w = 1.0 / (counts.astype(np_mod.float32) + 1.0)
+        pad = np_mod.ceil(
+            extra_padding * total.astype(np_mod.float32) * w / np_mod.sum(w)
+        ).astype(counts.dtype)
+    else:  # proportionally
+        pad = np_mod.ceil(counts * (extra_padding * 1.0)).astype(counts.dtype)
+    return counts + pad
+
+
+def _scs_row_order(counts: jax.Array, sigma: int, chunk: int, num_elems: int,
+                   extra_padding: float = 0.0,
+                   pad_strategy: str = "proportionally"):
     """Sigma-sort elements by descending count within windows of σ, pad rows
     to a chunk multiple.  Returns (row_to_elem (R,), elem_to_row (E,),
     chunk_width (R/chunk,)) — all data, no shapes (SCS_sort.h:3-49,
     SCS_buildFns.h:18-100)."""
+    counts = _scs_pad_counts(counts, extra_padding, pad_strategy)
     E = num_elems
     R = round_up(max(E, 1), chunk)
     sigma = min(sigma, R)
@@ -355,12 +411,13 @@ def _gather_fields(fields, take, extra=()):
     return out_fields, tuple(out_extra)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("mode",))
 def _rebuild(
     ps: ParticleStructure,
     new_elem: jax.Array,
     new_ptcl_elems: Optional[jax.Array],
     new_ptcl_fields: Optional[Dict[str, jax.Array]],
+    mode: str = "sort",
 ) -> ParticleStructure:
     C = ps.capacity
     # out-of-range destinations (>= num_elems) are removals, exactly like
@@ -442,12 +499,35 @@ def _rebuild(
             overflowed=needed > C,
         )
 
-    # SCS / CabM: GATHER formulation.  The layout's slot map is invertible
-    # at slot rate — for each slot j find its (element, within-element rank)
-    # analytically, then out[j] = in[order[start[elem_j] + rank_j]] — so
-    # rebuild is one stable sort + ONE gather per field, like CSR/DPS,
-    # instead of per-field scatters (VERDICT r2 weak #4; matches the
-    # gather-free reshuffle economics of SCS_rebuild.h:3-120).
+    # SCS / CabM.  mode="auto": try the reference's in-place reshuffle
+    # first (SCS_rebuild.h decides reshuffle-vs-rebuild from whether the new
+    # counts fit the existing layout); additions always take the sort path,
+    # and a structure that has never been laid out (seg_cap None) cannot
+    # reshuffle.
+    if (
+        mode == "auto"
+        and new_ptcl_elems is None
+        and ps.seg_cap is not None
+        and ps.num_elems > 0
+    ):
+        return _rebuild_auto(ps, elem, active)
+    return _rebuild_sorted(ps, elem, active, fields)
+
+
+def _rebuild_sorted(
+    ps: ParticleStructure,
+    elem: jax.Array,
+    active: jax.Array,
+    fields: Dict[str, jax.Array],
+) -> ParticleStructure:
+    """Full re-construction for SCS/CabM: GATHER formulation.  The layout's
+    slot map is invertible
+    at slot rate — for each slot j find its (element, within-element rank)
+    analytically, then out[j] = in[order[start[elem_j] + rank_j]] — so
+    rebuild is one stable sort + ONE gather per field, like CSR/DPS,
+    instead of per-field scatters (VERDICT r2 weak #4; matches the
+    gather-free reshuffle economics of SCS_rebuild.h:3-120)."""
+    C = ps.capacity
     #
     # Round-3b reformulation (perf/scs_opt.py, 1.28x SCS / 1.56x CabM at
     # 10M on the TPU):
@@ -490,7 +570,9 @@ def _rebuild(
         return jnp.cumsum(ind), jnp.cumsum(gj)
 
     if ps.layout == "cabm":
-        seg = ((counts + ps.soa_width - 1) // ps.soa_width) * ps.soa_width
+        counts_eff = _scs_pad_counts(
+            counts, ps.cabm_extra_padding, "proportionally")
+        seg = ((counts_eff + ps.soa_width - 1) // ps.soa_width) * ps.soa_width
         offsets = jnp.concatenate(
             [jnp.zeros(1, seg.dtype), jnp.cumsum(seg)]).astype(LID_DTYPE)
         elem_j, seg_start = segment_offsets_of_slot(offsets)
@@ -509,11 +591,13 @@ def _rebuild(
         cabm_src_pos0 = j - jnp.cumsum(pj)
         elem_offsets = offsets
         row_to_elem = elem_to_row = None
+        seg_cap = seg.astype(LID_DTYPE)
         needed = offsets[E]
     else:  # scs
         chunk = ps.chunk_size
         row_to_elem, elem_to_row, chunk_width = _scs_row_order(
-            counts, ps.sigma, chunk, E
+            counts, ps.sigma, chunk, E,
+            ps.scs_extra_padding, ps.scs_pad_strategy,
         )
         nchunks = chunk_width.shape[0]
         chunk_slots = chunk * chunk_width
@@ -538,6 +622,10 @@ def _rebuild(
         elem_c = jnp.clip(elem_j, 0, E - 1)
         elem_offsets = (
             chunk_off[elem_to_row // chunk] + (elem_to_row % chunk)
+            if E > 0 else jnp.zeros((0,), LID_DTYPE)
+        ).astype(LID_DTYPE)
+        seg_cap = (
+            chunk_width[elem_to_row // chunk]
             if E > 0 else jnp.zeros((0,), LID_DTYPE)
         ).astype(LID_DTYPE)
         needed = chunk_off[nchunks]
@@ -585,7 +673,167 @@ def _rebuild(
         elem_offsets=elem_offsets,
         row_to_elem=row_to_elem,
         elem_to_row=elem_to_row,
+        seg_cap=seg_cap,
         overflowed=overflow,
+    )
+
+
+# Static mover budget of the reshuffle path, as a fraction of capacity: all
+# mover-rate work runs at this fixed width (XLA shapes are static), so it
+# bounds the reshuffle's cost at low churn; a step that moves more than this
+# many particles falls back to the full sort rebuild via the fits check.
+RESHUFFLE_MOVER_FRACTION = 0.125
+
+
+def _reshuffle_mover_budget(capacity: int) -> int:
+    return min(capacity, round_up(
+        max(1024, int(capacity * RESHUFFLE_MOVER_FRACTION)), 8))
+
+
+def _rebuild_auto(
+    ps: ParticleStructure, elem: jax.Array, active: jax.Array
+) -> ParticleStructure:
+    """Reshuffle-or-rebuild (SCS_rebuild.h:3-120): keep every unmoved
+    particle in its slot and place only the movers into free slots of their
+    destination segments; fall back to the full sort re-construction when
+    the new counts don't fit the current layout.  One ``lax.cond`` — the
+    guard costs one fused MXU histogram (stay+mover counts in a single
+    2E-key one-hot matmul)."""
+    from pumipic_tpu.ops.scatter import count_per_key_matmul
+
+    E = ps.num_elems
+    MB = _reshuffle_mover_budget(ps.capacity)
+    stay = (elem >= 0) & (elem == ps.elem)
+    mover = (elem >= 0) & ~stay
+    # one histogram for both counts: stay keys in [0,E), mover keys in
+    # [E,2E), everything else at the 2E sentinel
+    key2 = jnp.where(stay, elem, jnp.where(mover, elem + E, 2 * E))
+    cnt2 = count_per_key_matmul(key2, 2 * E).astype(LID_DTYPE)
+    stay_cnt, mov_cnt = cnt2[:E], cnt2[E:]
+    n_mov = jnp.sum(mover.astype(jnp.int32))
+    fits = jnp.all(mov_cnt <= ps.seg_cap - stay_cnt) & (n_mov <= MB)
+
+    return jax.lax.cond(
+        fits,
+        lambda: _reshuffle(ps, elem, stay, mover, stay_cnt, mov_cnt,
+                           n_mov, MB),
+        lambda: _rebuild_sorted(ps, elem, active, ps.fields),
+    )
+
+
+def _reshuffle(
+    ps: ParticleStructure,
+    elem: jax.Array,
+    stay: jax.Array,
+    mover: jax.Array,
+    stay_cnt: jax.Array,
+    mov_cnt: jax.Array,
+    n_mov: jax.Array,
+    MB: int,
+) -> ParticleStructure:
+    """In-place reshuffle (fits already verified by the caller).
+
+    TPU formulation — slot-rate work is ONE stable argsort (group movers by
+    destination; stability keeps slot order within a destination), at most
+    one 1-lane gather, and a few cumsums; everything else runs at the
+    static mover budget ``MB`` or at mesh rate:
+
+    - movers grouped by destination: ``order = argsort(dest)``;
+    - holes enumerated segment-major WITHOUT a sort: for CabM segments are
+      contiguous in slot order (identity); for SCS an analytic permutation
+      ``perm`` (rows in chunk order, ranks within a row) is built from
+      mesh-rate scatters + slot-rate cumsums — padding rows ride along as
+      fake always-hole segments that no mover targets, so no realness
+      gather is needed;
+    - the r-th mover to segment e matches the r-th hole of e: target
+      cumulative-hole count = hole_start[e] + r + 1, found by a mover-rate
+      ``searchsorted`` over the inclusive hole cumsum;
+    - fields move with one mover-rate gather + scatter per field.
+    """
+    C, E = ps.capacity, ps.num_elems
+    LID = LID_DTYPE
+    dest = jnp.where(mover, elem, E).astype(LID)
+    order = jnp.argsort(dest, stable=True).astype(LID)   # the one big sort
+    msrc = order[:MB]                                     # mover slots
+    m = jnp.arange(MB, dtype=LID)
+    mvalid = m < n_mov
+    e_m = jnp.minimum(dest[msrc], E - 1)                  # clamped for pads
+    mov_start = jnp.concatenate(
+        [jnp.zeros(1, LID), jnp.cumsum(mov_cnt).astype(LID)])
+    r_m = m - mov_start[e_m]
+
+    if ps.layout == "cabm":
+        offsets = ps.elem_offsets                         # (E+1,)
+        needed = offsets[E]
+        hole = (jnp.arange(C, dtype=LID) < needed) & ~stay
+        cum = jnp.cumsum(hole.astype(LID))
+        hole_off = jnp.concatenate(
+            [jnp.zeros(1, LID),
+             jnp.cumsum(ps.seg_cap - stay_cnt).astype(LID)])
+        tgt = hole_off[e_m] + r_m + 1
+        qpos = jnp.searchsorted(cum, tgt, side="left").astype(LID)
+        dst = jnp.minimum(qpos, C - 1)
+    else:  # scs
+        chunk = ps.chunk_size
+        e2r = ps.elem_to_row                              # (E,)
+        R = ps.row_to_elem.shape[0]
+        nch = R // chunk
+        # chunk widths recovered from the persisted per-element caps
+        cw = jnp.zeros((nch,), LID).at[e2r // chunk].max(
+            ps.seg_cap, mode="drop")
+        ch_off = jnp.concatenate(
+            [jnp.zeros(1, LID), jnp.cumsum(chunk * cw).astype(LID)])
+        needed = ch_off[nch]
+        row_cap = jnp.repeat(cw, chunk, total_repeat_length=R)
+        row_off = jnp.concatenate(
+            [jnp.zeros(1, LID), jnp.cumsum(row_cap).astype(LID)])
+        row_slot0 = (
+            ch_off[jnp.arange(R, dtype=LID) // chunk]
+            + (jnp.arange(R, dtype=LID) % chunk)
+        )
+        # perm position p -> slot: rows in row order, q ranks per row;
+        # mesh-rate scatters + slot-rate cumsums (empty rows accumulate at
+        # the same position, exactly like segment_offsets_of_slot)
+        p = jnp.arange(C, dtype=LID)
+        pos = row_off[1:-1]
+        rstart = jnp.cumsum(
+            jnp.zeros((C,), LID).at[pos].add(jnp.diff(row_off)[:-1],
+                                             mode="drop"))
+        base = jnp.cumsum(
+            jnp.zeros((C,), LID).at[pos].add(jnp.diff(row_slot0),
+                                             mode="drop"))
+        in_layout = p < needed
+        q = p - rstart
+        perm = jnp.where(in_layout, base + q * chunk, p)
+        # holes in perm order: ONE slot-rate 1-lane gather; padding rows
+        # (row_to_elem >= E) count as holes of segments no mover targets —
+        # they shift the cumsum consistently and are never matched
+        hole = in_layout & ~stay[perm]
+        cum = jnp.cumsum(hole.astype(LID))
+        # holes per ROW = row_cap - stayers-in-row (mesh-rate scatter)
+        stay_row = jnp.zeros((R,), LID).at[e2r].add(stay_cnt, mode="drop")
+        row_hole_off = jnp.concatenate(
+            [jnp.zeros(1, LID), jnp.cumsum(row_cap - stay_row).astype(LID)])
+        tgt = row_hole_off[e2r[e_m]] + r_m + 1
+        qpos = jnp.searchsorted(cum, tgt, side="left").astype(LID)
+        dst = perm[jnp.minimum(qpos, C - 1)]
+
+    dstc = jnp.where(mvalid, dst, C)                      # drop invalid
+    src = jnp.where(mvalid, msrc, 0)
+    new_fields = {
+        k: v.at[dstc].set(v[src], mode="drop") for k, v in ps.fields.items()
+    }
+    new_elem = jnp.where(stay, elem, -1).astype(LID).at[dstc].set(
+        e_m, mode="drop")
+    new_active = stay.at[dstc].set(mvalid, mode="drop")
+    n = jnp.sum(stay.astype(jnp.int32)) + n_mov
+    return dataclasses.replace(
+        ps,
+        fields=new_fields,
+        elem=new_elem,
+        active=new_active,
+        num_ptcls=n,
+        overflowed=jnp.zeros((), bool),
     )
 
 
@@ -666,28 +914,37 @@ def CSR(num_elems, ptcl_elems, fields=None, field_spec=None, capacity=None,
 
 
 def CabM(num_elems, ptcl_elems, fields=None, field_spec=None, capacity=None,
-         padding_factor=1.2, soa_width=8, name="ptcls"):
+         padding_factor=1.2, soa_width=8, extra_padding=0.0, name="ptcls"):
     """AoSoA-flavored container: element segments padded to the SoA width
     (cabm/cabm.hpp:15-186); on TPU the width aligns to the 8-row sublane.
 
     Capacity sizes from the SoA-padded layout (×1.1) with a
     ``padding_factor``×N floor — layout-exact like the reference, with
-    :func:`rebuild_checked` covering growth (round-3b)."""
+    :func:`rebuild_checked` covering growth (round-3b).  ``extra_padding``
+    reserves per-segment headroom beyond the SoA rounding so the
+    reshuffle path (rebuild mode="auto") has holes to fill."""
     if capacity is None:
         pe = np.asarray(ptcl_elems)
         ppe = np.bincount(pe[pe >= 0], minlength=num_elems)
+        ppe = _scs_pad_counts(ppe.astype(np.int64), extra_padding,
+                              "proportionally", np_mod=np)
         needed = int((((ppe + soa_width - 1) // soa_width) * soa_width).sum())
         n = int((pe >= 0).sum())
         capacity = max(int(needed * 1.1) + 8, int(n * padding_factor), 64)
     return _build("cabm", num_elems, ptcl_elems, fields, field_spec, capacity,
-                  padding_factor, name, soa_width=soa_width)
+                  padding_factor, name, soa_width=soa_width,
+                  cabm_extra_padding=extra_padding)
 
 
-def scs_layout_size(ppe: np.ndarray, chunk: int, sigma: int) -> int:
+def scs_layout_size(ppe: np.ndarray, chunk: int, sigma: int,
+                    extra_padding: float = 0.0,
+                    pad_strategy: str = "proportionally") -> int:
     """Host-side padded slot count of the Sell-C-σ layout for given
     particles-per-element (the reference sizes capacity from
     ``constructOffsets``'s final entry)."""
     E = len(ppe)
+    ppe = _scs_pad_counts(
+        np.asarray(ppe, np.int64), extra_padding, pad_strategy, np_mod=np)
     R = round_up(max(E, 1), chunk)
     sigma = min(sigma, R)
     cpad = np.full(R, -1, np.int64)
@@ -708,7 +965,9 @@ def SellCSigma(num_elems, ptcl_elems, fields=None, field_spec=None,
     if capacity is None:
         pe = np.asarray(ptcl_elems)
         ppe = np.bincount(pe[pe >= 0], minlength=num_elems)
-        needed = scs_layout_size(ppe, scs_input.chunk_size, sigma)
+        needed = scs_layout_size(ppe, scs_input.chunk_size, sigma,
+                                 scs_input.extra_padding,
+                                 scs_input.pad_strategy)
         n = int((pe >= 0).sum())
         capacity = max(
             int(needed * 1.1) + 8, int(n * scs_input.padding_factor), 64
@@ -717,6 +976,8 @@ def SellCSigma(num_elems, ptcl_elems, fields=None, field_spec=None,
         "scs", num_elems, ptcl_elems, fields, field_spec, capacity,
         scs_input.padding_factor, name,
         chunk_size=scs_input.chunk_size, sigma=sigma,
+        scs_extra_padding=scs_input.extra_padding,
+        scs_pad_strategy=scs_input.pad_strategy,
     )
 
 
@@ -772,12 +1033,15 @@ def rebuild_checked(
             scs_input=SCSInput(
                 chunk_size=ps.chunk_size, sigma=ps.sigma,
                 padding_factor=growth,
+                extra_padding=ps.scs_extra_padding,
+                pad_strategy=ps.scs_pad_strategy,
             ),
             name=ps.name,
         )
     elif ps.layout == "cabm":
         out = CabM(ps.num_elems, elems, fields=fields, capacity=None,
-                   padding_factor=growth, soa_width=ps.soa_width, name=ps.name)
+                   padding_factor=growth, soa_width=ps.soa_width,
+                   extra_padding=ps.cabm_extra_padding, name=ps.name)
     else:
         builder = {"dps": DPS, "csr": CSR}[ps.layout]
         out = builder(ps.num_elems, elems, fields=fields, capacity=cap_hint,
@@ -795,7 +1059,9 @@ def _grow(ps: ParticleStructure, growth: float) -> ParticleStructure:
         try:
             return SellCSigma(
                 ps.num_elems, elems, fields=fields, capacity=new_cap,
-                scs_input=SCSInput(chunk_size=ps.chunk_size, sigma=ps.sigma),
+                scs_input=SCSInput(chunk_size=ps.chunk_size, sigma=ps.sigma,
+                                   extra_padding=ps.scs_extra_padding,
+                                   pad_strategy=ps.scs_pad_strategy),
                 name=ps.name,
             )
         except ValueError:
@@ -804,11 +1070,15 @@ def _grow(ps: ParticleStructure, growth: float) -> ParticleStructure:
             return SellCSigma(
                 ps.num_elems, elems, fields=fields, capacity=None,
                 scs_input=SCSInput(chunk_size=ps.chunk_size, sigma=ps.sigma,
-                                   padding_factor=growth),
+                                   padding_factor=growth,
+                                   extra_padding=ps.scs_extra_padding,
+                                   pad_strategy=ps.scs_pad_strategy),
                 name=ps.name,
             )
     builder = {"dps": DPS, "csr": CSR, "cabm": CabM}[ps.layout]
-    kw = {"soa_width": ps.soa_width} if ps.layout == "cabm" else {}
+    kw = ({"soa_width": ps.soa_width,
+           "extra_padding": ps.cabm_extra_padding}
+          if ps.layout == "cabm" else {})
     return builder(ps.num_elems, elems, fields=fields, capacity=new_cap,
                    name=ps.name, **kw)
 

@@ -14,7 +14,12 @@ Checks (default 10M particles, ~5 min with compile):
   2. two churn rebuilds conserve the active count and the pid multiset
      (packed s32-carrier gather exactness, incl. the int lane);
   3. single-process migrate (remove + rebuild) conserves the survivors;
-  4. the MXU histogram matches the sorted histogram at >2^24 rows.
+  4. the MXU histogram matches the sorted histogram at >2^24 rows;
+  5. the in-place reshuffle (rebuild mode="auto", scs/cabm) conserves the
+     active count and pid multiset at size, and its fits-guard falls back
+     to the sort path identically (the mover sort + searchsorted matching
+     runs int32 end-to-end — no f32-carried lanes — but the at-size check
+     guards the scatter/gather layout class).
 """
 import os
 import sys
@@ -84,6 +89,58 @@ def main():
             (ps.active & ~leave).astype(jnp.int32)).sum())
         check("migrate removes exactly the leavers",
               int(act3.sum()) == keep, f"({int(act3.sum())}/{keep})")
+
+    # reshuffle at size: count-preserving swap churn (always fits), then a
+    # shifted churn (never fits -> in-cond fallback to the sort path)
+    import numpy as np
+    for name in ("scs", "cabm"):
+        print(f"{name} reshuffle:", flush=True)
+        if name == "scs":
+            ps = SellCSigma(NE, elems, field_spec=spec,
+                            scs_input=SCSInput(chunk_size=32,
+                                               extra_padding=0.15))
+        else:
+            ps = CabM(NE, elems, field_spec=spec)
+        pid = jnp.arange(ps.capacity, dtype=jnp.int32)
+        ps = dataclasses.replace(ps, fields={**ps.fields, "pid": pid})
+        act = jax.device_get(ps.active)
+        exp_pid = int(np.asarray(jax.device_get(pid))[act].astype("int64").sum())
+
+        # count-preserving swap churn built on host: pair up 10% of live
+        # particles and swap their elements — per-element counts unchanged,
+        # so the reshuffle ALWAYS fits (movers into e == leavers from e)
+        cur = np.where(act, np.asarray(jax.device_get(ps.elem)), -1)
+        new_elem = cur.copy()
+        rng = np.random.default_rng(5)
+        live = np.flatnonzero(cur >= 0)
+        k = (len(live) // 10) // 2 * 2
+        sel = rng.choice(live, size=k, replace=False)
+        a, b = sel[: k // 2], sel[k // 2:]
+        new_elem[a], new_elem[b] = cur[b], cur[a]
+
+        step = jax.jit(lambda p, ne: p.rebuild(ne, mode="auto"))
+        ps1 = step(ps, jnp.asarray(new_elem))
+        act1 = jax.device_get(ps1.active)
+        pid1 = np.asarray(jax.device_get(ps1.fields["pid"]))
+        keep = act & (new_elem == cur) & (new_elem >= 0)
+        pid0 = np.asarray(jax.device_get(pid))
+        check("reshuffle branch ran (stayers kept slots)",
+              bool(np.array_equal(pid1[keep], pid0[keep]))
+              and bool(act1[keep].all()))
+        check("reshuffle conserves actives", int(act1.sum()) == NP,
+              f"({int(act1.sum())}/{NP})")
+        check("reshuffle conserves pid multiset",
+              int(pid1[act1].astype("int64").sum()) == exp_pid)
+        # global shift: every particle moves -> misfit -> in-cond fallback
+        ps2 = jax.jit(lambda p: p.rebuild(
+            jnp.where(p.active, (p.elem + 7) % NE, -1), mode="auto"))(ps1)
+        act2 = jax.device_get(ps2.active)
+        pid2 = np.asarray(jax.device_get(ps2.fields["pid"]))
+        check("fallback conserves actives", int(act2.sum()) == NP,
+              f"({int(act2.sum())}/{NP})")
+        check("fallback conserves pid multiset",
+              int(pid2[act2].astype("int64").sum()) == exp_pid)
+        check("no overflow", not bool(ps2.overflowed))
 
     # histogram exactness past 2^24 rows (the chunked-accumulation path)
     key = jnp.concatenate([

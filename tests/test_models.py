@@ -210,3 +210,26 @@ def test_elliptical_push_rot_matches_trig():
     # carried unit vector stays normalized (Newton renorm)
     norm = np.asarray(c * c + s * s)
     assert np.abs(norm - 1.0).max() < 1e-5
+
+
+@pytest.mark.parametrize("structure", ["scs", "cabm"])
+def test_pseudo_push_and_search_reshuffle_mode(structure):
+    """rebuild_mode="auto" (the reference's reshuffle-or-rebuild,
+    SCS_rebuild.h) conserves the population in periodic steady state and
+    produces the same per-step counts as the sort path."""
+    coords, tets = gen.box_tet_mesh(4, 4, 4)
+    mesh = Mesh3D.from_arrays(coords, tets)
+    kw = dict(num_ptcls=400, num_iterations=6, distance=0.11,
+              structure=structure, wall="periodic")
+    a = PseudoPushAndSearch(mesh, PushSearchConfig(**kw), seed=2)
+    b = PseudoPushAndSearch(
+        mesh, PushSearchConfig(**kw, rebuild_mode="auto"), seed=2)
+    assert a.run() == [400] * 6
+    assert b.run() == [400] * 6
+    # same physics: the particle->element assignment agrees pid-for-pid
+    ha, hb = a.ptcls.copy_to_host(), b.ptcls.copy_to_host()
+    ma = dict(zip(ha["pid"][ha["active"]].tolist(),
+                  ha["elem"][ha["active"]].tolist()))
+    mb = dict(zip(hb["pid"][hb["active"]].tolist(),
+                  hb["elem"][hb["active"]].tolist()))
+    assert ma == mb

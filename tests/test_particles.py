@@ -368,3 +368,155 @@ def test_reserved_field_names_rejected():
     with pytest.raises(ValueError, match="reserved"):
         CSR(4, np.zeros(8, np.int64),
             fields={"active": jnp.zeros((8,), jnp.float32)})
+
+
+# ---------------------------------------------------------------------------
+# reshuffle (rebuild mode="auto") — SCS_rebuild.h:3-120 reshuffle-vs-rebuild
+# ---------------------------------------------------------------------------
+
+def _churn(ps, move_frac, seed=11, remove_frac=0.0, concentrate=None):
+    """A new_elem vector moving ``move_frac`` of live particles."""
+    r = np.random.default_rng(seed)
+    cur = np.where(np.asarray(ps.active), np.asarray(ps.elem), -1)
+    new_elem = cur.copy()
+    mv = (r.random(ps.capacity) < move_frac) & (cur >= 0)
+    if concentrate is not None:
+        new_elem[mv] = concentrate
+    else:
+        new_elem[mv] = r.integers(0, ps.num_elems, mv.sum())
+    if remove_frac:
+        rm = (r.random(ps.capacity) < remove_frac) & (cur >= 0)
+        new_elem[rm] = -1
+    return jnp.asarray(new_elem)
+
+
+def _swap_churn(ps, frac, seed=11):
+    """Count-preserving churn: swap elements between random pairs of live
+    particles.  Per-element counts are unchanged, so the reshuffle fits in
+    ANY layout (movers into e never exceed leavers from e) — exercises the
+    reshuffle branch even with extra_padding=0."""
+    r = np.random.default_rng(seed)
+    cur = np.where(np.asarray(ps.active), np.asarray(ps.elem), -1)
+    new_elem = cur.copy()
+    live = np.flatnonzero(cur >= 0)
+    k = max(2, int(len(live) * frac)) // 2 * 2
+    sel = r.choice(live, size=k, replace=False)
+    a, b = sel[: k // 2], sel[k // 2:]
+    new_elem[a], new_elem[b] = cur[b], cur[a]
+    return jnp.asarray(new_elem)
+
+
+def _np_fits(ps, new_elem):
+    """Host-side mirror of the reshuffle fits check."""
+    ne = np.asarray(new_elem)
+    stay = (np.asarray(ps.elem) == ne) & (ne >= 0)
+    mover = (ne >= 0) & ~stay
+    sc = np.bincount(ne[stay], minlength=ps.num_elems)
+    mc = np.bincount(ne[mover], minlength=ps.num_elems)
+    return bool(np.all(mc <= np.asarray(ps.seg_cap) - sc))
+
+
+@pytest.mark.parametrize("strategy", ["evenly", "proportionally", "inversely"])
+def test_scs_reshuffle_matches_sort(strategy):
+    ppe, elems, fields = _fixture()
+    ps = SellCSigma(
+        E, elems, fields=fields,
+        scs_input=SCSInput(chunk_size=8, sigma=8, extra_padding=0.4,
+                           pad_strategy=strategy),
+    )
+    ne = _swap_churn(ps, 0.12)
+    assert _np_fits(ps, ne), "fixture should exercise the reshuffle branch"
+    a, b = ps.rebuild(ne, mode="sort"), ps.rebuild(ne, mode="auto")
+    assert _host_state(a) == _host_state(b)
+    assert int(b.num_ptcls) == int(a.num_ptcls)
+    # stayers keep their slots (the whole point of the reshuffle)
+    hb, h0 = b.copy_to_host(), ps.copy_to_host()
+    keep = np.asarray(ps.active) & (np.asarray(ne) == np.asarray(ps.elem))
+    assert np.all(hb["active"][keep])
+    assert np.array_equal(hb["pid"][keep], h0["pid"][keep])
+    # movers landed in slots of their destination segment: every active
+    # slot's elem is consistent with get_pids grouping
+    order, offs = b.get_pids()
+    order, offs = np.asarray(order), np.asarray(offs)
+    for e in range(E):
+        assert np.all(hb["elem"][order[offs[e]:offs[e + 1]]] == e)
+
+
+def test_cabm_reshuffle_matches_sort():
+    ppe, elems, fields = _fixture()
+    ps = CabM(E, elems, fields=fields, soa_width=16)  # wide SoA => holes
+    ne = _swap_churn(ps, 0.10, seed=5)
+    assert _np_fits(ps, ne)
+    a, b = ps.rebuild(ne, mode="sort"), ps.rebuild(ne, mode="auto")
+    assert _host_state(a) == _host_state(b)
+    hb, h0 = b.copy_to_host(), ps.copy_to_host()
+    keep = np.asarray(ps.active) & (np.asarray(ne) == np.asarray(ps.elem))
+    assert np.all(hb["active"][keep])
+    # CabM layout: actives of segment e sit inside [offsets[e], offsets[e+1])
+    off = np.asarray(b.elem_offsets)
+    for e in range(E):
+        seg_act = hb["active"][off[e]:off[e + 1]]
+        assert np.all(hb["elem"][off[e]:off[e + 1]][seg_act] == e)
+
+
+def test_reshuffle_misfit_falls_back_to_sort():
+    ppe, elems, fields = _fixture()
+    ps = SellCSigma(E, elems, fields=fields,
+                    scs_input=SCSInput(chunk_size=8, extra_padding=0.2))
+    ne = _churn(ps, 0.8, concentrate=3)   # all movers into one element
+    assert not _np_fits(ps, ne)
+    a, b = ps.rebuild(ne, mode="sort"), ps.rebuild(ne, mode="auto")
+    assert _host_state(a) == _host_state(b)
+    # the fallback re-laid-out: element 3's capacity now covers its count
+    assert int(np.asarray(b.seg_cap)[3]) >= int(np.asarray(b.ppe())[3])
+
+
+def test_reshuffle_mover_budget_falls_back(monkeypatch):
+    from pumipic_tpu.particles import structure as S
+
+    ppe, elems, fields = _fixture()
+    ps = SellCSigma(E, elems, fields=fields,
+                    scs_input=SCSInput(chunk_size=8, extra_padding=0.5))
+    monkeypatch.setattr(S, "RESHUFFLE_MOVER_FRACTION", 1e-9)
+    ne = _churn(ps, 0.3)
+    a, b = ps.rebuild(ne, mode="sort"), ps.rebuild(ne, mode="auto")
+    assert _host_state(a) == _host_state(b)
+
+
+def test_reshuffle_multi_step_with_interleaved_fallback():
+    ppe, elems, fields = _fixture()
+    ps = SellCSigma(E, elems, fields=fields,
+                    scs_input=SCSInput(chunk_size=8, sigma=8,
+                                       extra_padding=0.3))
+    ref = {int(p) for p in np.asarray(ps.get("pid"))[np.asarray(ps.active)]}
+    r = np.random.default_rng(23)
+    took_reshuffle = took_sort = 0
+    for step in range(8):
+        ne = _churn(ps, 0.15, seed=int(r.integers(1 << 30)))
+        if _np_fits(ps, ne):
+            took_reshuffle += 1
+        else:
+            took_sort += 1
+        ps = ps.rebuild(ne, mode="auto")
+        live = {int(p) for p in
+                np.asarray(ps.get("pid"))[np.asarray(ps.active)]}
+        assert live == ref, step            # conservation every step
+        assert not bool(ps.overflowed)
+    assert took_reshuffle >= 1              # the path actually exercised
+
+
+def test_scs_extra_padding_checkpoint_roundtrip(tmp_path):
+    from pumipic_tpu.io.checkpoint import (
+        read_particle_structure,
+        write_particle_structure,
+    )
+
+    ppe, elems, fields = _fixture()
+    ps = SellCSigma(E, elems, fields=fields,
+                    scs_input=SCSInput(chunk_size=8, extra_padding=0.25,
+                                       pad_strategy="evenly"))
+    p = write_particle_structure(str(tmp_path / "ps"), ps)
+    ps2, _ = read_particle_structure(p)
+    assert ps2.scs_extra_padding == 0.25
+    assert ps2.scs_pad_strategy == "evenly"
+    assert _host_state(ps) == _host_state(ps2)
