@@ -50,6 +50,67 @@ def test_gyro_mapping_build():
     assert np.all(m_np[valid] < mesh.nverts)
 
 
+def test_gyro_scatter_matches_naive_oracle():
+    """pseudoXGCm_scatter analog (testing.cmake:96-113): the fused
+    accumulate_to_rings + scatter_to_mapped_verts pipeline must equal a
+    per-particle/per-ring-point python loop implementing the reference
+    semantics literally (gyroScatter.hpp:169-232), for both the uniform
+    placeholder radius and a per-particle radius."""
+    from pumipic_tpu.ops import scatter as sc
+
+    mesh = _small_mesh()
+    R, P = 3, 4
+    rmax = 0.06
+    gyro = GyroConfig(rmax=rmax, num_rings=R, points_per_ring=P)
+    gmap = np.asarray(build_gyro_mapping(mesh, gyro))
+    V = mesh.nverts
+    e2v = np.asarray(mesh.elem2verts)
+    rng = np.random.default_rng(3)
+    n = 500
+    elem = rng.integers(0, mesh.nelems, n)
+    active = rng.uniform(size=n) > 0.2
+    radius = rng.uniform(0, rmax, n).astype(np.float32)
+
+    for rad in (None, radius):
+        got = np.asarray(sc.gyro_scatter(
+            jnp.asarray(elem, jnp.int32), jnp.asarray(active),
+            mesh.elem2verts, jnp.asarray(gmap), V, R, P, rmax,
+        )) if rad is None else np.asarray(sc.scatter_to_mapped_verts(
+            sc.accumulate_to_rings(
+                jnp.asarray(elem, jnp.int32), jnp.asarray(active),
+                mesh.elem2verts, V, R, rmax,
+                ptcl_radius=jnp.asarray(rad)),
+            jnp.asarray(gmap), V, R, P,
+        ))
+
+        # naive oracle: accumulateToRings (gyroScatter.hpp:183-205)
+        ring_width = rmax / R
+        acc = np.zeros((V, R))
+        for i in range(n):
+            if not active[i]:
+                continue
+            if rad is None:
+                rd = min(max(int(1.125) - 1, 0), R - 2)
+            else:
+                rd = min(max(int(rad[i] / np.float32(ring_width)) - 1, 0),
+                         R - 2)
+            for v in e2v[elem[i]]:
+                acc[v, rd] += 1.0
+                acc[v, rd + 1] += 1.0
+        # scatterToMappedVerts (gyroScatter.hpp:207-225)
+        want = np.zeros(V)
+        for v in range(V):
+            for r in range(R):
+                val = acc[v, r] / P
+                for p in range(P):
+                    base = ((v * R + r) * P + p) * 3
+                    for j in range(3):
+                        m = gmap[base + j]
+                        if m >= 0:
+                            want[m] += val
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
 def test_pseudo_xgcm_runs_and_conserves():
     mesh = _small_mesh()
     cfg = XGCmConfig(
