@@ -43,6 +43,12 @@ CONFIGS = {
     "cpe32_lines": (32.0, "lines", (N // 4, N // 64, 2048)),
     # two independent 13-col tables (20 MB each) vs one 26-col 40 MB gather
     "cpe16_split": (16.0, "rows_split", (N // 4, N // 64, 2048)),
+    # rows_ab: A's full row + B's id only (14 cols, ~22 MB) — A-misses
+    # start the pyramid at B; first level must absorb the wider tail
+    # (~26% A-miss at cpe16 vs 13.7% both-miss)
+    "cpe16_ab": (16.0, "rows_ab", (N // 4, N // 64, 2048)),
+    "cpe16_ab_wide": (16.0, "rows_ab", (N // 3, N // 48, 2048)),
+    "cpe32_ab": (32.0, "rows_ab", (N // 4, N // 64, 2048)),
     # big-mesh (PPS_SIDE=27, 118k tets) candidates: the cpe16 rows table is
     # 193 MB there, so the policy falls to lines — pick its resolution
     "cpe8_lines": (8.0, "lines", (N // 4, N // 64, 2048)),

@@ -196,13 +196,18 @@ def _top2_per_cell(cell, found, ce):
 def attach_cell_rows_3d(grid: LocatorGrid3D, walk_geom,
                         samples_per_cell: int = 8,
                         seed: int = 1729,
-                        split: bool = False) -> LocatorGrid3D:
+                        split: bool = False,
+                        ab: bool = False) -> LocatorGrid3D:
     """3D analog of :func:`attach_cell_rows`: sample-calibrated TWO
     candidate elements per cell, rows [A affine (12) | elemA | B affine
     (12) | elemB] → (n_cells, 26) f32.  ``split=True`` stores the
     candidates as two separate (n_cells, 13) tables instead
     (``cell_rows`` + ``cell_rows_b``) so the peel issues two independent
-    half-byte gathers."""
+    half-byte gathers.  ``ab=True`` stores [A affine (12) | elemA |
+    elemB] → (n_cells, 14): candidate B is demoted from a peel-provable
+    candidate to a walk START HINT — the peel gathers half the bytes and
+    A-misses enter the pyramid at B (their first walk iteration is B's
+    containment test), trading gather bytes for pyramid tail width."""
     geom = np.asarray(walk_geom)
     ce = np.asarray(grid.cell_elem, dtype=np.int64)
     nx, ny, nz = grid.nx, grid.ny, grid.nz
@@ -223,6 +228,11 @@ def attach_cell_rows_3d(grid: LocatorGrid3D, walk_geom,
     pz = o[2] + (iz + u[:, 2]) * h[2]
     found = _host_walk_3d(geom, ce[cell], px, py, pz)
     a, b = _top2_per_cell(cell, found, ce)
+    if ab:
+        rows = np.concatenate(
+            [geom[a][:, 0:12], a[:, None], b[:, None]],
+            axis=1).astype(np.float32)
+        return dataclasses.replace(grid, cell_rows=jnp.asarray(rows))
     if split:
         rows_a = np.concatenate(
             [geom[a][:, 0:12], a[:, None]], axis=1).astype(np.float32)
@@ -291,7 +301,8 @@ def build_locator_grid_3d(coords: np.ndarray, elem2verts: np.ndarray,
             out = attach_cell_lines_3d(out, walk_geom)
         else:
             out = attach_cell_rows_3d(out, walk_geom,
-                                      split=(peel == "rows_split"))
+                                      split=(peel == "rows_split"),
+                                      ab=(peel == "rows_ab"))
     return out
 
 
@@ -330,7 +341,8 @@ def attach_cell_rows(grid: LocatorGrid2D, walk_geom,
                      samples_per_cell: int = 8,
                      seed: int = 1729,
                      aux: Optional[np.ndarray] = None,
-                     split: bool = False) -> LocatorGrid2D:
+                     split: bool = False,
+                     ab: bool = False) -> LocatorGrid2D:
     """Return a copy of ``grid`` whose cells carry TWO candidate walk rows.
 
     Candidates are calibrated by stratified random samples per cell located
@@ -361,6 +373,17 @@ def attach_cell_rows(grid: LocatorGrid2D, walk_geom,
     py = oy + (cell % ny + v) * hy
     found = _host_walk(geom, ce[cell], px, py)
     a, b = _top2_per_cell(cell, found, ce)
+
+    if ab:
+        # [A affine 6 | elemA | elemB] (8 cols): B demoted from a
+        # peel-provable candidate to a walk start hint — see the 3D
+        # variant's docstring (attach_cell_rows_3d(ab=True))
+        if aux is not None:
+            raise ValueError("aux_capture unsupported with rows_ab")
+        rows = np.concatenate(
+            [geom[a][:, 0:6], a[:, None], b[:, None]],
+            axis=1).astype(np.float32)
+        return dataclasses.replace(grid, cell_rows=jnp.asarray(rows))
 
     # per-candidate layout: [affine 6 | elem id | aux columns (A)]; aux is
     # an optional (E, A) table captured by the search at walk finish (e.g.
@@ -562,5 +585,6 @@ def build_locator_grid(coords: np.ndarray, elem2verts: np.ndarray,
             out = attach_cell_lines(out, walk_geom)
         else:
             out = attach_cell_rows(out, walk_geom, aux=aux,
-                                   split=(peel == "rows_split"))
+                                   split=(peel == "rows_split"),
+                                   ab=(peel == "rows_ab"))
     return out

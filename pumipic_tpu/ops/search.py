@@ -915,6 +915,34 @@ def search_mesh_2d_accel(
             max_iters=max_iters, fallback=fallback, fg0=fg0,
             record_exit=record_exit, widths=widths, it0=1, aux0=aux0,
         )
+    if grid.cell_rows is not None and grid.cell_rows.shape[1] == 8:
+        # rows_ab peel: candidate A's full row + candidate B's id only
+        # ([A affine 6 | elemA | elemB], attach_cell_rows(ab=True)) —
+        # half the peel bytes; A-misses start the walk at B (their first
+        # walk iteration is B's containment test)
+        if n_aux:
+            raise ValueError("aux_capture unsupported with rows_ab")
+        g = grid.cell_rows[grid.cell_of(dest)]        # (N, 8)
+        elem_a = g[:, 6].astype(jnp.int32)
+        elem_b = g[:, 7].astype(jnp.int32)
+        dx, dy = dest
+        l1 = g[:, 0] * dx + g[:, 1] * dy + g[:, 2]
+        l2 = g[:, 3] * dx + g[:, 4] * dy + g[:, 5]
+        w0 = 1.0 - l1 - l2
+        m1 = jnp.abs(g[:, 0] * dx) + jnp.abs(g[:, 1] * dy) + jnp.abs(g[:, 2])
+        m2 = jnp.abs(g[:, 3] * dx) + jnp.abs(g[:, 4] * dy) + jnp.abs(g[:, 5])
+        t1 = BCC_REL_TOL * m1 + BCC_ABS_TOL
+        t2 = BCC_REL_TOL * m2 + BCC_ABS_TOL
+        inside_a = (w0 >= -(t1 + t2)) & (l1 >= -t1) & (l2 >= -t2)
+        elem0 = jnp.where(
+            active, jnp.where(inside_a, elem_a, elem_b), INVALID)
+        fg0 = active & ~inside_a
+        done0 = ~active | (active & inside_a)
+        return _run_walk(
+            step, elem0, dest, done0=done0, orig=_components(x_orig),
+            max_iters=max_iters, fallback=fallback, fg0=fg0,
+            record_exit=record_exit, widths=widths, it0=1,
+        )
     if grid.cell_rows is not None:
         # peeled first pass off the cell-resident candidate rows: the guess
         # gather, the containment test, and the edge-straddling second
@@ -1078,6 +1106,40 @@ def search_mesh_3d_accel(
             active, jnp.where(inside_a | ~inside, elem_a, elem_b), INVALID)
         fg0 = active & ~inside
         done0 = ~active | (active & inside)
+        return _run_walk(
+            step, elem0, dest, done0=done0, orig=_components(x_orig),
+            max_iters=max_iters, fallback=fallback, fg0=fg0,
+            record_exit=record_exit, widths=widths, it0=1,
+        )
+    if grid.cell_rows is not None and grid.cell_rows.shape[1] == 14:
+        # rows_ab peel: candidate A's full row + candidate B's id only
+        # (attach_cell_rows_3d(ab=True)) — the peel proves containment in
+        # A with a half-byte gather; A-misses start the walk at B, whose
+        # containment test is their first walk iteration (it0=1 keeps the
+        # reference's per-containment-test iteration budget)
+        g = grid.cell_rows[grid.cell_of(dest)]          # (N, 14)
+        elem_a = g[:, 12].astype(jnp.int32)
+        elem_b = g[:, 13].astype(jnp.int32)
+        dx, dy, dz = dest
+        l1 = g[:, 0] * dx + g[:, 1] * dy + g[:, 2] * dz + g[:, 3]
+        l2 = g[:, 4] * dx + g[:, 5] * dy + g[:, 6] * dz + g[:, 7]
+        l3 = g[:, 8] * dx + g[:, 9] * dy + g[:, 10] * dz + g[:, 11]
+        w0 = 1.0 - l1 - l2 - l3
+        m1 = (jnp.abs(g[:, 0] * dx) + jnp.abs(g[:, 1] * dy)
+              + jnp.abs(g[:, 2] * dz) + jnp.abs(g[:, 3]))
+        m2 = (jnp.abs(g[:, 4] * dx) + jnp.abs(g[:, 5] * dy)
+              + jnp.abs(g[:, 6] * dz) + jnp.abs(g[:, 7]))
+        m3 = (jnp.abs(g[:, 8] * dx) + jnp.abs(g[:, 9] * dy)
+              + jnp.abs(g[:, 10] * dz) + jnp.abs(g[:, 11]))
+        t1 = BCC_REL_TOL * m1 + BCC_ABS_TOL
+        t2 = BCC_REL_TOL * m2 + BCC_ABS_TOL
+        t3 = BCC_REL_TOL * m3 + BCC_ABS_TOL
+        inside_a = ((w0 >= -(t1 + t2 + t3)) & (l1 >= -t1) & (l2 >= -t2)
+                    & (l3 >= -t3))
+        elem0 = jnp.where(
+            active, jnp.where(inside_a, elem_a, elem_b), INVALID)
+        fg0 = active & ~inside_a
+        done0 = ~active | (active & inside_a)
         return _run_walk(
             step, elem0, dest, done0=done0, orig=_components(x_orig),
             max_iters=max_iters, fallback=fallback, fg0=fg0,

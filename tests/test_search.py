@@ -333,6 +333,19 @@ def test_search_3d_accel_matches_plain():
         np.asarray(res_plain.elem_ids), np.asarray(res_split.elem_ids)
     )
 
+    # rows_ab peel (A's row + B as a start hint, 14 cols) must match too
+    grid_ab = build_locator_grid_3d(coords, tets, walk_geom=m.walk_geom,
+                                    peel="rows_ab")
+    assert grid_ab.cell_rows.shape[1] == 14
+    assert grid_ab.cell_rows_b is None
+    res_ab = search.search_mesh_3d_accel(
+        m, grid_ab, jnp.asarray(orig), jnp.asarray(tgt),
+        jnp.asarray(elems, jnp.int32), jnp.ones(n, bool), 100,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_plain.elem_ids), np.asarray(res_ab.elem_ids)
+    )
+
 
 def test_search_3d_reflect_boundary():
     coords, tets = gen.box_tet_mesh(4, 4, 4)
@@ -388,6 +401,10 @@ def test_search_2d_accel_with_rows_and_compacted_guess_retry():
                                     peel="rows_split")
     assert grid_split.cell_rows.shape[1] == 7
     assert grid_split.cell_rows_b is not None
+    grid_ab = build_locator_grid(coords, tris, walk_geom=m.walk_geom,
+                                 peel="rows_ab")
+    assert grid_ab.cell_rows.shape[1] == 8
+    assert grid_ab.cell_rows_b is None
     rng = np.random.default_rng(6)
     n = 2048
     elems = rng.integers(0, m.nelems, n)
@@ -398,7 +415,7 @@ def test_search_2d_accel_with_rows_and_compacted_guess_retry():
         m, jnp.asarray(orig), jnp.asarray(tgt),
         jnp.asarray(elems, jnp.int32), jnp.ones(n, bool), 200,
     )
-    for g in (grid, grid_lines, grid_split):
+    for g in (grid, grid_lines, grid_split, grid_ab):
         for widths in ((256, 32), (512,), ()):
             res_accel = search.search_mesh_2d_accel(
                 m, g, jnp.asarray(orig), jnp.asarray(tgt),
