@@ -27,6 +27,28 @@ import numpy as np
 PROXY_BASELINE_PTCLS_PER_SEC = 2.0e7
 
 
+def record_side(tag: str, out: dict) -> None:
+    """Append/replace this run's record in BENCH_SIDE.json (one entry per
+    bench mode/config) so round-over-round comparisons of the non-flagship
+    modes are captured artifacts, not prose — the RecordTime-table
+    discipline of the reference's harness (performance_tests/
+    ps_combo264.cpp:151-232).  stdout keeps the single flagship line for
+    the driver."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_SIDE.json")
+    recs = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                recs = json.load(f)
+        except Exception:
+            recs = {}
+    recs[tag] = out
+    with open(path, "w") as f:
+        json.dump(recs, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+
 def main():
     num_ptcls = int(os.environ.get("BENCH_PTCLS", 10_000_000))
     mesh_elems = int(os.environ.get("BENCH_ELEMS", 24_000))
@@ -58,7 +80,13 @@ def main():
         mdl_face=max(int(np.asarray(mesh.class_id).max()) // 2, 2),
         deg_per_push=15.0,
         max_search_iters=64,
-        gyro=GyroConfig(),
+        # BENCH_GYRO_PPR=1: per-particle gyro radius carried in state and
+        # bracketed per particle at deposition (cost-delta arm)
+        gyro=GyroConfig(per_particle_radius=bool(int(
+            os.environ.get("BENCH_GYRO_PPR", "0")))),
+        # BENCH_ROT_AUX=1: rotation captured by the search's packed rec
+        # channel instead of the push's rot-table gather (perf/walk_opt22)
+        rot_aux_capture=bool(int(os.environ.get("BENCH_ROT_AUX", "0"))),
     )
     device_mesh = make_device_mesh()
 
@@ -85,7 +113,35 @@ def main():
 
         def step(s):
             s, fwd, stats = pstep(s)
-            return s, {"fwd": fwd, "overflow": stats["overflow"]}
+            return s, {"fwd": fwd, "overflow": stats["overflow"],
+                       "alive_per_rank": stats["alive_per_rank"],
+                       "sent_per_rank": stats["sent_per_rank"]}
+
+        if os.environ.get("BENCH_ADAPT", "0") != "0":
+            # adaptive capacity: observe live width + migration volume for
+            # a few steps, then shrink slots to the observed need — the
+            # capacity headroom is pure per-step cost (every particle-rate
+            # op runs at capacity width); lossless admission quotas are
+            # the backstop if a later burst exceeds the shrunk free space
+            from pumipic_tpu.models.pseudo_xgcm import (
+                shrink_picparts_capacity,
+            )
+
+            probe = state
+            max_alive = max_sent = 0
+            for _ in range(3):
+                probe, f = step(probe)
+                max_alive = max(max_alive, int(np.asarray(
+                    jax.device_get(f["alive_per_rank"])).max()))
+                max_sent = max(max_sent, int(np.asarray(
+                    jax.device_get(f["sent_per_rank"])).max()))
+            new_cap = int(max_alive * 1.02) + 4 * max(max_sent, 16) + 64
+            old_cap = state["active"].shape[1]
+            if new_cap < old_cap:
+                state = shrink_picparts_capacity(probe, new_cap)
+                print(f"# adaptive capacity: {old_cap} -> {new_cap} slots "
+                      f"(max alive {max_alive}, max sent {max_sent})",
+                      file=sys.stderr, flush=True)
 
     elif mode == "pps3d":
         # the reference's second headline workload: pseudoPushAndSearch
@@ -110,6 +166,10 @@ def main():
             distance=float(os.environ.get("BENCH_DIST", 0.05)),
             max_search_iters=64,
             rebuild_mode=os.environ.get("BENCH_REBUILD", "sort"),
+            # BENCH_KUHN=off forces the general unstructured walk even on
+            # the structured bench mesh (the structured analytic locate is
+            # the production default when detect_box_kuhn proves it exact)
+            kuhn=os.environ.get("BENCH_KUHN", "auto"),
         )
         app = PseudoPushAndSearch(mesh, cfg3)
         state = app.ptcls
@@ -155,6 +215,25 @@ def main():
             "alive": alive,
         },
     }
+    tag = mode
+    if mesh_path:
+        tag += "-" + os.path.basename(mesh_path).split(".")[0]
+    if os.environ.get("BENCH_GYRO_PPR", "0") != "0":
+        tag += "-pprad"
+    if os.environ.get("BENCH_ROT_AUX", "0") != "0":
+        tag += "-rotaux"
+    if mode == "pps3d":
+        tag += "-" + os.environ.get("BENCH_STRUCT", "dps")
+        rb = os.environ.get("BENCH_REBUILD", "sort")
+        if rb != "sort":
+            tag += "-" + rb
+        if os.environ.get("BENCH_KUHN", "auto") == "off":
+            tag += "-walk"
+    if mode == "picparts":
+        tag += f"-capf{float(os.environ.get('BENCH_CAPF', 1.05)):g}"
+        if os.environ.get("BENCH_ADAPT", "0") != "0":
+            tag += "-adapt"
+    record_side(tag, out)
     print(json.dumps(out))
 
 

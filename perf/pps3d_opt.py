@@ -53,7 +53,16 @@ CONFIGS = {
     # 193 MB there, so the policy falls to lines — pick its resolution
     "cpe8_lines": (8.0, "lines", (N // 4, N // 64, 2048)),
     "cpe4_lines_half": (4.0, "lines", (N // 2, N // 32, 2048)),
+    # round-4: third-ranked candidate as a walk start hint (+1 col) for
+    # the 13.7% both-miss tail; narrower first level rides the smaller tail
+    "cpe16_abc": (16.0, "rows_abc", (N // 4, N // 64, 2048)),
+    "cpe16_abc_n8": (16.0, "rows_abc", (N // 8, N // 128, 2048)),
+    "cpe32_abc": (32.0, "rows_abc", (N // 4, N // 64, 2048)),
 }
+
+# round-4: structured-Kuhn analytic locate (no table, no gather, no walk;
+# exact by connectivity proof — mesh/locator.py detect_box_kuhn)
+KUHN_CONFIGS = {"kuhn"}
 
 
 def stats():
@@ -118,7 +127,7 @@ def stats():
 def main():
     if "--stats" in sys.argv:
         return stats()
-    names = sys.argv[1:] or list(CONFIGS)
+    names = sys.argv[1:] or (list(CONFIGS) + sorted(KUHN_CONFIGS))
     n_side = int(os.environ.get("PPS_SIDE", 16))
     coords, tets = box_tet_mesh(n_side, n_side, n_side)
     mesh = Mesh3D.from_arrays(coords, tets)
@@ -126,12 +135,19 @@ def main():
           flush=True)
 
     for name in names:
-        cpe, peel, widths = CONFIGS[name]
-        cfg = PushSearchConfig(
-            num_ptcls=N, structure="dps", wall="periodic", distance=0.05,
-            max_search_iters=64, cells_per_elem=cpe, peel=peel,
-            widths=widths,
-        )
+        if name in KUHN_CONFIGS:
+            cfg = PushSearchConfig(
+                num_ptcls=N, structure="dps", wall="periodic",
+                distance=0.05, max_search_iters=64, kuhn="force",
+            )
+            cpe, peel, widths = "-", "kuhn", None
+        else:
+            cpe, peel, widths = CONFIGS[name]
+            cfg = PushSearchConfig(
+                num_ptcls=N, structure="dps", wall="periodic",
+                distance=0.05, max_search_iters=64, cells_per_elem=cpe,
+                peel=peel, widths=widths, kuhn="off",
+            )
         t0 = time.perf_counter()
         app = PseudoPushAndSearch(mesh, cfg)
         ptcls, _ = app._step(app.ptcls)        # compile + warmup

@@ -129,6 +129,118 @@ class LocatorGrid3D:
         return self.cell_elem[self.cell_of(pts)]
 
 
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class KuhnLocator3D:
+    """Analytic point location for structured Kuhn/Freudenthal tet meshes
+    (6 tets per hex cell along vertex-permutation paths — the layout of
+    ``mesh.generate.box_tet_mesh`` and of structured regions of production
+    tet meshes).
+
+    ``locate`` is pure elementwise arithmetic: cell from floor division,
+    path index from the ORDERING of the fractional coordinates (the tet for
+    path (a, b, c) is exactly the simplex where the fractional coordinates
+    descend in that axis order), element id = cell_id·6 + path.  No table,
+    no gather, no walk — the search collapses to one fused VPU pass.  Exact
+    up to f32 ties on shared faces, where either adjacent tet contains the
+    point within the walk tolerance (the same ambiguity class the walk
+    resolves by tolerance).  Built by :func:`detect_box_kuhn`, which proves
+    applicability by reconstructing the connectivity bit-for-bit."""
+
+    origin: jax.Array            # (3,)
+    inv_h: jax.Array             # (3,)
+    nx: int = _static_field(default=1)
+    ny: int = _static_field(default=1)
+    nz: int = _static_field(default=1)
+
+    def locate(self, pts, eps: float = 1e-6):
+        """Points → (elem_ids, inside): analytic containing tet, and an
+        in-box mask (points outside the box get elem INVALID — on the
+        convex box domain, destination-outside ⟺ the path exits)."""
+        if isinstance(pts, tuple):
+            px, py, pz = pts
+        else:
+            px, py, pz = pts[:, 0], pts[:, 1], pts[:, 2]
+        rx = (px - self.origin[0]) * self.inv_h[0]
+        ry = (py - self.origin[1]) * self.inv_h[1]
+        rz = (pz - self.origin[2]) * self.inv_h[2]
+        inside = (
+            (rx >= -eps) & (rx <= self.nx + eps)
+            & (ry >= -eps) & (ry <= self.ny + eps)
+            & (rz >= -eps) & (rz <= self.nz + eps)
+        )
+        ix = jnp.clip(jnp.floor(rx), 0.0, self.nx - 1.0)
+        iy = jnp.clip(jnp.floor(ry), 0.0, self.ny - 1.0)
+        iz = jnp.clip(jnp.floor(rz), 0.0, self.nz - 1.0)
+        fx, fy, fz = rx - ix, ry - iy, rz - iz
+        b1 = fx >= fy
+        b2 = fy >= fz
+        b3 = fx >= fz
+        # path order in box_tet_mesh: (x,y,z) (x,z,y) (y,x,z) (y,z,x)
+        # (z,x,y) (z,y,x) — index by the descent ordering of (fx, fy, fz)
+        idx = jnp.where(
+            b1,
+            jnp.where(b2, 0.0, jnp.where(b3, 1.0, 4.0)),
+            jnp.where(b2, jnp.where(b3, 2.0, 3.0), 5.0),
+        )
+        # f32 id arithmetic exact while 6·nx·ny·nz < 2^24
+        elem = ((ix * self.ny + iy) * self.nz + iz) * 6.0 + idx
+        return jnp.where(inside, elem, jnp.float32(INVALID_F)).astype(
+            jnp.int32), inside
+
+
+INVALID_F = -1.0
+
+
+def detect_box_kuhn(coords: np.ndarray, tets: np.ndarray
+                    ) -> Optional[KuhnLocator3D]:
+    """Return a :class:`KuhnLocator3D` iff (coords, tets) IS a structured
+    Kuhn box mesh: vertices on a full rectilinear lattice and connectivity
+    bit-identical to ``box_tet_mesh``'s for the reconstructed (nx, ny, nz).
+    The equality proof makes the analytic locate exact by construction —
+    no sampling, no tolerance calibration."""
+    coords = np.asarray(coords)
+    tets = np.asarray(tets)
+    if coords.shape[1] != 3 or tets.shape[1] != 4:
+        return None
+    xs = np.unique(coords[:, 0])
+    ys = np.unique(coords[:, 1])
+    zs = np.unique(coords[:, 2])
+    nx, ny, nz = len(xs) - 1, len(ys) - 1, len(zs) - 1
+    if min(nx, ny, nz) < 1:
+        return None
+    if coords.shape[0] != (nx + 1) * (ny + 1) * (nz + 1):
+        return None
+    if tets.shape[0] != 6 * nx * ny * nz or tets.shape[0] >= (1 << 24):
+        return None
+    # lattice spacing must be uniform per axis (floor division assumes it)
+    if not all(np.allclose(np.diff(a), np.diff(a).mean(),
+                           rtol=1e-6, atol=1e-12) and np.diff(a).mean() > 0
+               for a in (xs, ys, zs)):
+        return None
+    # vertices must be the row-major lattice and the connectivity must be
+    # exactly box_tet_mesh's
+    from pumipic_tpu.mesh.generate import box_tet_mesh
+
+    ref_coords, ref_tets = box_tet_mesh(
+        nx, ny, nz, xs[-1] - xs[0], ys[-1] - ys[0], zs[-1] - zs[0])
+    if not np.allclose(ref_coords + np.array([xs[0], ys[0], zs[0]]),
+                       coords, rtol=1e-6, atol=1e-12):
+        return None
+    # orientation-insensitive: Mesh3D.from_arrays may flip vertex pairs to
+    # fix tet orientation; the tet as a POINT SET (what locate assigns) is
+    # determined by its vertex set
+    if not np.array_equal(np.sort(ref_tets, axis=1), np.sort(tets, axis=1)):
+        return None
+    h = np.array([xs[-1] - xs[0], ys[-1] - ys[0], zs[-1] - zs[0]])
+    h = h / np.array([nx, ny, nz])
+    return KuhnLocator3D(
+        origin=jnp.asarray([xs[0], ys[0], zs[0]], jnp.float32),
+        inv_h=jnp.asarray(1.0 / h, jnp.float32),
+        nx=nx, ny=ny, nz=nz,
+    )
+
+
 def _host_walk_3d(geom: np.ndarray, e0: np.ndarray, px, py, pz,
                   iters: int = 24) -> np.ndarray:
     """Vectorized host-side 3D BCC walk (build-time only)."""
@@ -166,8 +278,27 @@ def _host_walk_3d(geom: np.ndarray, e0: np.ndarray, px, py, pz,
     return np.where(ok, e, -1)
 
 
-def _top2_per_cell(cell, found, ce):
-    """Shared top-2-by-sample-count reduction (see attach_cell_rows)."""
+# every attach_* layout stores element ids as f32 columns; ids must stay
+# exactly representable (ADVICE r3: np.concatenate promotes then casts, so
+# ids >= 2^24 would silently round on the f32 round-trip)
+_F32_EXACT_ID_LIMIT = 1 << 24
+
+# known peel layouts (build_locator_grid validates against this set; an
+# unknown string must raise instead of silently falling through to "rows")
+_KNOWN_PEELS = ("auto", "rows", "lines", "rows_split", "rows_ab", "rows_abc")
+
+
+def _check_ids_f32_exact(geom: np.ndarray) -> None:
+    if geom.shape[0] >= _F32_EXACT_ID_LIMIT:
+        raise ValueError(
+            f"{geom.shape[0]} elements: element ids stored as f32 cell-row "
+            f"columns are only exact below 2^24")
+
+
+def _topk_per_cell(cell, found, ce, k=2):
+    """Top-k elements per cell by sample count (calibrated candidates for
+    the peel rows).  Returns k arrays; rank j falls back to rank j-1's
+    value where a cell has fewer than j+1 distinct sampled elements."""
     valid = found >= 0
     c_v, e_v = cell[valid], found[valid]
     order = np.lexsort((e_v, c_v))
@@ -179,17 +310,25 @@ def _top2_per_cell(cell, found, ce):
     rc, re = c_s[starts], e_s[starts]
     o2 = np.lexsort((-counts, rc))
     rc2, re2 = rc[o2], re[o2]
+    # rank of each (cell, elem) run within its cell (0 = most sampled)
     first = np.ones(len(rc2), bool)
     first[1:] = rc2[1:] != rc2[:-1]
-    a = ce.copy()
-    b = ce.copy()
-    fi = np.nonzero(first)[0]
-    a[rc2[fi]] = re2[fi]
-    b[rc2[fi]] = re2[fi]
-    si = fi + 1
-    si = si[si < len(rc2)]
-    si = si[~first[si]]
-    b[rc2[si]] = re2[si]
+    run_start = np.maximum.accumulate(np.where(first, np.arange(len(rc2)), 0))
+    rank = np.arange(len(rc2)) - run_start
+    outs = []
+    prev = ce.copy()
+    for j in range(k):
+        cur = prev.copy()
+        sel = rank == j
+        cur[rc2[sel]] = re2[sel]
+        outs.append(cur)
+        prev = cur
+    return outs
+
+
+def _top2_per_cell(cell, found, ce):
+    """Shared top-2-by-sample-count reduction (see attach_cell_rows)."""
+    a, b = _topk_per_cell(cell, found, ce, 2)
     return a, b
 
 
@@ -197,7 +336,8 @@ def attach_cell_rows_3d(grid: LocatorGrid3D, walk_geom,
                         samples_per_cell: int = 8,
                         seed: int = 1729,
                         split: bool = False,
-                        ab: bool = False) -> LocatorGrid3D:
+                        ab: bool = False,
+                        abc: bool = False) -> LocatorGrid3D:
     """3D analog of :func:`attach_cell_rows`: sample-calibrated TWO
     candidate elements per cell, rows [A affine (12) | elemA | B affine
     (12) | elemB] → (n_cells, 26) f32.  ``split=True`` stores the
@@ -207,8 +347,20 @@ def attach_cell_rows_3d(grid: LocatorGrid3D, walk_geom,
     elemB] → (n_cells, 14): candidate B is demoted from a peel-provable
     candidate to a walk START HINT — the peel gathers half the bytes and
     A-misses enter the pyramid at B (their first walk iteration is B's
-    containment test), trading gather bytes for pyramid tail width."""
+    containment test), trading gather bytes for pyramid tail width.
+    ``abc=True`` stores [A affine 12 | elemA | B affine 12 | elemB | elemC]
+    → (n_cells, 27): two peel-provable candidates PLUS a third-ranked walk
+    start hint for A∪B misses — tets overlap a cell ~6 deep, so the third
+    candidate prices one extra column against the 13.7% both-miss tail
+    (VERDICT r3: the 2D rows_ab rejection does not price a third candidate
+    on a tet-mesh miss base).
+
+    Column-width contract (search_mesh_3d_accel dispatches on it):
+    ab=True → 14 cols; split=True → two 13-col tables; abc=True → 27 cols;
+    default → 26 cols.
+    """
     geom = np.asarray(walk_geom)
+    _check_ids_f32_exact(geom)
     ce = np.asarray(grid.cell_elem, dtype=np.int64)
     nx, ny, nz = grid.nx, grid.ny, grid.nz
     n_grid = nx * ny * nz
@@ -227,6 +379,14 @@ def attach_cell_rows_3d(grid: LocatorGrid3D, walk_geom,
     py = o[1] + (iy + u[:, 1]) * h[1]
     pz = o[2] + (iz + u[:, 2]) * h[2]
     found = _host_walk_3d(geom, ce[cell], px, py, pz)
+    if abc:
+        a, b, c = _topk_per_cell(cell, found, ce, 3)
+        rows = np.concatenate(
+            [geom[a][:, 0:12], a[:, None].astype(np.float32),
+             geom[b][:, 0:12], b[:, None].astype(np.float32),
+             c[:, None].astype(np.float32)],
+            axis=1).astype(np.float32)
+        return dataclasses.replace(grid, cell_rows=jnp.asarray(rows))
     a, b = _top2_per_cell(cell, found, ce)
     if ab:
         rows = np.concatenate(
@@ -253,6 +413,9 @@ def build_locator_grid_3d(coords: np.ndarray, elem2verts: np.ndarray,
                           walk_geom=None,
                           peel: str = "auto") -> LocatorGrid3D:
     """3D analog of :func:`build_locator_grid` (tet meshes)."""
+    if peel not in _KNOWN_PEELS:
+        raise ValueError(f"unknown peel {peel!r}; expected one of "
+                         f"{_KNOWN_PEELS}")
     coords = np.asarray(coords, np.float64)
     ev = np.asarray(elem2verts, np.int64)
     E = ev.shape[0]
@@ -302,7 +465,8 @@ def build_locator_grid_3d(coords: np.ndarray, elem2verts: np.ndarray,
         else:
             out = attach_cell_rows_3d(out, walk_geom,
                                       split=(peel == "rows_split"),
-                                      ab=(peel == "rows_ab"))
+                                      ab=(peel == "rows_ab"),
+                                      abc=(peel == "rows_abc"))
     return out
 
 
@@ -352,8 +516,13 @@ def attach_cell_rows(grid: LocatorGrid2D, walk_geom,
     (86% of misses are edge-straddling cells whose true element is a single
     dominant second candidate; measured in perf/walk_opt11.py), which
     removes the full-width straggler passes from the walk entirely.
+
+    Column-width contract (search_mesh_2d_accel dispatches on it):
+    ab=True → 8 cols; split=True → two (7+aux)-col tables; default →
+    14+2·aux cols.
     """
     geom = np.asarray(walk_geom)
+    _check_ids_f32_exact(geom)
     ce = np.asarray(grid.cell_elem, dtype=np.int64)
     n_cells = ce.shape[0]
     nx = int(np.asarray(grid.nx))
@@ -533,6 +702,12 @@ def build_locator_grid(coords: np.ndarray, elem2verts: np.ndarray,
                        peel: str = "auto") -> LocatorGrid2D:
     """Host build: bucket element centroids into ~cells_per_elem*E cells and
     flood-fill empty cells from their neighbors."""
+    if peel not in _KNOWN_PEELS:
+        raise ValueError(f"unknown peel {peel!r}; expected one of "
+                         f"{_KNOWN_PEELS}")
+    if peel == "rows_abc":
+        raise ValueError("rows_abc is a 3D-only peel (triangle-mesh cells "
+                         "rarely overlap 3 elements; use rows)")
     coords = np.asarray(coords, np.float64)
     ev = np.asarray(elem2verts, np.int64)
     E = ev.shape[0]

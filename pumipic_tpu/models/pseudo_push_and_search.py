@@ -60,6 +60,14 @@ class PushSearchConfig:
     # reshuffle keeps fitting under steady-state drift.
     rebuild_mode: str = "sort"
     extra_padding: float = 0.15
+    # structured-region analytic locator (mesh.locator.KuhnLocator3D):
+    # "auto" uses it when detect_box_kuhn PROVES the mesh is a structured
+    # Kuhn box (connectivity equality) and the wall mode is convex-exact
+    # (periodic/remove — on a convex box the path exits iff the destination
+    # is outside); "off" forces the grid-accelerated walk; "force" errors
+    # if detection fails.  The walk path stays the general unstructured
+    # engine — this is the tet-aligned fast path for structured regions.
+    kuhn: str = "auto"
 
 
 def resolve_locator_policy_3d(cfg: PushSearchConfig, nelems: int,
@@ -147,7 +155,17 @@ class PseudoPushAndSearch:
         mesh, cfg, direction = self.mesh, self.cfg, self.direction
         locator = None
         widths = None
-        if cfg.use_locator:
+        kuhn = None
+        if cfg.kuhn in ("auto", "force") and cfg.wall in ("periodic",
+                                                          "remove"):
+            from pumipic_tpu.mesh.locator import detect_box_kuhn
+
+            kuhn = detect_box_kuhn(
+                np.asarray(mesh.coords), np.asarray(mesh.elem2verts))
+            if kuhn is None and cfg.kuhn == "force":
+                raise ValueError("kuhn='force' but the mesh is not a "
+                                 "structured Kuhn box")
+        if cfg.use_locator and kuhn is None:
             from pumipic_tpu.mesh.locator import build_locator_grid_3d
 
             cpe, peel, widths = resolve_locator_policy_3d(
@@ -171,6 +189,18 @@ class PseudoPushAndSearch:
                 # torus topology: wrap before the search; nudge off the
                 # exact boundary so the wrapped point is strictly interior
                 xtgt = (xtgt - box_lo) % box_ext + box_lo
+            if kuhn is not None:
+                # structured fast path: the whole search is one fused
+                # elementwise pass — analytic containing tet of the
+                # destination; on the convex box, destination-outside ⟺
+                # the path exits (remove semantics), and periodic wrap
+                # keeps every destination inside
+                e, _inside = kuhn.locate(
+                    (xtgt[:, 0], xtgt[:, 1], xtgt[:, 2]))
+                elem_ids = jnp.where(ptcls.active, e, search_ops.INVALID)
+                ptcls2 = ptcls.set("x", xtgt).rebuild(
+                    elem_ids, mode=cfg.rebuild_mode)
+                return ptcls2, jnp.int32(0)
             if locator is not None:
                 res = search_ops.search_mesh_3d_accel(
                     mesh, locator, x, xtgt, ptcls.elem, ptcls.active,

@@ -47,6 +47,11 @@ class GyroConfig:
     num_rings: int = 3
     points_per_ring: int = 8
     theta: float = 0.0
+    # per-particle gyro radius carried in particle state and bracketed per
+    # particle at deposition (the reference's gyroScatter.hpp:185 leaves
+    # the radius a 'TODO' uniform placeholder; this completes it).  The
+    # radius field is seeded uniform in (0.25, 1)·rmax and rides the state.
+    per_particle_radius: bool = False
 
 
 @dataclass(frozen=True)
@@ -73,6 +78,14 @@ class XGCmConfig:
     # override for the walk's compaction pyramid (None = default; see
     # ops/search.py and perf/walk_opt2.py measurements)
     search_widths: Optional[Tuple[int, ...]] = None
+    # capture the push rotation (cosΔ, sinΔ) during the SEARCH instead of
+    # gathering it in the push: the per-element rotation rides the peel's
+    # cell rows (+4 cols) and the packed rec channel through compaction,
+    # killing the push's full-width rot-table gather (~26 ms at 10M).
+    # Round-2e rejected this with the UNPACKED rec channel (209 vs 178 ms);
+    # the round-4 packed extraction+merge changes the economics — A/B in
+    # perf/walk_opt22.py decides the default.
+    rot_aux_capture: bool = False
     gyro: GyroConfig = GyroConfig()
     # ellipse geometry (reference reads h,k,d from argv)
     h: float = 0.0
@@ -240,6 +253,10 @@ class PseudoXGCm:
             "b": b.astype(jnp.float32),
             "phi": phi.astype(jnp.float32),
         }
+        if cfg.gyro.per_particle_radius:
+            rg = np.random.default_rng(PARTICLE_SEED + 1).uniform(
+                0.25 * cfg.gyro.rmax, cfg.gyro.rmax, len(ptcl_elems))
+            fields["rg"] = jnp.asarray(rg, jnp.float32)
         self.ptcls = _BUILDERS[cfg.structure](mesh.nelems, ptcl_elems, fields)
 
         self.gyro_fwd, self.gyro_bwd = build_gyro_mappings(mesh, cfg.gyro)
@@ -301,6 +318,8 @@ class PseudoXGCm:
             ring_accum = scatter_ops.accumulate_to_rings(
                 ptcls2.elem, ptcls2.active, mesh.elem2verts,
                 mesh.nverts, gyro.num_rings, gyro.rmax,
+                ptcl_radius=(ptcls2.get("rg")
+                             if gyro.per_particle_radius else None),
             )
             fwd = scatter_ops.scatter_to_mapped_verts(
                 ring_accum, self.gyro_fwd, mesh.nverts, gyro.num_rings,
@@ -417,6 +436,18 @@ def make_dp_setup(mesh: Mesh2D, cfg: XGCmConfig, device_mesh, seed: int = ELEMEN
     locator = None
     cpe, peel, widths = resolve_locator_policy(
         cfg, mesh.nelems, len(ptcl_elems))
+    if gyro.per_particle_radius:
+        rg = np.random.default_rng(PARTICLE_SEED + 1).uniform(
+            0.25 * gyro.rmax, gyro.rmax, len(ptcl_elems))
+        state["rg"] = jnp.asarray(rg, jnp.float32)
+    use_aux = cfg.rot_aux_capture and cfg.use_locator
+    if use_aux:
+        # per-particle rotation state, refreshed by the search's aux
+        # capture (the search already knows each particle's final element)
+        elem0 = jnp.asarray(ptcl_elems, LID_DTYPE)
+        rt0 = rot_table[jnp.maximum(elem0, 0)]
+        state["cd"] = rt0[:, 0]
+        state["sd"] = rt0[:, 1]
     if cfg.use_locator:
         from pumipic_tpu.mesh.locator import build_locator_grid
 
@@ -424,21 +455,29 @@ def make_dp_setup(mesh: Mesh2D, cfg: XGCmConfig, device_mesh, seed: int = ELEMEN
             np.asarray(mesh.coords), np.asarray(mesh.elem2verts),
             walk_geom=mesh.walk_geom, peel=peel,
             cells_per_elem=cpe,
+            aux=np.asarray(rot_table) if use_aux else None,
         )
 
     def per_device_step(s):
         elem, active = s["elem"], s["active"]
         # flat component state end to end: no (N,2) intermediates
-        tx, ty, cphi_new, sphi_new = push_ops.elliptical_push_rot(
-            s["cphi"], s["sphi"], s["b"], elem, rot_table,
-            cfg.h, cfg.k, cfg.d
-        )
+        if use_aux:
+            tx, ty, cphi_new, sphi_new = push_ops.elliptical_push_rot_vals(
+                s["cphi"], s["sphi"], s["b"], s["cd"], s["sd"],
+                cfg.h, cfg.k, cfg.d
+            )
+        else:
+            tx, ty, cphi_new, sphi_new = push_ops.elliptical_push_rot(
+                s["cphi"], s["sphi"], s["b"], elem, rot_table,
+                cfg.h, cfg.k, cfg.d
+            )
         xtgt = (jnp.where(active, tx, s["x0"]), jnp.where(active, ty, s["x1"]))
         orig = (s["x0"], s["x1"])
         if locator is not None:
             res = search_ops.search_mesh_2d_accel(
                 mesh, locator, orig, xtgt, elem, active,
                 cfg.max_search_iters, widths=widths,
+                aux_capture=rot_table if use_aux else None,
             )
         else:
             res = search_ops.search_mesh_2d(
@@ -455,9 +494,15 @@ def make_dp_setup(mesh: Mesh2D, cfg: XGCmConfig, device_mesh, seed: int = ELEMEN
             "elem": res.elem_ids,
             "active": new_active,
         }
+        if use_aux:
+            new_state["cd"] = jnp.where(new_active, res.aux_c[0], s["cd"])
+            new_state["sd"] = jnp.where(new_active, res.aux_c[1], s["sd"])
+        if gyro.per_particle_radius:
+            new_state["rg"] = s["rg"]
         ring_accum = scatter_ops.accumulate_to_rings(
             res.elem_ids, new_active, mesh.elem2verts,
             mesh.nverts, gyro.num_rings, gyro.rmax,
+            ptcl_radius=s["rg"] if gyro.per_particle_radius else None,
         )
         fwd = scatter_ops.scatter_to_mapped_verts(
             ring_accum, gyro_fwd, mesh.nverts, gyro.num_rings,
@@ -775,6 +820,41 @@ def make_picparts_setup(
     return pp, state, gyro_map, (
         lambda s: step(pp, gyro_map, bt, nplan, locator, rot_tables, route, s)
     )
+
+
+def shrink_picparts_capacity(state, new_cap: int):
+    """Adaptive slot-capacity shrink for the picparts particle state.
+
+    Every particle-rate op in the step runs at CAPACITY width (static
+    shapes), so idle headroom is pure per-step cost — the round-3 picparts
+    premium was exactly this padding.  This host-side utility compacts each
+    rank's live particles to a slot prefix and truncates the state to
+    ``new_cap`` slots; the jitted step simply re-traces at the new width.
+    Pair with migration telemetry (``alive_per_rank`` + ``sent_per_rank``)
+    to pick ``new_cap``, and rely on the lossless admission quotas
+    (parallel/migrate.py) as the backstop when a burst exceeds the shrunk
+    free space — beyond-quota leavers stay home and retry, never drop.
+    The same recompile economics as particle-structure capacity growth.
+    """
+    sharding = state["active"].sharding
+    act = np.asarray(jax.device_get(state["active"]))
+    live_max = int(act.sum(axis=1).max())
+    if new_cap < live_max:
+        raise ValueError(f"new_cap {new_cap} < max live {live_max}")
+    order = np.argsort(~act, axis=1, kind="stable")[:, :new_cap]
+    out = {}
+    for k, v in state.items():
+        vh = np.asarray(jax.device_get(v))
+        a = np.take_along_axis(vh, order, axis=1)
+        keep = np.take_along_axis(act, order, axis=1)
+        if k == "elem":
+            a = np.where(keep, a, -1)
+        elif k == "active":
+            a = keep
+        elif k == "pid":
+            a = np.where(keep, a, -1)
+        out[k] = jax.device_put(jnp.asarray(a), sharding)
+    return out
 
 
 def make_default_mesh(nelems_target: int = 25_000) -> Mesh2D:

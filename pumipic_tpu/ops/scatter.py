@@ -165,16 +165,20 @@ def accumulate_to_rings(
             .at[:, ru].add(counts)
         )
     else:
-        ring_down = jnp.clip(
-            (ptcl_radius / ring_width).astype(jnp.int32) - 1, 0, R - 2
+        # per-particle radius: two MXU one-hot histograms over the
+        # (element, ring) key space replace the particle-rate segment_sums
+        # (~13 vs ~120 ms each at 10M, perf/walk_opt16.py); key arithmetic
+        # stays in f32 (exact for E·R < 2^24 — int32 mul is VPU-emulated)
+        rdf = jnp.clip(
+            jnp.floor(ptcl_radius / jnp.float32(ring_width)) - 1.0,
+            0.0, R - 2,
         )
-        elem_ring_flat = jnp.zeros((num_elems * R,), jnp.float32)
-        for ring in (ring_down, ring_down + 1):
-            key = jnp.where(active, elem * R + ring, num_elems * R)
-            elem_ring_flat = elem_ring_flat + jax.ops.segment_sum(
-                jnp.ones(elem.shape, jnp.float32), key,
-                num_segments=num_elems * R + 1,
-            )[: num_elems * R]
+        ef = elem.astype(jnp.float32) * jnp.float32(R)
+        ER = num_elems * R
+        elem_ring_flat = jnp.zeros((ER,), jnp.float32)
+        for ring_f in (rdf, rdf + 1.0):
+            key = jnp.where(active, ef + ring_f, jnp.float32(ER))
+            elem_ring_flat = elem_ring_flat + count_per_key_matmul(key, ER)
         elem_ring = elem_ring_flat.reshape(num_elems, R)
 
     # Stage 2: expand per-element ring counts to the element's vertices

@@ -423,6 +423,22 @@ def _core_3d_mt(mesh: Mesh3D):
 # walk engine
 # ---------------------------------------------------------------------------
 
+def _to_i32(a: jax.Array) -> jax.Array:
+    """s32 carrier for the packed walk-state rows: floats are BITCAST to
+    int32 (bit-exact through int pipelines); int32 passes through.  Never
+    the reverse — int32 values below 2^23 bitcast to f32 are denormals the
+    TPU flushes to zero in copy/fusion paths (round-3c)."""
+    if a.dtype == jnp.int32:
+        return a
+    return jax.lax.bitcast_convert_type(a, jnp.int32)
+
+
+def _from_i32(a: jax.Array, dtype) -> jax.Array:
+    if dtype == jnp.int32:
+        return a
+    return jax.lax.bitcast_convert_type(a, dtype)
+
+
 def _compact_idx(done: jax.Array, m: int) -> jax.Array:
     """Indices of the first ``m`` not-done slots in slot order; entries == n
     where fewer survivors exist.
@@ -640,13 +656,16 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
         sidx = jnp.minimum(sidx, pn - 1)
         # extract the always-needed walk state through ONE row gather: the
         # per-indexed-op fixed cost dominates extraction (walk_opt15), so
-        # elem/fbg/dest ride as bitcast-int32 rows of a packed (k, pn)
-        # array.  orig/rec stay separate (unused columns DCE away there).
+        # elem/fbg/dest AND the rec/aux channel ride as bitcast-int32 rows
+        # of a packed (k, pn) array (s32 carrier — float payloads bitcast
+        # to int is the denormal-safe direction, round-3c).  orig stays
+        # separate (unused components DCE away there).
         packed = jnp.stack(
             [p_elem, p_fbg]
             + [jax.lax.bitcast_convert_type(d, jnp.int32) for d in p_dest]
+            + [_to_i32(r) for r in p_rec]
         )
-        cols = jnp.take(packed, sidx, axis=1)          # (2+dim, m)
+        cols = jnp.take(packed, sidx, axis=1)          # (2+dim+rec, m)
         s_elem = jnp.where(in_range, cols[0], INVALID)
         s_fbg = jnp.where(in_range, cols[1], jnp.int32(-2))
         s_dest = tuple(
@@ -654,7 +673,10 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
             for i, d in enumerate(p_dest)
         )
         s_done = ~in_range
-        s_rec = tuple(r[sidx] for r in p_rec)
+        o_rec = 2 + len(p_dest)
+        s_rec = tuple(
+            _from_i32(cols[o_rec + i], r.dtype) for i, r in enumerate(p_rec)
+        )
         s_orig = tuple(o[sidx] for o in p_orig)
         # compose to global slot ids (out-of-range -> n, dropped at merge)
         if li == 0:
@@ -679,16 +701,36 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
     # finish) — the separate done merge scatters this replaces were ~10% of
     # search time (perf/walk_opt15.py); all_found needs only the deepest
     # level's done (every shallower survivor is carried one level deeper).
-    for gidx, (s_elem, s_dest, s_done, s_rec) in levels:
-        elem = elem.at[gidx].set(
-            jnp.where(s_done, s_elem, INVALID), mode="drop")
-        if carry_dest:
-            dest = tuple(
-                d.at[gidx].set(sd, mode="drop") for d, sd in zip(dest, s_dest)
+    # elem + the rec/aux channel merge as ONE packed s32 column scatter per
+    # level (the per-indexed-op fixed cost is per scatter, not per element
+    # — the unpacked per-entry rec merges were what sank the round-2e
+    # aux-capture attempt).
+    if rec:
+        merged = jnp.stack([elem] + [_to_i32(r) for r in rec])
+        for gidx, (s_elem, s_dest, s_done, s_rec) in levels:
+            src = jnp.stack(
+                [jnp.where(s_done, s_elem, INVALID)]
+                + [_to_i32(r) for r in s_rec]
             )
+            merged = merged.at[:, gidx].set(src, mode="drop")
+            if carry_dest:
+                dest = tuple(
+                    d.at[gidx].set(sd, mode="drop")
+                    for d, sd in zip(dest, s_dest)
+                )
+        elem = merged[0]
         rec = tuple(
-            r.at[gidx].set(sr, mode="drop") for r, sr in zip(rec, s_rec)
+            _from_i32(merged[1 + i], r.dtype) for i, r in enumerate(rec)
         )
+    else:
+        for gidx, (s_elem, s_dest, s_done, s_rec) in levels:
+            elem = elem.at[gidx].set(
+                jnp.where(s_done, s_elem, INVALID), mode="drop")
+            if carry_dest:
+                dest = tuple(
+                    d.at[gidx].set(sd, mode="drop")
+                    for d, sd in zip(dest, s_dest)
+                )
 
     all_found = jnp.all(last_done)
     aux_c = rec[:n_aux] if n_aux else None
@@ -1146,7 +1188,12 @@ def search_mesh_3d_accel(
             record_exit=record_exit, widths=widths, it0=1,
         )
     if grid.cell_rows is not None:
-        g = grid.cell_rows[grid.cell_of(dest)]          # (N, 26)
+        # 26-col: [A affine 12 | elemA | B affine 12 | elemB]; 27-col
+        # (rows_abc, attach_cell_rows_3d(abc=True)): + elemC, a third-ranked
+        # walk START HINT for the A∪B both-miss tail (13.7% at cpe16 on
+        # tets) — one extra gathered column against a shallower pyramid
+        has_c = grid.cell_rows.shape[1] == 27
+        g = grid.cell_rows[grid.cell_of(dest)]          # (N, 26|27)
         elem_a = g[:, 12].astype(jnp.int32)
         elem_b = g[:, 25].astype(jnp.int32)
         dx, dy, dz = dest
@@ -1174,8 +1221,15 @@ def search_mesh_3d_accel(
         inside_a = _inside(0)
         inside_b = _inside(13)
         inside = inside_a | inside_b
+        if has_c:
+            miss_start = g[:, 26].astype(jnp.int32)   # third-ranked hint
+        else:
+            miss_start = elem_a                       # walk from A (as ever)
         elem0 = jnp.where(
-            active, jnp.where(inside_a | ~inside, elem_a, elem_b), INVALID)
+            active,
+            jnp.where(inside_a, elem_a,
+                      jnp.where(inside_b, elem_b, miss_start)),
+            INVALID)
         fg0 = active & ~inside
         done0 = ~active | (active & inside)
         return _run_walk(

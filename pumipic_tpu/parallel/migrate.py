@@ -12,11 +12,18 @@ destination (slot = dest-rank-relative rank, computed with the same sort
 machinery as rebuild), the buckets move in one collective, and arrivals
 translate GID→LID with a binary search over the picpart's sorted global ids
 (the reference's ``Kokkos::UnorderedMap`` lookup, SCS_buildFns.h:102-113).
-Overflow (more than ``cap`` leavers to one destination) is detected and
-reported, not silently dropped — the caller grows ``cap`` and re-runs (same
-recompile economics as particle-structure capacity growth).  Arrivals whose
-element is absent from the receiving picpart are likewise counted
-(``num_recv_unresolved``) rather than silently lost.
+
+**Lossless under overflow** (the reference's ragged exchange is sized
+exactly and never drops a particle, SCS_migrate.h:39-175): before the
+payload exchange, ranks negotiate per-pair admission quotas with two tiny
+(R,)-vector collectives — each receiver grants senders (in rank order) up
+to its bucket capacity AND its conservatively-counted free slots.  Leavers
+beyond their quota stay HOME (active, counted in ``num_kept_home``) and
+retry on the next step's routing — semantics the safe-zone model tolerates
+(the particle is still inside this rank's buffered region).  ``overflow``
+remains a tripwire: with quotas in force the payload exchange itself can
+never drop.  Arrivals whose element is absent from the receiving picpart
+are likewise counted (``num_recv_unresolved``) rather than silently lost.
 
 Two collectives are provided:
 
@@ -56,6 +63,8 @@ class MigrateResult(NamedTuple):
     num_recv_unresolved: jax.Array  # () arrivals whose elem gid is unknown
     num_illegal_dest: jax.Array   # () dests outside the neighbor plan (0 for
     #                                 the world collective)
+    num_kept_home: jax.Array = 0  # () leavers kept home by admission quotas
+    #                                 (they retry next step; never dropped)
 
 
 def set_unsafe_procs(
@@ -244,10 +253,10 @@ def _pack_payload(state, leaving, gid):
     return jnp.concatenate(payload_parts, axis=1), field_slices
 
 
-def _bucket_slots(key: jax.Array, num_buckets: int, cap: int):
-    """Slot within the (num_buckets * cap) send buffer for each particle
-    (key = bucket id, or >= num_buckets for non-leavers).  Stable argsort
-    groups leavers by bucket; per-bucket rank >= cap overflows."""
+def _bucket_ranks(key: jax.Array, num_buckets: int):
+    """Stable-sort leavers by bucket: per-particle rank within its bucket
+    (in slot order) plus per-bucket counts.  ``key`` = bucket id, or >=
+    num_buckets for non-leavers."""
     N = key.shape[0]
     order = jnp.argsort(key, stable=True)
     sorted_key = key[order]
@@ -258,14 +267,61 @@ def _bucket_slots(key: jax.Array, num_buckets: int, cap: int):
     rank_in_bucket = jnp.arange(N, dtype=jnp.int32) - starts[
         jnp.minimum(sorted_key, num_buckets)
     ]
+    return order, sorted_key, rank_in_bucket, counts
+
+
+def _slots_from_ranks(order, sorted_key, rank_in_bucket, counts,
+                      num_buckets: int, cap: int,
+                      quota: Optional[jax.Array] = None):
+    """Finish :func:`_bucket_ranks` into send-buffer slots.  With ``quota``
+    (num_buckets,) only the first ``min(cap, quota[b])`` leavers per bucket
+    are admitted; the rest are returned in the ``kept`` mask (original
+    order) so callers keep them home instead of dropping them off the send
+    buffer."""
+    N = sorted_key.shape[0]
+    lim_b = (jnp.full((num_buckets,), cap, jnp.int32) if quota is None
+             else jnp.minimum(quota.astype(jnp.int32), cap))
+    lim = lim_b[jnp.minimum(sorted_key, num_buckets - 1)]
+    is_leaver = sorted_key < num_buckets
+    admitted = is_leaver & (rank_in_bucket < lim)
     slot_sorted = jnp.where(
-        (sorted_key < num_buckets) & (rank_in_bucket < cap),
-        sorted_key * cap + rank_in_bucket,
-        num_buckets * cap,
-    )
+        admitted, sorted_key * cap + rank_in_bucket, num_buckets * cap)
     slot = jnp.zeros((N,), jnp.int32).at[order].set(slot_sorted)
-    overflow = jnp.any(counts > cap)
-    return slot, overflow
+    kept = jnp.zeros((N,), bool).at[order].set(is_leaver & ~admitted)
+    overflow = jnp.any(counts > lim_b)
+    return slot, overflow, kept
+
+
+def _bucket_slots(key: jax.Array, num_buckets: int, cap: int,
+                  quota: Optional[jax.Array] = None):
+    """One-call form of ``_bucket_ranks`` + ``_slots_from_ranks``."""
+    order, sorted_key, rank_in_bucket, counts = _bucket_ranks(
+        key, num_buckets)
+    return _slots_from_ranks(order, sorted_key, rank_in_bucket, counts,
+                             num_buckets, cap, quota)
+
+
+def _negotiate_quota(counts_dest: jax.Array, cap: int,
+                     n_free_min: jax.Array, axis_name: str) -> jax.Array:
+    """Admission negotiation (two (R,)-vector collectives): senders
+    announce intended per-destination counts; each receiver grants quotas
+    in sender-rank order, bounded by its bucket capacity and its
+    conservative free-slot count (capacity − current actives — arrivals
+    are guaranteed placeable even if no leaver departs).  Returns (R,)
+    ``quota[q]`` = how many of MY leavers rank q will admit.  The
+    fixed-capacity analog of the reference's exact-size count exchange
+    (SCS_migrate.h:39-76)."""
+    incoming = jax.lax.all_to_all(
+        counts_dest[:, None], axis_name, split_axis=0, concat_axis=0,
+        tiled=False,
+    )[:, 0]                                   # (R,) intended from each sender
+    capped = jnp.minimum(incoming, cap)
+    cum_before = jnp.cumsum(capped) - capped
+    admit = jnp.clip(n_free_min - cum_before, 0, capped)
+    quota = jax.lax.all_to_all(
+        admit[:, None], axis_name, split_axis=0, concat_axis=0, tiled=False,
+    )[:, 0]
+    return quota
 
 
 def _fill_send(payload, slot, num_buckets: int, cap: int):
@@ -358,7 +414,7 @@ def migrate(
         return MigrateResult(
             state=new_state, num_sent=z, num_recv=z,
             overflow=jnp.asarray(False), num_recv_unresolved=z,
-            num_illegal_dest=z,
+            num_illegal_dest=z, num_kept_home=z,
         )
     if plan is not None and plan.num_rounds > 0:
         return _migrate_neighbors(
@@ -369,12 +425,22 @@ def migrate(
     N = new_elem.shape[0]
     R, K = num_ranks, cap
     active = state["active"] & (new_elem >= 0)
-    leaving = active & (dest_rank != my_rank)
-    staying = active & ~leaving
+    wants_leave = active & (dest_rank != my_rank)
 
-    key = jnp.where(leaving, dest_rank, R)
-    slot, overflow = _bucket_slots(key, R, K)
+    # one sort groups leavers by destination; its counts feed the admission
+    # negotiation, whose quotas then decide slots (lossless: beyond-quota
+    # leavers stay home and retry next step, never fall off the buffer)
+    key = jnp.where(wants_leave, dest_rank, R)
+    order, sorted_key, rank_in_bucket, counts = _bucket_ranks(key, R)
+    n_free_min = jnp.int32(N) - jnp.sum(state["active"].astype(jnp.int32))
+    quota = _negotiate_quota(counts, K, n_free_min, axis_name)
+    slot, overflow, kept = _slots_from_ranks(
+        order, sorted_key, rank_in_bucket, counts, R, K, quota)
+
+    leaving = wants_leave & ~kept
+    staying = active & ~leaving
     num_sent = jnp.sum(leaving.astype(jnp.int32))
+    num_kept = jnp.sum(kept.astype(jnp.int32))
 
     gid = jnp.where(leaving, elem_gid[jnp.maximum(new_elem, 0)], INVALID)
     payload, field_slices = _pack_payload(state, leaving, gid)
@@ -394,6 +460,7 @@ def migrate(
         overflow=overflow | recv_overflow,
         num_recv_unresolved=num_unresolved,
         num_illegal_dest=jnp.int32(0),
+        num_kept_home=num_kept,
     )
 
 
@@ -468,13 +535,31 @@ def _migrate_neighbors(
     dest_c = jnp.clip(dest_rank, 0, num_ranks - 1)
     round_of = plan.round_of_dest[my_rank, dest_c]        # (N,)
     illegal = wants_leave & (round_of < 0)
-    leaving = wants_leave & (round_of >= 0)
-    staying = active & ~leaving
+    routed = wants_leave & (round_of >= 0)
     num_illegal = jnp.sum(illegal.astype(jnp.int32))
 
-    key = jnp.where(leaving, round_of, D)
-    slot, overflow = _bucket_slots(key, D, K)
+    # admission negotiation at round granularity: each round sends to at
+    # most one peer, so per-round counts ARE per-destination counts — map
+    # them through dest_of_round for the (R,)-vector quota exchange
+    key = jnp.where(routed, round_of, D)
+    order, sorted_key, rank_in_bucket, counts = _bucket_ranks(key, D)
+    rod = plan.round_of_dest[my_rank]                     # (R,)
+    dof = jnp.full((D,), num_ranks, jnp.int32).at[
+        jnp.where(rod >= 0, rod, D)
+    ].set(jnp.arange(num_ranks, dtype=jnp.int32), mode="drop")
+    counts_dest = jnp.zeros((num_ranks,), jnp.int32).at[dof].set(
+        counts, mode="drop")
+    n_free_min = jnp.int32(N) - jnp.sum(state["active"].astype(jnp.int32))
+    quota = _negotiate_quota(counts_dest, K, n_free_min, axis_name)
+    quota_round = jnp.where(
+        dof < num_ranks, quota[jnp.minimum(dof, num_ranks - 1)], 0)
+    slot, overflow, kept = _slots_from_ranks(
+        order, sorted_key, rank_in_bucket, counts, D, K, quota_round)
+
+    leaving = routed & ~kept
+    staying = active & ~leaving
     num_sent = jnp.sum(leaving.astype(jnp.int32))
+    num_kept = jnp.sum(kept.astype(jnp.int32))
 
     gid = jnp.where(leaving, elem_gid[jnp.maximum(new_elem, 0)], INVALID)
     payload, field_slices = _pack_payload(state, leaving, gid)
@@ -507,4 +592,5 @@ def _migrate_neighbors(
         overflow=overflow | recv_overflow,
         num_recv_unresolved=num_unresolved,
         num_illegal_dest=num_illegal,
+        num_kept_home=num_kept,
     )

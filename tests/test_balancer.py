@@ -356,9 +356,9 @@ def test_lb_large_n_memory():
     assert moved == 250_000
 
 
-def test_all_on_one_rank_spreads_in_three_steps():
-    """Seed every particle on one rank; repeated LB+migrate steps must reach
-    imbalance <= 1.1 within 3 steps (the EnGPar-quality bar).
+def test_all_on_one_rank_spreads_in_one_call():
+    """Seed every particle on one rank; ONE LB repartition+migrate must
+    reach imbalance <= 1.1 (the engpar::balanceWeights one-call bar).
 
     LB can only relabel a particle to ranks whose safe zones cover its
     element (selectParticles targets sbar members, lb.hpp:253), so this

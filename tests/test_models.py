@@ -294,3 +294,76 @@ def test_pseudo_push_and_search_reshuffle_mode(structure):
     mb = dict(zip(hb["pid"][hb["active"]].tolist(),
                   hb["elem"][hb["active"]].tolist()))
     assert ma == mb
+
+
+def test_flagship_per_particle_gyro_radius():
+    """GyroConfig(per_particle_radius=True) end-to-end: the flagship step
+    carries a per-particle radius field and its deposition equals the
+    ops-level per-particle bracketing pipeline (itself oracle-verified in
+    test_gyro_scatter_matches_naive_oracle) — completing the reference's
+    'TODO compute the radius' placeholder (gyroScatter.hpp:185)."""
+    import jax
+    from jax.sharding import Mesh as JMesh
+    from pumipic_tpu.models.pseudo_xgcm import make_dp_setup
+    from pumipic_tpu.ops import scatter as sc
+
+    mesh = _small_mesh()
+    gyro = GyroConfig(rmax=0.2, num_rings=3, points_per_ring=4,
+                      per_particle_radius=True)
+    cfg = XGCmConfig(num_ptcls=4000, mdl_face=3, deg_per_push=15.0,
+                     max_search_iters=64, gyro=gyro)
+    dm = JMesh(np.array(jax.devices()[:1]), ("ranks",))
+    state, step = make_dp_setup(mesh, cfg, dm)
+    assert "rg" in state
+    state, fields = step(state)
+    fwd = np.asarray(fields["fwd"])
+
+    # recompute the deposition from the post-step state via the ops path
+    from pumipic_tpu.models.pseudo_xgcm import build_gyro_mappings
+    gmap, _ = build_gyro_mappings(mesh, gyro)
+    want = np.asarray(sc.scatter_to_mapped_verts(
+        sc.accumulate_to_rings(
+            state["elem"], state["active"], mesh.elem2verts,
+            mesh.nverts, gyro.num_rings, gyro.rmax,
+            ptcl_radius=state["rg"]),
+        gmap, mesh.nverts, gyro.num_rings, gyro.points_per_ring,
+    ))
+    np.testing.assert_allclose(fwd, want, rtol=1e-6, atol=1e-6)
+
+    # the per-particle bracketing must actually differ from the uniform
+    # placeholder (radii span several rings)
+    state_u, step_u = make_dp_setup(
+        mesh, XGCmConfig(num_ptcls=4000, mdl_face=3, deg_per_push=15.0,
+                         max_search_iters=64,
+                         gyro=GyroConfig(rmax=0.2, num_rings=3,
+                                         points_per_ring=4)), dm)
+    _, fields_u = step_u(state_u)
+    assert not np.allclose(fwd, np.asarray(fields_u["fwd"]))
+
+
+@pytest.mark.parametrize("wall", ["periodic", "remove"])
+def test_kuhn_analytic_locator_matches_walk(wall):
+    """The structured-Kuhn analytic locate (detect_box_kuhn proves
+    applicability by connectivity equality) must reproduce the
+    grid-accelerated walk bit-for-bit on a box mesh, for both convex-exact
+    wall modes."""
+    from pumipic_tpu.mesh.generate import box_tet_mesh
+
+    coords, tets = box_tet_mesh(5, 4, 6, 1.0, 0.8, 1.2)
+    mesh = Mesh3D.from_arrays(coords, tets)
+    kw = dict(num_ptcls=20_000, structure="dps", wall=wall,
+              distance=0.07, max_search_iters=64)
+    app_k = PseudoPushAndSearch(mesh, PushSearchConfig(kuhn="force", **kw))
+    app_w = PseudoPushAndSearch(mesh, PushSearchConfig(kuhn="off", **kw))
+    pk, pw = app_k.ptcls, app_w.ptcls
+    for _ in range(3):
+        pk, _ = app_k._step(pk)
+        pw, _ = app_w._step(pw)
+    np.testing.assert_array_equal(np.asarray(pk.active), np.asarray(pw.active))
+    act = np.asarray(pk.active)
+    np.testing.assert_array_equal(np.asarray(pk.elem)[act],
+                                  np.asarray(pw.elem)[act])
+    np.testing.assert_allclose(np.asarray(pk.get("x"))[act],
+                               np.asarray(pw.get("x"))[act])
+    if wall == "periodic":
+        assert act.all()

@@ -1049,7 +1049,6 @@ def test_bridge_dim_buffers(bridge_dim):
         core = np.isin(eg[r], np.nonzero(owners == r)[0])
         assert core[valid].sum() == (owners == r).sum()
         assert es[r][core].all()
-    return pp
 
 
 def test_edge_bridge_grows_slower():
@@ -1113,3 +1112,125 @@ def test_picparts_single_rank_early_out():
     assert int(stats["overflow"]) == 0
     assert int(stats["alive"]) > 4500       # only boundary exits lost
     assert float(jnp.sum(fwd)) > 0
+
+
+@pytest.mark.parametrize("neighbor", [False, True])
+def test_migrate_lossless_under_cap1_overflow(neighbor):
+    """Forced bucket overflow must never drop a particle (the reference's
+    ragged exchange is exactly sized, SCS_migrate.h:39-175): with cap=1 and
+    many leavers per destination, beyond-quota leavers stay HOME (active,
+    ``num_kept_home``) and retry next step — the particle (pid, multiset)
+    is conserved across 5 steps on 8 ranks, and kept counts drain as the
+    one-per-pair quota admits more each step."""
+    R8 = 8
+    coords, tris, cls = _full_mesh()
+    owners = ppm.partition_rcb(coords, tris, R8)
+    pp = ppm.build_picparts(
+        coords, tris, owners, R8,
+        ppm.PicPartsInput(ppm.BufferMethod.BFS, 3, 1), cls,
+    )
+    mesh = make_device_mesh(R8)
+    sharding = NamedSharding(mesh, P(RANK_AXIS))
+    pp_d = jax.device_put(pp, sharding)
+    plan = None
+    if neighbor:
+        from pumipic_tpu.parallel import distributor as dstm
+
+        plan = mig.build_neighbor_plan(dstm.from_picparts(pp))
+
+    eg = np.asarray(pp.elem_gid)
+    es = np.asarray(pp.elem_safe)
+    n_cap = 128
+    state_h = {
+        "pid": np.full((R8, n_cap), -1, np.int32),
+        "elem": np.full((R8, n_cap), -1, np.int32),
+        "active": np.zeros((R8, n_cap), bool),
+    }
+    pid = 0
+    for r in range(R8):
+        unsafe_l = np.nonzero(~es[r] & (eg[r] >= 0))[0]
+        # 16 leavers per rank, all funneled through cap=1 buckets
+        for i, le in enumerate(unsafe_l[:16]):
+            state_h["pid"][r, i] = pid
+            state_h["elem"][r, i] = le
+            state_h["active"][r, i] = True
+            pid += 1
+    total = pid
+    state = {k: jax.device_put(jnp.asarray(v), sharding)
+             for k, v in state_h.items()}
+
+    @jax.jit
+    @lambda f: jax.shard_map(
+        f, mesh=mesh, in_specs=(P(RANK_AXIS), P(RANK_AXIS)),
+        out_specs=(P(RANK_AXIS), P()), check_vma=False,
+    )
+    def step(pp_l, s):
+        lpp = ppm.local_view(pp_l)
+        s = ppm.local_view(s)
+        me = jax.lax.axis_index(RANK_AXIS).astype(jnp.int32)
+        dest = mig.set_unsafe_procs(
+            lpp.elem_safe, lpp.elem_owner, s["elem"], s["active"], me
+        )
+        res = mig.migrate(
+            s, s["elem"], dest, lpp.elem_gid, lpp.elem_gid_sorted,
+            lpp.elem_gid_perm, me, R8, 1, plan=plan,
+        )
+        stats = {
+            "alive": jax.lax.psum(
+                jnp.sum(res.state["active"].astype(jnp.int32)), RANK_AXIS),
+            "kept": jax.lax.psum(res.num_kept_home, RANK_AXIS),
+            "sent": jax.lax.psum(res.num_sent, RANK_AXIS),
+            "unresolved": jax.lax.psum(res.num_recv_unresolved, RANK_AXIS),
+        }
+        return jax.tree_util.tree_map(lambda a: a[None], res.state), stats
+
+    kept_history = []
+    for it in range(5):
+        state, stats = step(pp_d, state)
+        assert int(stats["alive"]) == total, (it, stats)
+        assert int(stats["unresolved"]) == 0, (it, stats)
+        kept_history.append(int(stats["kept"]))
+        # pid multiset conserved exactly (no drops, no duplicates)
+        pids = np.asarray(state["pid"])[np.asarray(state["active"])]
+        assert len(pids) == total
+        assert np.array_equal(np.sort(pids), np.arange(total))
+    # cap=1 with 16 leavers/rank must actually exercise the quota path
+    assert kept_history[0] > 0, kept_history
+    # quotas admit at least one particle per sending pair per step
+    assert kept_history[-1] < kept_history[0], kept_history
+
+
+def test_shrink_picparts_capacity_conserves():
+    """Adaptive capacity shrink: live particles compact to a slot prefix,
+    pid multiset conserved, refusal when new_cap < live width."""
+    from pumipic_tpu.models.pseudo_xgcm import shrink_picparts_capacity
+
+    mesh = make_device_mesh(R)
+    sharding = NamedSharding(mesh, P(RANK_AXIS))
+    rng = np.random.default_rng(5)
+    n_cap = 256
+    act = rng.uniform(size=(R, n_cap)) < 0.4
+    state = {
+        "active": jnp.asarray(act),
+        "elem": jnp.asarray(np.where(act, rng.integers(0, 50, (R, n_cap)),
+                                     -1).astype(np.int32)),
+        "pid": jnp.asarray(np.where(
+            act, np.arange(R * n_cap).reshape(R, n_cap), -1).astype(np.int32)),
+        "x0": jnp.asarray(rng.normal(size=(R, n_cap)).astype(np.float32)),
+    }
+    state = {k: jax.device_put(v, sharding) for k, v in state.items()}
+    live_max = int(act.sum(axis=1).max())
+    new_cap = live_max + 8
+    out = shrink_picparts_capacity(state, new_cap)
+    assert out["active"].shape == (R, new_cap)
+    pids_in = np.sort(np.asarray(state["pid"])[act])
+    act_out = np.asarray(out["active"])
+    pids_out = np.sort(np.asarray(out["pid"])[act_out])
+    np.testing.assert_array_equal(pids_in, pids_out)
+    # per-rank live set and field values preserved
+    for r in range(R):
+        in_r = np.asarray(state["pid"])[r][act[r]]
+        out_r = np.asarray(out["pid"])[r][act_out[r]]
+        np.testing.assert_array_equal(np.sort(in_r), np.sort(out_r))
+    with pytest.raises(ValueError):
+        shrink_picparts_capacity(state, live_max - 1)

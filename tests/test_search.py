@@ -346,6 +346,19 @@ def test_search_3d_accel_matches_plain():
         np.asarray(res_plain.elem_ids), np.asarray(res_ab.elem_ids)
     )
 
+    # rows_abc peel (A + B provable, C as a third-ranked start hint,
+    # 27 cols) must match too
+    grid_abc = build_locator_grid_3d(coords, tets, walk_geom=m.walk_geom,
+                                     peel="rows_abc")
+    assert grid_abc.cell_rows.shape[1] == 27
+    res_abc = search.search_mesh_3d_accel(
+        m, grid_abc, jnp.asarray(orig), jnp.asarray(tgt),
+        jnp.asarray(elems, jnp.int32), jnp.ones(n, bool), 100,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_plain.elem_ids), np.asarray(res_abc.elem_ids)
+    )
+
 
 def test_search_3d_reflect_boundary():
     coords, tets = gen.box_tet_mesh(4, 4, 4)
