@@ -87,6 +87,12 @@ def main():
         # BENCH_ROT_AUX=1: rotation captured by the search's packed rec
         # channel instead of the push's rot-table gather (perf/walk_opt22)
         rot_aux_capture=bool(int(os.environ.get("BENCH_ROT_AUX", "0"))),
+        # BENCH_ANALYTIC=off forces the general walk even on the structured
+        # annulus bench mesh (the analytic locate is the production default
+        # when detect_annulus_structured proves it exact — the 2D analog of
+        # BENCH_KUHN; gmsh workloads like the 120k tokamak mesh fail the
+        # proof and always take the walk)
+        analytic_locate=os.environ.get("BENCH_ANALYTIC", "auto"),
     )
     device_mesh = make_device_mesh()
 
@@ -222,6 +228,8 @@ def main():
         tag += "-pprad"
     if os.environ.get("BENCH_ROT_AUX", "0") != "0":
         tag += "-rotaux"
+    if mode == "dp" and os.environ.get("BENCH_ANALYTIC", "auto") == "off":
+        tag += "-walk"
     if mode == "pps3d":
         tag += "-" + os.environ.get("BENCH_STRUCT", "dps")
         rb = os.environ.get("BENCH_REBUILD", "sort")

@@ -241,6 +241,133 @@ def detect_box_kuhn(coords: np.ndarray, tets: np.ndarray
     )
 
 
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class AnnulusLocator2D:
+    """Analytic point location for structured annulus triangle meshes
+    (``mesh.generate.annulus_mesh``: n_rings radial bands × n_sectors
+    wedges, 2 triangles per quad — the flagship bench's XGC-24k-analog
+    layout).
+
+    Exactness geometry: the radial edges lie ON the sector rays θ = kΔθ,
+    so the sector index is an exact ``atan2`` floor; within a wedge the
+    ring chords are HOMOTHETIC copies of one unit chord (each connects the
+    two points at distance R_r along the wedge's rays), hence parallel
+    lines at signed distance R_r·cos(Δθ/2) from the center along the wedge
+    bisector — so the ring index is an exact floor of the bisector
+    PROJECTION r_eff = (x·cosφ + y·sinφ)/cos(Δθ/2), φ = (k+½)Δθ.  Using
+    r_eff instead of the radius also makes the inner/outer BOUNDARY test
+    chord-exact (the mesh boundary is the inscribed chord polygon, not the
+    circle).  The triangle within the quad is one cross-product sign
+    against the quad diagonal a→d.  No table, no gather, no walk — one
+    fused VPU pass.  Ties on shared edges fall in the same tolerance
+    ambiguity class the walk resolves by relative tolerance.  Built by
+    :func:`detect_annulus_structured`, which proves applicability by
+    reconstructing the connectivity bit-for-bit (the 2D analog of
+    :func:`detect_box_kuhn`; the reference's adjacency search
+    pumipic_adjacency.tpp has no structured fast path — TPU-first design)."""
+
+    cx: jax.Array                # ()
+    cy: jax.Array                # ()
+    r_in: jax.Array              # ()
+    dr: jax.Array                # () ring thickness
+    n_rings: int = _static_field(default=1)
+    n_sectors: int = _static_field(default=1)
+
+    def locate(self, pts, eps: float = 1e-6):
+        """Points → (elem_ids, inside): analytic containing triangle and an
+        in-annulus mask (chord-exact; outside points get elem INVALID)."""
+        if isinstance(pts, tuple):
+            px, py = pts
+        else:
+            px, py = pts[:, 0], pts[:, 1]
+        x = px - self.cx
+        y = py - self.cy
+        two_pi = jnp.float32(2.0 * np.pi)
+        dth = two_pi / self.n_sectors
+        th = jnp.arctan2(y, x)
+        th = jnp.where(th < 0, th + two_pi, th)
+        kf = jnp.clip(jnp.floor(th / dth), 0.0, self.n_sectors - 1.0)
+        # wedge-bisector projection: exact ring floor AND chord-exact bounds
+        phi = (kf + 0.5) * dth
+        m = jnp.cos(0.5 * dth)
+        r_eff = (x * jnp.cos(phi) + y * jnp.sin(phi)) / m
+        r_out = self.r_in + self.dr * self.n_rings
+        tol = eps * r_out
+        inside = (r_eff >= self.r_in - tol) & (r_eff <= r_out + tol)
+        rf = jnp.clip(jnp.floor((r_eff - self.r_in) / self.dr),
+                      0.0, self.n_rings - 1.0)
+        # diagonal test: a = vertex (rf, kf), d = vertex (rf+1, kf+1);
+        # cross((d-a), (p-a)) > 0 → tri [a,b,d] (elem +0), < 0 → [a,d,c] (+1)
+        ra = self.r_in + rf * self.dr
+        rd = ra + self.dr
+        tha = kf * dth
+        thd = tha + dth
+        ax = ra * jnp.cos(tha)
+        ay = ra * jnp.sin(tha)
+        ddx = rd * jnp.cos(thd) - ax
+        ddy = rd * jnp.sin(thd) - ay
+        cross = ddx * (y - ay) - ddy * (x - ax)
+        # f32 id arithmetic exact while 2·n_rings·n_sectors < 2^24
+        elem = (rf * self.n_sectors + kf) * 2.0 + jnp.where(cross >= 0,
+                                                            0.0, 1.0)
+        return jnp.where(inside, elem, jnp.float32(INVALID_F)).astype(
+            jnp.int32), inside
+
+
+def detect_annulus_structured(coords: np.ndarray, tris: np.ndarray
+                              ) -> Optional[AnnulusLocator2D]:
+    """Return an :class:`AnnulusLocator2D` iff (coords, tris) IS a
+    structured annulus mesh: vertices on a full (ring × sector) polar
+    lattice and connectivity bit-identical to ``annulus_mesh``'s for the
+    reconstructed parameters.  The equality proof makes the analytic
+    locate exact by construction — no sampling, no calibration.  Shaped
+    meshes (``tokamak_mesh``'s stitched flux surfaces, gmsh imports of
+    real XGC meshes) fail the proof and keep the general walk."""
+    coords = np.asarray(coords)
+    tris = np.asarray(tris)
+    if coords.shape[1] != 2 or tris.shape[1] != 3 or coords.shape[0] < 8:
+        return None
+    c = coords.mean(axis=0)          # exact center by lattice symmetry
+    rad = np.hypot(coords[:, 0] - c[0], coords[:, 1] - c[1])
+    r_in, r_out = rad.min(), rad.max()
+    if r_in <= 0 or r_out <= r_in:
+        return None
+    # distinct radius levels (tolerant grouping) → n_rings+1 rings of
+    # n_sectors vertices each
+    order = np.sort(rad)
+    gaps = np.diff(order)
+    level_tol = max(1e-6 * r_out, 1e-12)
+    n_levels = 1 + int((gaps > level_tol).sum())
+    if n_levels < 2 or coords.shape[0] % n_levels:
+        return None
+    n_sectors = coords.shape[0] // n_levels
+    n_rings = n_levels - 1
+    if n_sectors < 3 or tris.shape[0] != 2 * n_rings * n_sectors:
+        return None
+    if tris.shape[0] >= (1 << 24):
+        return None
+    from pumipic_tpu.mesh.generate import annulus_mesh
+
+    ref_coords, ref_tris, _cls = annulus_mesh(
+        n_rings, n_sectors, r_in, r_out, c[0], c[1])
+    # atol covers the f32 round-trip of Mesh2D.from_arrays (~6e-8·r_out),
+    # still ~10^4 below any mesh feature (ring spacing ~0.05·r_out)
+    if ref_coords.shape != coords.shape or not np.allclose(
+            ref_coords, coords, rtol=1e-6, atol=2e-6 * r_out):
+        return None
+    # orientation-insensitive (from_arrays may flip a vertex pair): the
+    # triangle as a POINT SET determines what locate must assign
+    if not np.array_equal(np.sort(ref_tris, axis=1), np.sort(tris, axis=1)):
+        return None
+    return AnnulusLocator2D(
+        cx=jnp.float32(c[0]), cy=jnp.float32(c[1]),
+        r_in=jnp.float32(r_in),
+        dr=jnp.float32((r_out - r_in) / n_rings),
+        n_rings=n_rings, n_sectors=n_sectors,
+    )
+
+
 def _host_walk_3d(geom: np.ndarray, e0: np.ndarray, px, py, pz,
                   iters: int = 24) -> np.ndarray:
     """Vectorized host-side 3D BCC walk (build-time only)."""

@@ -86,6 +86,14 @@ class XGCmConfig:
     # the round-4 packed extraction+merge changes the economics — A/B in
     # perf/walk_opt22.py decides the default.
     rot_aux_capture: bool = False
+    # structured-annulus analytic locator (mesh.locator.AnnulusLocator2D):
+    # "auto" replaces the walk with the exact analytic locate when
+    # detect_annulus_structured PROVES the mesh is a structured annulus
+    # (connectivity equality — the flagship bench's XGC-24k analog is one;
+    # shaped tokamak_mesh / gmsh imports fail the proof and keep the
+    # walk); "off" forces the general walk; "force" errors if detection
+    # fails.  The 2D analog of PushSearchConfig.kuhn.
+    analytic_locate: str = "auto"
     gyro: GyroConfig = GyroConfig()
     # ellipse geometry (reference reads h,k,d from argv)
     h: float = 0.0
@@ -261,9 +269,18 @@ class PseudoXGCm:
 
         self.gyro_fwd, self.gyro_bwd = build_gyro_mappings(mesh, cfg.gyro)
         self.locator = None
+        self.analytic = None
         cpe, peel, self._widths = resolve_locator_policy(
             cfg, mesh.nelems, len(ptcl_elems))
-        if cfg.use_locator:
+        if cfg.analytic_locate in ("auto", "force"):
+            from pumipic_tpu.mesh.locator import detect_annulus_structured
+
+            self.analytic = detect_annulus_structured(
+                np.asarray(mesh.coords), np.asarray(mesh.elem2verts))
+            if self.analytic is None and cfg.analytic_locate == "force":
+                raise ValueError("analytic_locate='force' but the mesh is "
+                                 "not a structured annulus")
+        if cfg.use_locator and self.analytic is None:
             from pumipic_tpu.mesh.locator import build_locator_grid
 
             self.locator = build_locator_grid(
@@ -294,8 +311,17 @@ class PseudoXGCm:
             xtgt = jnp.where(active[:, None], xtgt, x)
             phi_new = jnp.where(active, phi_new, phi)
 
-            # search (p::search_mesh_2d; grid-accelerated when enabled)
-            if self.locator is not None:
+            # search (p::search_mesh_2d; grid-accelerated when enabled;
+            # analytic on a PROVEN structured annulus — one fused VPU pass)
+            if self.analytic is not None:
+                e_an, _ins = self.analytic.locate(
+                    (xtgt[:, 0], xtgt[:, 1]))
+                res = search_ops.SearchResult(
+                    elem_ids=jnp.where(active, e_an, search_ops.INVALID),
+                    dest_c=(xtgt[:, 0], xtgt[:, 1]), all_found=jnp.bool_(True),
+                    iters=jnp.int32(0),
+                )
+            elif self.locator is not None:
                 res = search_ops.search_mesh_2d_accel(
                     mesh, self.locator, x, xtgt, elem, active,
                     cfg.max_search_iters, widths=self._widths,
@@ -440,7 +466,19 @@ def make_dp_setup(mesh: Mesh2D, cfg: XGCmConfig, device_mesh, seed: int = ELEMEN
         rg = np.random.default_rng(PARTICLE_SEED + 1).uniform(
             0.25 * gyro.rmax, gyro.rmax, len(ptcl_elems))
         state["rg"] = jnp.asarray(rg, jnp.float32)
-    use_aux = cfg.rot_aux_capture and cfg.use_locator
+    analytic = None
+    if cfg.analytic_locate in ("auto", "force"):
+        from pumipic_tpu.mesh.locator import detect_annulus_structured
+
+        analytic = detect_annulus_structured(
+            np.asarray(mesh.coords), np.asarray(mesh.elem2verts))
+        if analytic is None and cfg.analytic_locate == "force":
+            raise ValueError("analytic_locate='force' but the mesh is not "
+                             "a structured annulus")
+    elif cfg.analytic_locate != "off":
+        raise ValueError(f"unknown analytic_locate "
+                         f"{cfg.analytic_locate!r}")
+    use_aux = cfg.rot_aux_capture and cfg.use_locator and analytic is None
     if use_aux:
         # per-particle rotation state, refreshed by the search's aux
         # capture (the search already knows each particle's final element)
@@ -448,7 +486,7 @@ def make_dp_setup(mesh: Mesh2D, cfg: XGCmConfig, device_mesh, seed: int = ELEMEN
         rt0 = rot_table[jnp.maximum(elem0, 0)]
         state["cd"] = rt0[:, 0]
         state["sd"] = rt0[:, 1]
-    if cfg.use_locator:
+    if cfg.use_locator and analytic is None:
         from pumipic_tpu.mesh.locator import build_locator_grid
 
         locator = build_locator_grid(
@@ -473,7 +511,19 @@ def make_dp_setup(mesh: Mesh2D, cfg: XGCmConfig, device_mesh, seed: int = ELEMEN
             )
         xtgt = (jnp.where(active, tx, s["x0"]), jnp.where(active, ty, s["x1"]))
         orig = (s["x0"], s["x1"])
-        if locator is not None:
+        if analytic is not None:
+            # structured fast path: the whole search is one fused
+            # elementwise pass — exact containing triangle of the
+            # destination (proof: detect_annulus_structured), INVALID
+            # outside the chord-exact annulus boundary (= the walk's
+            # boundary-exit removal)
+            e_an, _inside = analytic.locate(xtgt)
+            res = search_ops.SearchResult(
+                elem_ids=jnp.where(active, e_an, search_ops.INVALID),
+                dest_c=xtgt, all_found=jnp.bool_(True),
+                iters=jnp.int32(0), aux_c=None,
+            )
+        elif locator is not None:
             res = search_ops.search_mesh_2d_accel(
                 mesh, locator, orig, xtgt, elem, active,
                 cfg.max_search_iters, widths=widths,

@@ -9,7 +9,8 @@ cd "$(dirname "$0")/.."
 
 run() { echo "== $*" >&2; env "$@" python bench.py; }
 
-run BENCH_MODE=dp
+run BENCH_MODE=dp                         # structured analytic locate
+run BENCH_MODE=dp BENCH_ANALYTIC=off      # general unstructured walk
 run BENCH_MODE=picparts BENCH_CAPF=1.05
 run BENCH_MODE=picparts BENCH_CAPF=1.5
 run BENCH_MODE=picparts BENCH_CAPF=1.5 BENCH_ADAPT=1

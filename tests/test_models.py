@@ -341,6 +341,64 @@ def test_flagship_per_particle_gyro_radius():
     assert not np.allclose(fwd, np.asarray(fields_u["fwd"]))
 
 
+@pytest.mark.parametrize("hkd", [(0.0, 0.0, 0.0), (0.2, -0.15, 0.3)])
+def test_annulus_analytic_locate_matches_walk(hkd):
+    """The structured-annulus analytic locate (detect_annulus_structured
+    proves applicability by connectivity equality) must reproduce the
+    grid-accelerated walk's dp step bit-for-bit — element assignments,
+    activity (boundary-exit removals), positions, and the gyro-averaged
+    deposition — on both the circular and a distorted elliptical push
+    (the latter drives real boundary exits)."""
+    import jax
+    from jax.sharding import Mesh as JMesh
+    from pumipic_tpu.mesh.generate import annulus_mesh
+    from pumipic_tpu.models.pseudo_xgcm import make_dp_setup
+
+    h, k, d = hkd
+    coords, tris, cls = annulus_mesh(8, 48, 0.3, 1.0)
+    mesh = Mesh2D.from_arrays(coords, tris, cls)
+    kw = dict(num_ptcls=8000, mdl_face=4, deg_per_push=21.0,
+              max_search_iters=64, h=h, k=k, d=d)
+    dm = JMesh(np.array(jax.devices()[:1]), ("ranks",))
+    state_a, step_a = make_dp_setup(
+        mesh, XGCmConfig(analytic_locate="force", **kw), dm)
+    state_w, step_w = make_dp_setup(
+        mesh, XGCmConfig(analytic_locate="off", **kw), dm)
+    for i in range(3):
+        state_a, fa = step_a(state_a)
+        state_w, fw = step_w(state_w)
+        act_a = np.asarray(state_a["active"])
+        act_w = np.asarray(state_w["active"])
+        np.testing.assert_array_equal(act_a, act_w, err_msg=f"step {i}")
+        np.testing.assert_array_equal(
+            np.asarray(state_a["elem"])[act_a],
+            np.asarray(state_w["elem"])[act_w], err_msg=f"step {i}")
+        np.testing.assert_allclose(
+            np.asarray(fa["fwd"]), np.asarray(fw["fwd"]), rtol=1e-6,
+            err_msg=f"step {i}")
+    if (h, k, d) != (0.0, 0.0, 0.0):
+        assert not np.asarray(state_a["active"]).all(), \
+            "distorted push should produce boundary exits"
+
+
+def test_annulus_detection_negatives():
+    """Detection must refuse shaped meshes (tokamak flux surfaces) and
+    perturbed annuli — those keep the general walk."""
+    from pumipic_tpu.mesh.generate import annulus_mesh, tokamak_mesh
+    from pumipic_tpu.mesh.locator import detect_annulus_structured
+    from pumipic_tpu.models.pseudo_xgcm import make_default_mesh
+
+    tc, tt, _ = tokamak_mesh(10, 40)
+    assert detect_annulus_structured(tc, tt) is None
+    c2, t2, _ = annulus_mesh(5, 16, 0.3, 1.0)
+    c2[3] += 1e-3
+    assert detect_annulus_structured(c2, t2) is None
+    # the flagship bench mesh IS a structured annulus (positive control)
+    m = make_default_mesh(2000)
+    assert detect_annulus_structured(
+        np.asarray(m.coords), np.asarray(m.elem2verts)) is not None
+
+
 @pytest.mark.parametrize("wall", ["periodic", "remove"])
 def test_kuhn_analytic_locator_matches_walk(wall):
     """The structured-Kuhn analytic locate (detect_box_kuhn proves
