@@ -93,6 +93,10 @@ def main():
         # BENCH_KUHN; gmsh workloads like the 120k tokamak mesh fail the
         # proof and always take the walk)
         analytic_locate=os.environ.get("BENCH_ANALYTIC", "auto"),
+        # BENCH_ROT_ANALYTIC=0: keep the rotation-table gather even when
+        # the analytic locator proves classification is per-ring (A/B arm
+        # for the gather-free rotation)
+        rot_analytic=bool(int(os.environ.get("BENCH_ROT_ANALYTIC", "1"))),
     )
     device_mesh = make_device_mesh()
 
@@ -191,6 +195,17 @@ def main():
     state, fields = step(state)
     jax.block_until_ready(fields)
 
+    if os.environ.get("BENCH_PERIT", "0") != "0":
+        # per-iteration diagnostics: each step blocked on BOTH the carried
+        # state and the outputs (catches relay-pipelining artifacts where
+        # blocking on the small outputs alone under-measures)
+        for i in range(iters):
+            ti = time.perf_counter()
+            state, fields = step(state)
+            jax.block_until_ready((state, fields))
+            print(f"# iter {i}: {(time.perf_counter() - ti) * 1e3:.3f} ms",
+                  file=sys.stderr, flush=True)
+
     t0 = time.perf_counter()
     for _ in range(iters):
         state, fields = step(state)
@@ -230,6 +245,8 @@ def main():
         tag += "-rotaux"
     if mode == "dp" and os.environ.get("BENCH_ANALYTIC", "auto") == "off":
         tag += "-walk"
+    if mode == "dp" and os.environ.get("BENCH_ROT_ANALYTIC", "1") == "0":
+        tag += "-rotgather"
     if mode == "pps3d":
         tag += "-" + os.environ.get("BENCH_STRUCT", "dps")
         rb = os.environ.get("BENCH_REBUILD", "sort")

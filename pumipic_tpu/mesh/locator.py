@@ -67,10 +67,27 @@ class LocatorGrid2D:
     # sub-cliff tables instead of one 14-col above-cliff gather (the
     # gather-cost cliff is per-table size; see docs/PERFORMANCE.md)
     cell_rows_b: Optional[jax.Array] = None
+    # polar-aligned cells (build_locator_grid(polar=...)): cell axes are
+    # (radius, angle) about ``center`` instead of (x, y).  On near-annular
+    # meshes (tokamak flux surfaces) polar cells align with the element
+    # anisotropy, so the same cells_per_elem budget yields far fewer
+    # straddling cells (lower peel miss rate) — geometry only enters
+    # ``cell_of`` and the host-side calibration sampling; the peel/walk
+    # machinery is unchanged.  ``origin``/``inv_h`` are then in (r, θ)
+    # units with θ ∈ [0, 2π) wrapping on the y axis.
+    center: Optional[jax.Array] = None   # (2,) polar center, None = cartesian
+    polar: bool = _static_field(default=False)
 
     def cell_of(self, pts) -> jax.Array:
         """Points -> (N,) clamped cell ids (f32 index arithmetic, one cast)."""
         px, py = (pts[0], pts[1]) if isinstance(pts, tuple) else (pts[:, 0], pts[:, 1])
+        if self.polar:
+            dx = px - self.center[0]
+            dy = py - self.center[1]
+            two_pi = jnp.float32(2.0 * np.pi)
+            th = jnp.arctan2(dy, dx)
+            px = jnp.sqrt(dx * dx + dy * dy)
+            py = jnp.where(th < 0, th + two_pi, th)
         rx = (px - self.origin[0]) * self.inv_h[0]
         ry = (py - self.origin[1]) * self.inv_h[1]
         nxf = self.nx.astype(jnp.float32)
@@ -273,6 +290,20 @@ class AnnulusLocator2D:
     dr: jax.Array                # () ring thickness
     n_rings: int = _static_field(default=1)
     n_sectors: int = _static_field(default=1)
+    # True iff the mesh's class_id was ALSO proven equal to annulus_mesh's
+    # per-ring classification (class_id = ring+1): element classification
+    # is then analytic in the element id (see class_of) and consumers may
+    # replace per-particle class/rotation table gathers with elementwise
+    # arithmetic.
+    ring_class: bool = _static_field(default=False)
+
+    def class_of(self, elem: jax.Array) -> jax.Array:
+        """Analytic per-element classification for a proven ``ring_class``
+        mesh: class_id(e) = e // (2·n_sectors) + 1 (annulus_mesh layout) —
+        pure elementwise, replacing the mesh-table gather at particle
+        rate.  Only valid when ``ring_class`` is True."""
+        assert self.ring_class, "class_of requires a ring_class-proven mesh"
+        return elem // (2 * self.n_sectors) + 1
 
     def locate(self, pts, eps: float = 1e-6):
         """Points → (elem_ids, inside): analytic containing triangle and an
@@ -315,7 +346,8 @@ class AnnulusLocator2D:
             jnp.int32), inside
 
 
-def detect_annulus_structured(coords: np.ndarray, tris: np.ndarray
+def detect_annulus_structured(coords: np.ndarray, tris: np.ndarray,
+                              cls: Optional[np.ndarray] = None
                               ) -> Optional[AnnulusLocator2D]:
     """Return an :class:`AnnulusLocator2D` iff (coords, tris) IS a
     structured annulus mesh: vertices on a full (ring × sector) polar
@@ -323,7 +355,13 @@ def detect_annulus_structured(coords: np.ndarray, tris: np.ndarray
     reconstructed parameters.  The equality proof makes the analytic
     locate exact by construction — no sampling, no calibration.  Shaped
     meshes (``tokamak_mesh``'s stitched flux surfaces, gmsh imports of
-    real XGC meshes) fail the proof and keep the general walk."""
+    real XGC meshes) fail the proof and keep the general walk.
+
+    When ``cls`` (per-element classification) is also given and equals
+    annulus_mesh's per-ring classification, the returned locator is
+    additionally ``ring_class``-proven: classification (hence the
+    elliptical push's per-element rotation) is analytic in the element id
+    (:meth:`AnnulusLocator2D.class_of`)."""
     coords = np.asarray(coords)
     tris = np.asarray(tris)
     if coords.shape[1] != 2 or tris.shape[1] != 3 or coords.shape[0] < 8:
@@ -349,7 +387,7 @@ def detect_annulus_structured(coords: np.ndarray, tris: np.ndarray
         return None
     from pumipic_tpu.mesh.generate import annulus_mesh
 
-    ref_coords, ref_tris, _cls = annulus_mesh(
+    ref_coords, ref_tris, _ref_cls = annulus_mesh(
         n_rings, n_sectors, r_in, r_out, c[0], c[1])
     # atol covers the f32 round-trip of Mesh2D.from_arrays (~6e-8·r_out),
     # still ~10^4 below any mesh feature (ring spacing ~0.05·r_out)
@@ -360,11 +398,13 @@ def detect_annulus_structured(coords: np.ndarray, tris: np.ndarray
     # triangle as a POINT SET determines what locate must assign
     if not np.array_equal(np.sort(ref_tris, axis=1), np.sort(tris, axis=1)):
         return None
+    ring_class = cls is not None and np.array_equal(
+        np.asarray(cls).ravel(), _ref_cls.ravel())
     return AnnulusLocator2D(
         cx=jnp.float32(c[0]), cy=jnp.float32(c[1]),
         r_in=jnp.float32(r_in),
         dr=jnp.float32((r_out - r_in) / n_rings),
-        n_rings=n_rings, n_sectors=n_sectors,
+        n_rings=n_rings, n_sectors=n_sectors, ring_class=ring_class,
     )
 
 
@@ -628,6 +668,22 @@ def _host_walk(geom: np.ndarray, e0: np.ndarray, px: np.ndarray,
     return np.where(ok, e, -1)
 
 
+def _cell_sample_xy(grid: LocatorGrid2D, cell: np.ndarray,
+                    u: np.ndarray, v: np.ndarray):
+    """Host-side Cartesian sample points stratified over each grid cell
+    (maps through the polar cell geometry when the grid is polar)."""
+    ox, oy = np.asarray(grid.origin, np.float64)
+    hx = 1.0 / float(np.asarray(grid.inv_h)[0])
+    hy = 1.0 / float(np.asarray(grid.inv_h)[1])
+    ny = int(np.asarray(grid.ny))
+    ax0 = ox + (cell // ny + u) * hx      # cell id = ix*ny + iy
+    ax1 = oy + (cell % ny + v) * hy
+    if grid.polar:
+        c = np.asarray(grid.center, np.float64)
+        return c[0] + ax0 * np.cos(ax1), c[1] + ax0 * np.sin(ax1)
+    return ax0, ax1
+
+
 def attach_cell_rows(grid: LocatorGrid2D, walk_geom,
                      samples_per_cell: int = 8,
                      seed: int = 1729,
@@ -655,18 +711,13 @@ def attach_cell_rows(grid: LocatorGrid2D, walk_geom,
     nx = int(np.asarray(grid.nx))
     ny = int(np.asarray(grid.ny))
     n_grid = nx * ny                      # ce may be padded beyond the grid
-    ox, oy = np.asarray(grid.origin, np.float64)
-    hx = 1.0 / float(np.asarray(grid.inv_h)[0])
-    hy = 1.0 / float(np.asarray(grid.inv_h)[1])
 
     K = samples_per_cell
     rng = np.random.default_rng(seed)
     cell = np.repeat(np.arange(n_grid, dtype=np.int64), K)
     u = rng.uniform(size=n_grid * K)
     v = rng.uniform(size=n_grid * K)
-    # cell id = ix*ny + iy (row-major over x)
-    px = ox + (cell // ny + u) * hx
-    py = oy + (cell % ny + v) * hy
+    px, py = _cell_sample_xy(grid, cell, u, v)
     found = _host_walk(geom, ce[cell], px, py)
     a, b = _top2_per_cell(cell, found, ce)
 
@@ -748,17 +799,13 @@ def attach_cell_lines(grid: LocatorGrid2D, walk_geom,
     nx = int(np.asarray(grid.nx))
     ny = int(np.asarray(grid.ny))
     n_grid = nx * ny
-    ox, oy = np.asarray(grid.origin, np.float64)
-    hx = 1.0 / float(np.asarray(grid.inv_h)[0])
-    hy = 1.0 / float(np.asarray(grid.inv_h)[1])
 
     K = samples_per_cell
     rng = np.random.default_rng(seed)
     cell = np.repeat(np.arange(n_grid, dtype=np.int64), K)
     u = rng.uniform(size=n_grid * K)
     v = rng.uniform(size=n_grid * K)
-    px = ox + (cell // ny + u) * hx
-    py = oy + (cell % ny + v) * hy
+    px, py = _cell_sample_xy(grid, cell, u, v)
     found = _host_walk(geom, ce[cell], px, py)
     a, b = _top2_per_cell(cell, found, ce)
 
@@ -826,9 +873,18 @@ PEEL_AUTO_LINES_BYTES = 32e6
 def build_locator_grid(coords: np.ndarray, elem2verts: np.ndarray,
                        cells_per_elem: float = 16.0,
                        walk_geom=None, aux=None,
-                       peel: str = "auto") -> LocatorGrid2D:
+                       peel: str = "auto",
+                       polar: object = "auto") -> LocatorGrid2D:
     """Host build: bucket element centroids into ~cells_per_elem*E cells and
-    flood-fill empty cells from their neighbors."""
+    flood-fill empty cells from their neighbors.
+
+    ``polar``: True buckets in (radius, angle) about the vertex centroid
+    instead of (x, y) — on near-annular meshes (tokamak flux surfaces)
+    polar cells follow the element anisotropy, cutting straddle/miss rates
+    at the same cell budget.  "auto" turns it on when the mesh has a
+    genuine central hole (min vertex radius > 15% of max: an annular
+    domain; disks and boxes stay cartesian).  False forces cartesian.
+    """
     if peel not in _KNOWN_PEELS:
         raise ValueError(f"unknown peel {peel!r}; expected one of "
                          f"{_KNOWN_PEELS}")
@@ -840,21 +896,46 @@ def build_locator_grid(coords: np.ndarray, elem2verts: np.ndarray,
     E = ev.shape[0]
     cent = coords[ev].mean(axis=1)
 
-    lo = coords.min(axis=0)
-    hi = coords.max(axis=0)
-    extent = np.maximum(hi - lo, 1e-30)
-    aspect = extent[0] / extent[1]
+    c = coords.mean(axis=0)
+    vrad = np.hypot(coords[:, 0] - c[0], coords[:, 1] - c[1])
+    if polar == "auto":
+        use_polar = bool(vrad.min() > 0.15 * vrad.max())
+    elif isinstance(polar, bool):
+        use_polar = polar
+    else:
+        raise ValueError(f"polar must be True/False/'auto', got {polar!r}")
+
+    if use_polar:
+        # axis 0 = radius, axis 1 = angle in [0, 2π) (wraps)
+        two_pi = 2.0 * np.pi
+        r_c = np.hypot(cent[:, 0] - c[0], cent[:, 1] - c[1])
+        th_c = np.mod(np.arctan2(cent[:, 1] - c[1], cent[:, 0] - c[0]),
+                      two_pi)
+        lo = np.array([vrad.min(), 0.0])
+        hi = np.array([vrad.max(), two_pi])
+        extent = np.maximum(hi - lo, 1e-30)
+        # square-ish cells in PHYSICAL units: arc length ≈ r_mean·h_θ
+        r_mean = 0.5 * (lo[0] + hi[0])
+        aspect = extent[0] / (extent[1] * max(r_mean, 1e-30))
+        ax0, ax1 = r_c, th_c
+    else:
+        lo = coords.min(axis=0)
+        hi = coords.max(axis=0)
+        extent = np.maximum(hi - lo, 1e-30)
+        aspect = extent[0] / extent[1]
+        ax0, ax1 = cent[:, 0], cent[:, 1]
     n_cells = max(int(E * cells_per_elem), 16)
     nx = max(int(np.sqrt(n_cells * aspect)), 1)
     ny = max(n_cells // max(nx, 1), 1)
     h = extent / np.array([nx, ny])
 
-    ix = np.clip(((cent[:, 0] - lo[0]) / h[0]).astype(np.int64), 0, nx - 1)
-    iy = np.clip(((cent[:, 1] - lo[1]) / h[1]).astype(np.int64), 0, ny - 1)
+    ix = np.clip(((ax0 - lo[0]) / h[0]).astype(np.int64), 0, nx - 1)
+    iy = np.clip(((ax1 - lo[1]) / h[1]).astype(np.int64), 0, ny - 1)
     grid = np.full((nx, ny), -1, np.int64)
     grid[ix, iy] = np.arange(E)  # last write wins; any nearby elem is fine
 
-    # flood-fill empties by repeated 4-neighbor dilation
+    # flood-fill empties by repeated 4-neighbor dilation (the angle axis of
+    # a polar grid is periodic, so its dilation legitimately wraps)
     while (grid < 0).any():
         empty = grid < 0
         for sx, sy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
@@ -864,10 +945,11 @@ def build_locator_grid(coords: np.ndarray, elem2verts: np.ndarray,
                 shifted[0, :] = -1
             if sx == -1:
                 shifted[-1, :] = -1
-            if sy == 1:
-                shifted[:, 0] = -1
-            if sy == -1:
-                shifted[:, -1] = -1
+            if not use_polar:
+                if sy == 1:
+                    shifted[:, 0] = -1
+                if sy == -1:
+                    shifted[:, -1] = -1
             grid = np.where(empty & (grid < 0), shifted, grid)
         if (grid < 0).all():
             raise ValueError("locator grid flood fill failed")
@@ -878,6 +960,8 @@ def build_locator_grid(coords: np.ndarray, elem2verts: np.ndarray,
         cell_elem=jnp.asarray(grid.reshape(-1), LID_DTYPE),
         nx=jnp.int32(nx),
         ny=jnp.int32(ny),
+        center=jnp.asarray(c, jnp.float32) if use_polar else None,
+        polar=use_polar,
     )
     if walk_geom is not None:
         if peel == "auto":

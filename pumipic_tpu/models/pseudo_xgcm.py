@@ -94,6 +94,13 @@ class XGCmConfig:
     # walk); "off" forces the general walk; "force" errors if detection
     # fails.  The 2D analog of PushSearchConfig.kuhn.
     analytic_locate: str = "auto"
+    # gather-free rotation: when the analytic locator ALSO proves the
+    # mesh's classification is per-ring (ring_class), the push's
+    # rotation-table gather collapses to elementwise arithmetic on the
+    # element id (push_ops.rot_vals_from_class) — bit-identical values,
+    # zero gathers.  Effective only with an active ring_class-proven
+    # analytic locator; off = keep the table gather (A/B arm).
+    rot_analytic: bool = True
     gyro: GyroConfig = GyroConfig()
     # ellipse geometry (reference reads h,k,d from argv)
     h: float = 0.0
@@ -276,10 +283,16 @@ class PseudoXGCm:
             from pumipic_tpu.mesh.locator import detect_annulus_structured
 
             self.analytic = detect_annulus_structured(
-                np.asarray(mesh.coords), np.asarray(mesh.elem2verts))
+                np.asarray(mesh.coords), np.asarray(mesh.elem2verts),
+                cls=np.asarray(mesh.class_id))
             if self.analytic is None and cfg.analytic_locate == "force":
                 raise ValueError("analytic_locate='force' but the mesh is "
                                  "not a structured annulus")
+        self._banded = (
+            push_ops.detect_banded_class(np.asarray(mesh.class_id))
+            if cfg.rot_analytic
+            and not (self.analytic is not None and self.analytic.ring_class)
+            else None)
         if cfg.use_locator and self.analytic is None:
             from pumipic_tpu.mesh.locator import build_locator_grid
 
@@ -303,8 +316,16 @@ class PseudoXGCm:
             phi = ptcls.get("phi")
             b = ptcls.get("b")
 
-            # elliptical push (ellipticalPush::push)
-            cid = mesh.class_id[jnp.maximum(elem, 0)]
+            # elliptical push (ellipticalPush::push); classification is
+            # analytic on a ring_class-proven mesh (no table gather)
+            if (self.analytic is not None and self.analytic.ring_class
+                    and cfg.rot_analytic):
+                cid = self.analytic.class_of(jnp.maximum(elem, 0))
+            elif self._banded is not None:
+                cid = push_ops.class_from_bands(
+                    jnp.maximum(elem, 0), self._banded)
+            else:
+                cid = mesh.class_id[jnp.maximum(elem, 0)]
             xtgt, phi_new = push_ops.elliptical_push(
                 phi, b, cid, cfg.deg_per_push, cfg.h, cfg.k, cfg.d
             )
@@ -471,14 +492,24 @@ def make_dp_setup(mesh: Mesh2D, cfg: XGCmConfig, device_mesh, seed: int = ELEMEN
         from pumipic_tpu.mesh.locator import detect_annulus_structured
 
         analytic = detect_annulus_structured(
-            np.asarray(mesh.coords), np.asarray(mesh.elem2verts))
+            np.asarray(mesh.coords), np.asarray(mesh.elem2verts),
+            cls=np.asarray(mesh.class_id))
         if analytic is None and cfg.analytic_locate == "force":
             raise ValueError("analytic_locate='force' but the mesh is not "
                              "a structured annulus")
     elif cfg.analytic_locate != "off":
         raise ValueError(f"unknown analytic_locate "
                          f"{cfg.analytic_locate!r}")
-    use_aux = cfg.rot_aux_capture and cfg.use_locator and analytic is None
+    use_rot_an = (analytic is not None and analytic.ring_class
+                  and cfg.rot_analytic)
+    # band-ordered classification (nondecreasing class_id: every stitched
+    # ring/flux-surface mesh incl. the gmsh XGC imports): class ids from
+    # fused scalar compares instead of the particle-rate rot-table gather.
+    # The annulus ring_class proof (one div) takes precedence when present.
+    banded = (push_ops.detect_banded_class(np.asarray(mesh.class_id))
+              if cfg.rot_analytic and not use_rot_an else None)
+    use_aux = (cfg.rot_aux_capture and cfg.use_locator and analytic is None
+               and banded is None)
     if use_aux:
         # per-particle rotation state, refreshed by the search's aux
         # capture (the search already knows each particle's final element)
@@ -499,7 +530,24 @@ def make_dp_setup(mesh: Mesh2D, cfg: XGCmConfig, device_mesh, seed: int = ELEMEN
     def per_device_step(s):
         elem, active = s["elem"], s["active"]
         # flat component state end to end: no (N,2) intermediates
-        if use_aux:
+        if use_rot_an:
+            # ring_class-proven mesh: rotation analytic in the element id —
+            # zero particle-rate gathers in the push
+            cd, sd = push_ops.rot_vals_from_class(
+                analytic.class_of(jnp.maximum(elem, 0)), cfg.deg_per_push)
+            tx, ty, cphi_new, sphi_new = push_ops.elliptical_push_rot_vals(
+                s["cphi"], s["sphi"], s["b"], cd, sd, cfg.h, cfg.k, cfg.d
+            )
+        elif banded is not None:
+            # band-ordered classification: class ids from fused scalar
+            # compares, rotation values elementwise — no table gather
+            cd, sd = push_ops.rot_vals_from_class(
+                push_ops.class_from_bands(jnp.maximum(elem, 0), banded),
+                cfg.deg_per_push)
+            tx, ty, cphi_new, sphi_new = push_ops.elliptical_push_rot_vals(
+                s["cphi"], s["sphi"], s["b"], cd, sd, cfg.h, cfg.k, cfg.d
+            )
+        elif use_aux:
             tx, ty, cphi_new, sphi_new = push_ops.elliptical_push_rot_vals(
                 s["cphi"], s["sphi"], s["b"], s["cd"], s["sd"],
                 cfg.h, cfg.k, cfg.d
@@ -715,9 +763,11 @@ def make_picparts_setup(
             # local element ids are preserved: build over the valid subset
             # and scatter guesses back through the subset index
             sub_ev = ev_h[r][valid_e]
+            # polar=False: a picpart is a wedge of the domain — its θ span
+            # is far less than 2π, so polar cells would dilute the budget
             g = build_locator_grid(cz_h[r][: (vg_h[r] >= 0).sum()], sub_ev,
                                    walk_geom=wg_h[r], peel=pp_peel,
-                                   cells_per_elem=pp_cpe)
+                                   cells_per_elem=pp_cpe, polar=False)
             # cell ids are positions within valid_e == local elem ids when
             # valid elements are a prefix (they are: padding is appended)
             grids.append(g)

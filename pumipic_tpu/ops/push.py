@@ -15,7 +15,7 @@ All kernels are fused elementwise maps over the flat particle axis (the
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -77,6 +77,61 @@ def elliptical_rot_table(
     center_factor = jnp.where(elem_class_id == 1, 0.01, 1.0)
     delta = deg * center_factor / cid * (jnp.pi / 180.0)
     return jnp.stack([jnp.cos(delta), jnp.sin(delta)], axis=1)
+
+
+def rot_vals_from_class(cid_int: jax.Array, deg: float
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """Elementwise (cos Δ, sin Δ) from integer class ids at particle rate —
+    the gather-free form of :func:`elliptical_rot_table` for meshes whose
+    classification is analytic in the element id
+    (``AnnulusLocator2D.class_of`` on a ring_class-proven mesh): the
+    particle-rate rotation-table gather becomes pure VPU arithmetic that
+    fuses into the push.  Same expression order in f32 as the table rows,
+    so the values are bit-identical."""
+    cid = jnp.maximum(cid_int, 1).astype(jnp.float32)
+    center_factor = jnp.where(cid_int == 1, 0.01, 1.0)
+    delta = deg * center_factor / cid * (jnp.pi / 180.0)
+    return jnp.cos(delta), jnp.sin(delta)
+
+
+def detect_banded_class(cls) -> Optional[Tuple[int, ...]]:
+    """Band-start element ids iff per-element classification is BAND-ORDERED:
+    nondecreasing in the element id with consecutive integer values
+    v0..v0+K-1.  True for every ring/flux-band stitched mesh whose elements
+    are appended band by band (annulus_mesh, tokamak_mesh, the gmsh XGC
+    imports: 52 bands at 24k elems, 120 at 120k) — the geometric-model
+    classification pseudoXGCm drives (test/ellipticalPush.hpp:36-71).
+
+    Returns ``starts`` with ``starts[j]`` = first element of band v0+j
+    (``starts[0]`` is v0 itself, NOT an element id), or None if the mesh is
+    not band-ordered.  Consumers evaluate class ids with
+    :func:`class_from_bands` — pure fused compares, no table gather."""
+    import numpy as np
+
+    cls = np.asarray(cls).ravel()
+    if cls.size == 0 or not np.issubdtype(cls.dtype, np.integer):
+        return None
+    if np.any(np.diff(cls) < 0):
+        return None
+    v0 = int(cls[0])
+    vals = np.unique(cls)
+    if not np.array_equal(vals, np.arange(v0, v0 + vals.size)):
+        return None
+    starts = np.searchsorted(cls, vals[1:])
+    return (v0,) + tuple(int(s) for s in starts)
+
+
+def class_from_bands(elem: jax.Array, starts: Tuple[int, ...]) -> jax.Array:
+    """Per-particle class ids on a band-ordered mesh (detect_banded_class):
+    cid = v0 + #{band starts <= elem}.  The K-1 compares against SCALAR
+    constants fuse into one elementwise pass over ``elem`` — replacing the
+    particle-rate class/rotation table gather with VPU arithmetic (no HBM
+    table traffic; K <= ~120 on the XGC workloads)."""
+    v0 = starts[0]
+    cid = jnp.full(elem.shape, v0, jnp.int32)
+    for s in starts[1:]:
+        cid = cid + (elem >= s).astype(jnp.int32)
+    return cid
 
 
 def elliptical_push_rot_vals(

@@ -399,6 +399,91 @@ def test_annulus_detection_negatives():
         np.asarray(m.coords), np.asarray(m.elem2verts)) is not None
 
 
+def test_annulus_ring_class_proof():
+    """ring_class (analytic classification -> gather-free rotation) is
+    proven ONLY when cls matches annulus_mesh's per-ring classification;
+    a custom classification keeps the locator but not the rotation
+    shortcut, and class_of reproduces the mesh table exactly."""
+    from pumipic_tpu.mesh.generate import annulus_mesh
+    from pumipic_tpu.mesh.locator import detect_annulus_structured
+    from pumipic_tpu.ops import push as push_ops
+
+    c, t, cls = annulus_mesh(6, 20, 0.3, 1.0)
+    loc = detect_annulus_structured(c, t, cls=cls)
+    assert loc is not None and loc.ring_class
+    # analytic classification == the mesh table, element for element
+    elems = jnp.arange(t.shape[0], dtype=jnp.int32)
+    np.testing.assert_array_equal(np.asarray(loc.class_of(elems)), cls)
+    # gather-free rotation values == the table rows, bitwise
+    table = np.asarray(push_ops.elliptical_rot_table(
+        jnp.asarray(cls), 21.0))
+    cd, sd = push_ops.rot_vals_from_class(loc.class_of(elems), 21.0)
+    np.testing.assert_array_equal(np.asarray(cd), table[:, 0])
+    np.testing.assert_array_equal(np.asarray(sd), table[:, 1])
+    # custom classification: locator yes, ring_class no
+    loc2 = detect_annulus_structured(c, t, cls=np.ones_like(cls))
+    assert loc2 is not None and not loc2.ring_class
+    # no cls given: ring_class defaults off
+    loc3 = detect_annulus_structured(c, t)
+    assert loc3 is not None and not loc3.ring_class
+
+
+def test_banded_class_detection_and_values():
+    """Band-ordered classification (nondecreasing class_id — every stitched
+    ring/flux-band mesh): detect_banded_class finds the band starts, and
+    class_from_bands reproduces the class table element-for-element (so the
+    gather-free rotation values are bit-identical via rot_vals_from_class).
+    Shuffled classification is rejected."""
+    from pumipic_tpu.mesh.generate import tokamak_mesh
+    from pumipic_tpu.ops import push as push_ops
+
+    c, t, cls = tokamak_mesh(10, 48)
+    starts = push_ops.detect_banded_class(cls)
+    assert starts is not None and starts[0] == 1
+    elems = jnp.arange(t.shape[0], dtype=jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(push_ops.class_from_bands(elems, starts)), cls)
+    # rotation values == the table rows, bitwise
+    table = np.asarray(push_ops.elliptical_rot_table(jnp.asarray(cls), 15.0))
+    cd, sd = push_ops.rot_vals_from_class(
+        push_ops.class_from_bands(elems, starts), 15.0)
+    np.testing.assert_array_equal(np.asarray(cd), table[:, 0])
+    np.testing.assert_array_equal(np.asarray(sd), table[:, 1])
+    # non-band-ordered classification is rejected
+    rng = np.random.default_rng(3)
+    assert push_ops.detect_banded_class(rng.permutation(cls)) is None
+    # non-consecutive values are rejected (no affine class_of)
+    assert push_ops.detect_banded_class(cls * 2) is None
+
+
+def test_dp_step_banded_rotation_matches_table():
+    """The DP step on a band-ordered (non-annulus) mesh takes the banded
+    gather-free rotation and produces bit-identical state to the
+    rot-table-gather arm (rot_analytic=False)."""
+    import dataclasses
+
+    from pumipic_tpu.mesh.generate import tokamak_mesh
+    from pumipic_tpu.models.pseudo_xgcm import XGCmConfig, make_dp_setup
+    from pumipic_tpu.parallel.mesh_axis import make_device_mesh
+
+    coords, tris, cls = tokamak_mesh(8, 40)
+    mesh = Mesh2D.from_arrays(coords, tris, cls)
+    dm = make_device_mesh()
+    cfg = XGCmConfig(num_ptcls=4096, mdl_face=4, deg_per_push=15.0,
+                     num_iterations=3)
+    state_b, step_b = make_dp_setup(mesh, cfg, dm)
+    state_t, step_t = make_dp_setup(
+        mesh, dataclasses.replace(cfg, rot_analytic=False), dm)
+    for _ in range(3):
+        state_b, out_b = step_b(state_b)
+        state_t, out_t = step_t(state_t)
+    for k in state_b:
+        np.testing.assert_array_equal(
+            np.asarray(state_b[k]), np.asarray(state_t[k]), err_msg=k)
+    np.testing.assert_array_equal(
+        np.asarray(out_b["fwd"]), np.asarray(out_t["fwd"]))
+
+
 @pytest.mark.parametrize("wall", ["periodic", "remove"])
 def test_kuhn_analytic_locator_matches_walk(wall):
     """The structured-Kuhn analytic locate (detect_box_kuhn proves

@@ -157,6 +157,43 @@ def test_search_2d_accel_matches_plain():
     assert (np.asarray(res_plain.elem_ids) == -1).sum() > 0
 
 
+def test_search_2d_accel_polar_grid_matches_cartesian():
+    """Polar-aligned locator cells (the shaped-annular-mesh policy) must
+    produce identical search results to cartesian cells — the grid only
+    seeds candidates/guesses; containment and the walk decide.  Also pins
+    the auto heuristic: annular meshes go polar, disks stay cartesian."""
+    from pumipic_tpu.mesh.locator import build_locator_grid
+
+    coords, tris, cls = gen.tokamak_mesh(10, 48)
+    m = Mesh2D.from_arrays(coords, tris, cls)
+    g_cart = build_locator_grid(coords, tris, walk_geom=m.walk_geom,
+                                polar=False)
+    g_pol = build_locator_grid(coords, tris, walk_geom=m.walk_geom,
+                               polar=True)
+    assert not g_cart.polar and g_pol.polar
+    rng = np.random.default_rng(11)
+    n = 1024
+    elems = rng.integers(0, m.nelems, n)
+    orig = np.asarray(m.elem_centroids)[elems]
+    tgt = orig + rng.normal(scale=0.1, size=(n, 2))
+    args = (jnp.asarray(orig), jnp.asarray(tgt),
+            jnp.asarray(elems, jnp.int32), jnp.ones(n, bool), 100)
+    res_c = search.search_mesh_2d_accel(m, g_cart, *args)
+    res_p = search.search_mesh_2d_accel(m, g_pol, *args)
+    np.testing.assert_array_equal(
+        np.asarray(res_c.elem_ids), np.asarray(res_p.elem_ids))
+    assert bool(res_p.all_found)
+    # auto heuristic: a genuine annulus goes polar; the tokamak meshes'
+    # near-closed core (r_min/r_max ~ 0.056) and shaped flux surfaces make
+    # polar cells LOSE there (perf/polar_grid_probe.py: 72.9 vs 78.9% hit
+    # at cpe4 on the 120k mesh), so they stay cartesian; disks too
+    ac, at, _ = gen.annulus_mesh(6, 32, 0.3, 1.0)
+    assert build_locator_grid(ac, at).polar
+    assert not build_locator_grid(coords, tris).polar
+    dc, dt, _ = gen.disk_mesh(8, 8)
+    assert not build_locator_grid(dc, dt).polar
+
+
 def test_locator_grid_guess_quality():
     from pumipic_tpu.mesh.locator import build_locator_grid
     from pumipic_tpu.ops import geometry as geo
