@@ -77,6 +77,10 @@ class LocatorGrid2D:
     # units with θ ∈ [0, 2π) wrapping on the y axis.
     center: Optional[jax.Array] = None   # (2,) polar center, None = cartesian
     polar: bool = _static_field(default=False)
+    # explicit cell_rows layout tag set by the attach functions — the peel
+    # dispatch keys on THIS, never on column widths ("rows" 14+2·aux cols,
+    # "rows_ab" 8, "rows_split" two (7+aux)-col tables)
+    rows_layout: str = _static_field(default="rows")
 
     def cell_of(self, pts) -> jax.Array:
         """Points -> (N,) clamped cell ids (f32 index arithmetic, one cast)."""
@@ -127,6 +131,9 @@ class LocatorGrid3D:
     # and this holds candidate B's — two independent half-width gathers
     # instead of one 26-col gather (the gather cliff is per-table)
     cell_rows_b: Optional[jax.Array] = None
+    # explicit cell_rows layout tag (see LocatorGrid2D.rows_layout):
+    # "rows" 26 cols, "rows_ab" 14, "rows_abc" 27, "rows_split" two 13-col
+    rows_layout: str = _static_field(default="rows")
 
     def cell_of(self, pts) -> jax.Array:
         if isinstance(pts, tuple):
@@ -553,13 +560,15 @@ def attach_cell_rows_3d(grid: LocatorGrid3D, walk_geom,
              geom[b][:, 0:12], b[:, None].astype(np.float32),
              c[:, None].astype(np.float32)],
             axis=1).astype(np.float32)
-        return dataclasses.replace(grid, cell_rows=jnp.asarray(rows))
+        return dataclasses.replace(grid, cell_rows=jnp.asarray(rows),
+                                   rows_layout="rows_abc")
     a, b = _top2_per_cell(cell, found, ce)
     if ab:
         rows = np.concatenate(
             [geom[a][:, 0:12], a[:, None], b[:, None]],
             axis=1).astype(np.float32)
-        return dataclasses.replace(grid, cell_rows=jnp.asarray(rows))
+        return dataclasses.replace(grid, cell_rows=jnp.asarray(rows),
+                                   rows_layout="rows_ab")
     if split:
         rows_a = np.concatenate(
             [geom[a][:, 0:12], a[:, None]], axis=1).astype(np.float32)
@@ -567,7 +576,7 @@ def attach_cell_rows_3d(grid: LocatorGrid3D, walk_geom,
             [geom[b][:, 0:12], b[:, None]], axis=1).astype(np.float32)
         return dataclasses.replace(
             grid, cell_rows=jnp.asarray(rows_a),
-            cell_rows_b=jnp.asarray(rows_b))
+            cell_rows_b=jnp.asarray(rows_b), rows_layout="rows_split")
     rows = np.concatenate(
         [geom[a][:, 0:12], a[:, None].astype(np.float32),
          geom[b][:, 0:12], b[:, None].astype(np.float32)],
@@ -730,7 +739,8 @@ def attach_cell_rows(grid: LocatorGrid2D, walk_geom,
         rows = np.concatenate(
             [geom[a][:, 0:6], a[:, None], b[:, None]],
             axis=1).astype(np.float32)
-        return dataclasses.replace(grid, cell_rows=jnp.asarray(rows))
+        return dataclasses.replace(grid, cell_rows=jnp.asarray(rows),
+                                   rows_layout="rows_ab")
 
     # per-candidate layout: [affine 6 | elem id | aux columns (A)]; aux is
     # an optional (E, A) table captured by the search at walk finish (e.g.
@@ -748,6 +758,7 @@ def attach_cell_rows(grid: LocatorGrid2D, walk_geom,
                 np.concatenate(parts_a, axis=1).astype(np.float32)),
             cell_rows_b=jnp.asarray(
                 np.concatenate(parts_b, axis=1).astype(np.float32)),
+            rows_layout="rows_split",
         )
     rows = np.concatenate(parts_a + parts_b, axis=1).astype(np.float32)
     return dataclasses.replace(grid, cell_rows=jnp.asarray(rows))

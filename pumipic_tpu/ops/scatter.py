@@ -57,9 +57,14 @@ def _auto_lo_width(num_keys: int) -> int:
 # beyond it the histogram runs in chunks of half this (int32-accumulated)
 _MATMUL_MAX_N = 1 << 24
 
+# module default for the histogram one-hot operand dtype (see
+# count_per_key_matmul); perf harnesses flip this for in-pipeline A/Bs
+HIST_ONEHOT_DTYPE = jnp.bfloat16
+
 
 def count_per_key_matmul(key: jax.Array, num_keys: int,
-                         lo_width: Optional[int] = None) -> jax.Array:
+                         lo_width: Optional[int] = None,
+                         onehot_dtype=None) -> jax.Array:
     """Histogram as ONE MXU matmul: split the key into (hi, lo) digits and
     compute ``hi_onehot.T @ lo_onehot`` — entry (h, l) counts keys with
     value h*lo_width + l.  Exact (0/1 operands, f32 accumulation) for
@@ -103,11 +108,24 @@ def count_per_key_matmul(key: jax.Array, num_keys: int,
     lo = kf - hi * lw
     hi_oh = (hi[:, None] == jnp.arange(n_hi, dtype=jnp.float32)[None, :])
     lo_oh = (lo[:, None] == jnp.arange(lo_width, dtype=jnp.float32)[None, :])
-    counts = jax.lax.dot_general(
-        hi_oh.astype(jnp.bfloat16), lo_oh.astype(jnp.bfloat16),
-        (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                             # (n_hi, lo_width)
+    # one-hot operand dtype: bf16 (default, f32 accumulation, exact < 2^24)
+    # or int8 (half the HBM bytes for the materialized one-hots — the
+    # matmul is HBM-bound on them — with EXACT int32 accumulation < 2^31;
+    # A/B: perf/hist8_ab.py)
+    if onehot_dtype is None:
+        onehot_dtype = HIST_ONEHOT_DTYPE
+    if onehot_dtype == jnp.int8:
+        counts = jax.lax.dot_general(
+            hi_oh.astype(jnp.int8), lo_oh.astype(jnp.int8),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )                                         # (n_hi, lo_width)
+    else:
+        counts = jax.lax.dot_general(
+            hi_oh.astype(onehot_dtype), lo_oh.astype(onehot_dtype),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                         # (n_hi, lo_width)
     return counts.reshape(-1)[:num_keys].astype(jnp.float32)
 
 

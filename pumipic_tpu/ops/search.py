@@ -957,7 +957,7 @@ def search_mesh_2d_accel(
             max_iters=max_iters, fallback=fallback, fg0=fg0,
             record_exit=record_exit, widths=widths, it0=1, aux0=aux0,
         )
-    if grid.cell_rows is not None and grid.cell_rows.shape[1] == 8:
+    if grid.cell_rows is not None and grid.rows_layout == "rows_ab":
         # rows_ab peel: candidate A's full row + candidate B's id only
         # ([A affine 6 | elemA | elemB], attach_cell_rows(ab=True)) —
         # half the peel bytes; A-misses start the walk at B (their first
@@ -1153,7 +1153,7 @@ def search_mesh_3d_accel(
             max_iters=max_iters, fallback=fallback, fg0=fg0,
             record_exit=record_exit, widths=widths, it0=1,
         )
-    if grid.cell_rows is not None and grid.cell_rows.shape[1] == 14:
+    if grid.cell_rows is not None and grid.rows_layout == "rows_ab":
         # rows_ab peel: candidate A's full row + candidate B's id only
         # (attach_cell_rows_3d(ab=True)) — the peel proves containment in
         # A with a half-byte gather; A-misses start the walk at B, whose
@@ -1192,7 +1192,7 @@ def search_mesh_3d_accel(
         # (rows_abc, attach_cell_rows_3d(abc=True)): + elemC, a third-ranked
         # walk START HINT for the A∪B both-miss tail (13.7% at cpe16 on
         # tets) — one extra gathered column against a shallower pyramid
-        has_c = grid.cell_rows.shape[1] == 27
+        has_c = grid.rows_layout == "rows_abc"
         g = grid.cell_rows[grid.cell_of(dest)]          # (N, 26|27)
         elem_a = g[:, 12].astype(jnp.int32)
         elem_b = g[:, 25].astype(jnp.int32)
