@@ -275,6 +275,23 @@ def test_count_per_key_matmul_matches_sorted():
         np.testing.assert_array_equal(b.astype(np.int64), want)
 
 
+def test_count_per_key_matmul_int8_exact():
+    """int8 one-hot operands (half the HBM bytes of the bf16 default, the
+    matmul's bound) accumulate 0/1 values exactly in int32 — counts must
+    be bit-equal to the bf16 path and to bincount."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pumipic_tpu.ops import scatter
+
+    rng = np.random.default_rng(29)
+    for nk in (129, 24_000):
+        key = rng.integers(0, nk + 1, 200_000)
+        got = np.asarray(scatter.count_per_key_matmul(
+            jnp.asarray(key, jnp.int32), nk, onehot_dtype=jnp.int8))
+        want = np.bincount(key, minlength=nk + 1)[:nk]
+        np.testing.assert_array_equal(got.astype(np.int64), want)
+
+
 def test_count_per_key_matmul_chunked(monkeypatch):
     """Key counts >= _MATMUL_MAX_N run in int32-accumulated chunks (incl. a
     ragged tail padded with the overflow bucket) and stay exact."""
