@@ -258,6 +258,8 @@ def main():
         tag += f"-capf{float(os.environ.get('BENCH_CAPF', 1.05)):g}"
         if os.environ.get("BENCH_ADAPT", "0") != "0":
             tag += "-adapt"
+        if os.environ.get("BENCH_ANALYTIC", "auto") == "off":
+            tag += "-walk"
     record_side(tag, out)
     print(json.dumps(out))
 

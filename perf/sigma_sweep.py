@@ -34,12 +34,13 @@ CHUNKS = tuple(int(c) for c in os.environ.get("SG_CHUNKS", "32,8").split(","))
 EXTRA_PAD = float(os.environ.get("SG_EXTRA_PAD", 0.3))
 SIGMAS = tuple(None if s == "full" else int(s)
                for s in os.environ.get("SG_SIGMAS", "64,1024,full").split(","))
+DISTS = tuple(os.environ.get("SG_DISTS", "uniform,exponential").split(","))
 
 raw_rebuild = S._rebuild.__wrapped__
 
 
 def main():
-    for dist in ("uniform", "exponential"):
+    for dist in DISTS:
         ppe, elems = distribute.distribute_particles(NE, NP, dist, seed=7)
         for chunk in CHUNKS:
          for sigma in SIGMAS:

@@ -293,12 +293,33 @@ def make_picparts_setup_3d(
     )
     E_l = pp.mesh.nelems
 
+    # detection-gated GLOBAL Kuhn analytic locate (the 3D analog of
+    # make_picparts_setup's annulus path): per-rank submeshes never pass
+    # the box proof, but the GLOBAL mesh can — locate analytically in
+    # global tet ids and map to rank-local ids through one (E_global,)
+    # g2l gather, replacing the per-rank walk.  Gated on remove-wall
+    # semantics (the distributed step has no periodic wrap): on the
+    # convex box, destination-outside ⟺ the path exits.
+    kuhn = None
+    if cfg.kuhn in ("auto", "force") and cfg.wall == "remove":
+        from pumipic_tpu.mesh.locator import detect_box_kuhn
+
+        kuhn = detect_box_kuhn(coords, tets)
+        if kuhn is None and cfg.kuhn == "force":
+            raise ValueError("kuhn='force' but the mesh is not a "
+                             "structured Kuhn box")
+    g2l_h = None
+    if kuhn is not None:
+        g2l_h = np.full((R, gmesh.nelems), -1, np.int32)
+
     ps_list = []
     for r in range(R):
         sel = np.nonzero(own_of_ptcl == r)[0]
         g2l = np.full(gmesh.nelems, -1, np.int64)
         valid = eg_h[r] >= 0
         g2l[eg_h[r][valid]] = np.nonzero(valid)[0]
+        if g2l_h is not None:
+            g2l_h[r] = g2l.astype(np.int32)
         ps_list.append(_BUILDERS[cfg.structure](
             E_l, g2l[g_elems[sel]],
             {
@@ -323,6 +344,8 @@ def make_picparts_setup_3d(
     sharding = NamedSharding(device_mesh, P(RANK_AXIS))
     ps_stacked = jax.device_put(ps_stacked, sharding)
     pp = jax.device_put(pp, sharding)
+    g2l_tbl = (jax.device_put(jnp.asarray(g2l_h), sharding)
+               if g2l_h is not None else None)
 
     d = np.asarray(cfg.push_dir, np.float64)
     direction = jnp.asarray(d / np.linalg.norm(d), jnp.float32)
@@ -335,11 +358,11 @@ def make_picparts_setup_3d(
     @_partial(
         jax.shard_map,
         mesh=device_mesh,
-        in_specs=(P(RANK_AXIS), P(), P(), P(RANK_AXIS)),
+        in_specs=(P(RANK_AXIS), P(), P(), P(RANK_AXIS), P(RANK_AXIS)),
         out_specs=(P(RANK_AXIS), P()),
         check_vma=False,
     )
-    def step(pp_l, bt_r, nplan_r, ps_s):
+    def step(pp_l, bt_r, nplan_r, g2l_l, ps_s):
         lpp = ppm.local_view(pp_l)
         lmesh = lpp.mesh
         ps = ppm.local_view(ps_s)
@@ -347,21 +370,36 @@ def make_picparts_setup_3d(
 
         x = ps.get("x")
         xtgt = push_ops.straight_line_push(x, direction, cfg.distance)
-        res = search_ops.search_mesh_3d(
-            lmesh, x, xtgt, ps.elem, ps.active, cfg.max_search_iters,
-        )
-        ps1 = ps.set("x", res.dest)
+        if kuhn is not None:
+            # global analytic locate + one g2l gather (see setup comment);
+            # in-domain destinations outside this rank's picpart cannot
+            # occur within safe-zone semantics and deactivate the particle
+            # exactly like the walk's buffer-boundary exit
+            e_gl, _ins = kuhn.locate(
+                (xtgt[:, 0], xtgt[:, 1], xtgt[:, 2]))
+            e_gl = jnp.where(ps.active, e_gl, search_ops.INVALID)
+            elem_ids = jnp.where(
+                e_gl >= 0, g2l_l[0][jnp.maximum(e_gl, 0)],
+                search_ops.INVALID)
+            dest_x = xtgt
+        else:
+            res = search_ops.search_mesh_3d(
+                lmesh, x, xtgt, ps.elem, ps.active, cfg.max_search_iters,
+            )
+            elem_ids = res.elem_ids
+            dest_x = res.dest
+        ps1 = ps.set("x", dest_x)
         dest = mig.set_unsafe_procs(
-            lpp.elem_safe, lpp.elem_owner, res.elem_ids, ps.active, me
+            lpp.elem_safe, lpp.elem_owner, elem_ids, ps.active, me
         )
         if bt_r is not None:
             dest = lbm.repartition(
-                bt_r, bt_r.sbar_of_elem[me], res.elem_ids,
-                ps.active & (res.elem_ids >= 0), dest, me, lb_tol,
+                bt_r, bt_r.sbar_of_elem[me], elem_ids,
+                ps.active & (elem_ids >= 0), dest, me, lb_tol,
                 elem_owner=lpp.elem_owner,
             )
         ps2, mres = mig.migrate_structure(
-            ps1, res.elem_ids, dest, lpp.elem_gid,
+            ps1, elem_ids, dest, lpp.elem_gid,
             lpp.elem_gid_sorted, lpp.elem_gid_perm, me, R, migrate_cap,
             plan=nplan_r,
         )
@@ -379,7 +417,7 @@ def make_picparts_setup_3d(
         }
         return jax.tree_util.tree_map(lambda a: a[None], ps2), stats
 
-    return pp, ps_stacked, (lambda ps: step(pp, bt, nplan, ps))
+    return pp, ps_stacked, (lambda ps: step(pp, bt, nplan, g2l_tbl, ps))
 
 
 _BUILDERS_CAP = {

@@ -681,6 +681,28 @@ def make_picparts_setup(
 
     own_of_ptcl = owners[g_elems]
     elem_gid_h = np.asarray(pp.elem_gid)
+
+    # detection-gated GLOBAL analytic locate for the SPMD step: the per-rank
+    # wedges can never pass the annulus proof, but the GLOBAL mesh can —
+    # locate analytically in global ids and map to rank-local ids through
+    # ONE small-table gather (g2l, (E_global,) i32 per rank), replacing the
+    # per-rank peel+pyramid walk entirely.  State carries the global elem id
+    # (``gelem``) so a ring_class-proven mesh also gets the gather-free
+    # rotation.  Shaped meshes fail the proof and keep the walk.
+    analytic = None
+    if cfg.analytic_locate in ("auto", "force"):
+        from pumipic_tpu.mesh.locator import detect_annulus_structured
+
+        analytic = detect_annulus_structured(coords, elem2verts,
+                                             cls=class_id)
+        if analytic is None and cfg.analytic_locate == "force":
+            raise ValueError("analytic_locate='force' but the mesh is not "
+                             "a structured annulus")
+    elif cfg.analytic_locate != "off":
+        raise ValueError(f"unknown analytic_locate "
+                         f"{cfg.analytic_locate!r}")
+    use_rot_an = (analytic is not None and analytic.ring_class
+                  and cfg.rot_analytic)
     # Per-rank slot capacity: every particle-rate op in the step runs at
     # CAPACITY width (padded slots ride the gathers/sorts), so headroom is
     # pure per-step cost — the R=1 picparts-vs-dp gap was almost entirely
@@ -708,6 +730,9 @@ def make_picparts_setup(
         "elem": np.full((R, n_cap), -1, np.int32),
         "active": np.zeros((R, n_cap), bool),
     }
+    if analytic is not None:
+        state_h["gelem"] = np.full((R, n_cap), -1, np.int32)
+        g2l_h = np.full((R, gmesh.nelems), -1, np.int32)
     for r in range(R):
         sel = np.nonzero(own_of_ptcl == r)[0]
         n = len(sel)
@@ -722,6 +747,9 @@ def make_picparts_setup(
         state_h["pid"][r, :n] = sel
         state_h["elem"][r, :n] = g2l[g_elems[sel]]
         state_h["active"][r, :n] = True
+        if analytic is not None:
+            state_h["gelem"][r, :n] = g_elems[sel]
+            g2l_h[r] = g2l.astype(np.int32)
 
     sharding = NamedSharding(device_mesh, P(RANK_AXIS))
     state = {
@@ -749,7 +777,7 @@ def make_picparts_setup(
     # small-mesh (cpe16 + rows) side of the policy
     pp_cpe, pp_peel, pp_widths = resolve_locator_policy(
         cfg, pp.mesh.nelems, n_cap)
-    if cfg.use_locator:
+    if cfg.use_locator and analytic is None:
         from pumipic_tpu.mesh.locator import LocatorGrid2D, build_locator_grid
 
         grids = []
@@ -814,6 +842,20 @@ def make_picparts_setup(
         )
         for r in range(R)
     ])
+    g2l_tbl = None
+    if analytic is not None:
+        # fused [g2l | route] columns: ONE (E_global, 2) i32 row gather per
+        # particle replaces the separate g2l and route gathers — gather
+        # cost is dominated by index count, so the fused row is ~half the
+        # two-gather price (the rot-gather cost model).  pack_route values
+        # are integer-valued f32 < 2^24, exact through the i32 round-trip.
+        route_h = np.asarray(route).astype(np.int64)      # (R, E_local)
+        fused = np.zeros((R, gmesh.nelems, 2), np.int32)
+        for r in range(R):
+            fused[r, :, 0] = g2l_h[r]
+            valid = g2l_h[r] >= 0
+            fused[r, valid, 1] = route_h[r][g2l_h[r][valid]]
+        g2l_tbl = jax.device_put(jnp.asarray(fused), sharding)
     route = jax.device_put(route, sharding)
 
     @jax.jit
@@ -821,11 +863,11 @@ def make_picparts_setup(
         jax.shard_map,
         mesh=device_mesh,
         in_specs=(P(RANK_AXIS), P(RANK_AXIS), P(), P(), P(RANK_AXIS),
-                  P(RANK_AXIS), P(RANK_AXIS), P(RANK_AXIS)),
+                  P(RANK_AXIS), P(RANK_AXIS), P(RANK_AXIS), P(RANK_AXIS)),
         out_specs=(P(RANK_AXIS), P(RANK_AXIS), P()),
         check_vma=False,
     )
-    def step(pp_l, gmap_l, bt_r, nplan_r, loc_l, rot_l, route_l, s):
+    def step(pp_l, gmap_l, bt_r, nplan_r, loc_l, rot_l, route_l, g2l_l, s):
         lpp = ppm.local_view(pp_l)
         lmesh = lpp.mesh
         s = ppm.local_view(s)
@@ -835,14 +877,43 @@ def make_picparts_setup(
         me = jax.lax.axis_index(RANK_AXIS).astype(jnp.int32)
 
         elem, active = s["elem"], s["active"]
-        # rotation push (rot-table gather; walk-captured aux measured slower
-        # end-to-end — see make_dp_setup note)
-        tx, ty, cphi_new, sphi_new = push_ops.elliptical_push_rot(
-            s["cphi"], s["sphi"], s["b"], elem, rot_table,
-            cfg.h, cfg.k, cfg.d
-        )
+        if use_rot_an:
+            # ring_class-proven global mesh: rotation analytic in the
+            # CARRIED global element id — no table gather
+            cd, sd = push_ops.rot_vals_from_class(
+                analytic.class_of(jnp.maximum(s["gelem"], 0)),
+                cfg.deg_per_push)
+            tx, ty, cphi_new, sphi_new = push_ops.elliptical_push_rot_vals(
+                s["cphi"], s["sphi"], s["b"], cd, sd, cfg.h, cfg.k, cfg.d
+            )
+        else:
+            # rotation push (rot-table gather; walk-captured aux measured
+            # slower end-to-end — see make_dp_setup note)
+            tx, ty, cphi_new, sphi_new = push_ops.elliptical_push_rot(
+                s["cphi"], s["sphi"], s["b"], elem, rot_table,
+                cfg.h, cfg.k, cfg.d
+            )
         xtgt = (jnp.where(active, tx, s["x0"]), jnp.where(active, ty, s["x1"]))
-        if lloc is not None:
+        if analytic is not None:
+            # global analytic locate (exact by the detection proof) + ONE
+            # (E_global,) g2l gather to rank-local ids — replaces the
+            # per-rank peel+pyramid walk.  Destinations outside the domain
+            # are boundary exits (INVALID, the walk's removal semantics);
+            # in-domain destinations outside this rank's picpart cannot
+            # occur within safe-zone semantics (the buffer covers every
+            # reachable element before migration) and would deactivate the
+            # particle exactly like the walk's buffer-boundary exit.
+            e_gl, _ins = analytic.locate(xtgt)
+            e_gl = jnp.where(active, e_gl, search_ops.INVALID)
+            g_row = g2l_l[0][jnp.maximum(e_gl, 0)]       # (N, 2) [lid|route]
+            lid = jnp.where(e_gl >= 0, g_row[:, 0], search_ops.INVALID)
+            route_v = g_row[:, 1].astype(jnp.float32)
+            gelem_new = jnp.where(lid >= 0, e_gl, search_ops.INVALID)
+            res = search_ops.SearchResult(
+                elem_ids=lid, dest_c=xtgt, all_found=jnp.bool_(True),
+                iters=jnp.int32(0), aux_c=None,
+            )
+        elif lloc is not None:
             res = search_ops.search_mesh_2d_accel(
                 lmesh, lloc, (s["x0"], s["x1"]), xtgt, elem, active,
                 cfg.max_search_iters, widths=pp_widths,
@@ -863,11 +934,18 @@ def make_picparts_setup(
             "elem": res.elem_ids,
             "active": active & (res.elem_ids >= 0),
         }
+        if analytic is not None:
+            mid["gelem"] = gelem_new
         # one-gather routing: dest (setUnsafeProcs semantics), per-particle
-        # sbar and noncore priority decoded from the packed f32 table
-        dest, sbar_p, noncore_p = mig.route_particles(
-            route_l[0], res.elem_ids, mid["active"], me, R
-        )
+        # sbar and noncore priority decoded from the packed f32 table (or
+        # from the route column already fused into the analytic g2l gather)
+        if analytic is not None:
+            dest, sbar_p, noncore_p = mig.route_decode(
+                route_v, mid["active"], me, R)
+        else:
+            dest, sbar_p, noncore_p = mig.route_particles(
+                route_l[0], res.elem_ids, mid["active"], me, R
+            )
         if bt_r is not None:
             # migrate_lb_ptcls analog: diffusion plan + particle selection
             dest = lbm.repartition(
@@ -918,7 +996,8 @@ def make_picparts_setup(
         )
 
     return pp, state, gyro_map, (
-        lambda s: step(pp, gyro_map, bt, nplan, locator, rot_tables, route, s)
+        lambda s: step(pp, gyro_map, bt, nplan, locator, rot_tables, route,
+                       g2l_tbl, s)
     )
 
 
@@ -947,12 +1026,10 @@ def shrink_picparts_capacity(state, new_cap: int):
         vh = np.asarray(jax.device_get(v))
         a = np.take_along_axis(vh, order, axis=1)
         keep = np.take_along_axis(act, order, axis=1)
-        if k == "elem":
+        if k in ("elem", "pid", "gelem"):
             a = np.where(keep, a, -1)
         elif k == "active":
             a = keep
-        elif k == "pid":
-            a = np.where(keep, a, -1)
         out[k] = jax.device_put(jnp.asarray(a), sharding)
     return out
 

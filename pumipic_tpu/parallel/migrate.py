@@ -120,14 +120,25 @@ def route_particles(
     ptcl_ops.hpp:32-52), per-particle sbar for the balancer, and the
     noncore flag (element owned elsewhere) for selection priority —
     all off ONE f32 gather, pure f32 arithmetic at particle rate."""
-    Rf = jnp.float32(num_ranks)
     v = route[jnp.maximum(new_elem, 0)]
+    ok = active & (new_elem >= 0)
+    return route_decode(v, ok, my_rank, num_ranks)
+
+
+def route_decode(
+    v: jax.Array,             # (N,) pre-gathered pack_route values
+    ok: jax.Array,            # (N,) particle is live with a valid element
+    my_rank: jax.Array,
+    num_ranks: int,
+):
+    """Decode pre-gathered :func:`pack_route` values (the gather may ride a
+    wider fused row, e.g. the analytic picparts [g2l | route] columns)."""
+    Rf = jnp.float32(num_ranks)
     t = jnp.floor(v / Rf)
     owner_f = v - t * Rf
     half = jnp.floor(t / 2.0)
     safe = (t - half * 2.0) > 0.5
     sbar = half.astype(jnp.int32) - 2
-    ok = active & (new_elem >= 0)
     me_f = my_rank.astype(jnp.float32)
     dest = jnp.where(ok & ~safe, owner_f, me_f).astype(jnp.int32)
     sbar = jnp.where(ok, sbar, -1)

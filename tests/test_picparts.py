@@ -609,6 +609,94 @@ def test_pseudo_push_and_search_distributed_3d(layout):
     assert len(seen) == alive_hist[-1]
 
 
+def test_picparts_3d_kuhn_matches_walk():
+    """The distributed 3D Kuhn analytic path (global box locate + g2l
+    gather) must evolve identically to the per-rank walk: same alive
+    counts and the same (pid -> global elem, position) assignment across
+    ranks under migration + LB."""
+    import dataclasses
+
+    from pumipic_tpu.models.pseudo_push_and_search import (
+        PushSearchConfig, make_picparts_setup_3d,
+    )
+
+    R8 = 8
+    coords, tets = gen.box_tet_mesh(6, 6, 6)
+    cfg = PushSearchConfig(
+        num_ptcls=800, num_iterations=4, distance=0.12,
+        push_dir=(1.0, 0.7, 0.4), structure="csr", use_locator=False,
+    )
+    mesh = make_device_mesh(R8)
+
+    def run(c):
+        pp, ps, step = make_picparts_setup_3d(
+            coords, tets, c, mesh, use_lb=True)
+        for _ in range(cfg.num_iterations):
+            ps, stats = step(ps)
+        eg = np.asarray(pp.elem_gid)
+        out = {}
+        for r in range(R8):
+            h = jax.tree_util.tree_map(
+                lambda a, _r=r: a[_r], ps).copy_to_host()
+            for s in range(len(h["active"])):
+                if h["active"][s]:
+                    out[int(h["pid"][s])] = (
+                        int(eg[r][int(h["elem"][s])]),
+                        tuple(np.asarray(h["x"][s]).tolist()))
+        return out, int(stats["alive"])
+
+    out_k, alive_k = run(cfg)
+    out_w, alive_w = run(dataclasses.replace(cfg, kuhn="off"))
+    assert alive_k == alive_w
+    assert out_k == out_w
+
+
+def test_picparts_analytic_matches_walk():
+    """The detection-gated SPMD analytic path (global annulus locate + one
+    g2l gather, gather-free ring rotation on the carried global elem id)
+    must produce bit-identical particle state and synced fields to the
+    per-rank walk across multi-step runs with migration + LB."""
+    import dataclasses
+
+    from pumipic_tpu.models.pseudo_xgcm import (
+        GyroConfig, XGCmConfig, make_picparts_setup,
+    )
+
+    coords, tris, cls = _full_mesh()
+    mesh = make_device_mesh(R)
+    cfg = XGCmConfig(
+        num_ptcls=1200,
+        mdl_face=4,
+        deg_per_push=15.0,
+        gyro=GyroConfig(rmax=0.05, num_rings=2, points_per_ring=4),
+        max_search_iters=64,
+    )
+    pp_a, st_a, _, step_a = make_picparts_setup(
+        coords, tris, cls, cfg, mesh, use_lb=True, migrate_cap=1200)
+    assert "gelem" in st_a  # the analytic path actually engaged
+    pp_w, st_w, _, step_w = make_picparts_setup(
+        coords, tris, cls,
+        dataclasses.replace(cfg, analytic_locate="off"), mesh, use_lb=True,
+        migrate_cap=1200)
+    assert "gelem" not in st_w
+    for i in range(4):
+        st_a, fwd_a, stats_a = step_a(st_a)
+        st_w, fwd_w, stats_w = step_w(st_w)
+        assert int(stats_a["alive"]) == int(stats_w["alive"])
+        assert int(stats_a["overflow"]) == 0
+    for k in st_w:
+        np.testing.assert_array_equal(
+            np.asarray(st_a[k]), np.asarray(st_w[k]), err_msg=k)
+    np.testing.assert_array_equal(np.asarray(fwd_a), np.asarray(fwd_w))
+    # the carried global elem id is consistent with the local id
+    eg = np.asarray(pp_a.elem_gid)
+    lid = np.asarray(st_a["elem"])
+    gid = np.asarray(st_a["gelem"])
+    act = np.asarray(st_a["active"])
+    for r in range(R):
+        np.testing.assert_array_equal(eg[r][lid[r][act[r]]], gid[r][act[r]])
+
+
 def test_pseudo_xgcm_picparts_end_to_end():
     from pumipic_tpu.models.pseudo_xgcm import (
         GyroConfig, XGCmConfig, make_picparts_setup,
