@@ -82,10 +82,9 @@ def main():
             pids = jax.device_get(out.fields["pid"])[act]
             n_act = int(act.sum())
             # σ-windowed layouts can outgrow fixed capacity under count
-            # drift (overflow is flagged and drops are bounded) — the
-            # tripwire here is CORRUPTION: no duplicate/out-of-range pids,
-            # and at least 95% of the population surviving 2·ITERS churns
-            # corruption tripwire: duplicate/out-of-range pids ABORT;
+            # drift; ``overflowed`` is STICKY (round 4), so a mid-loop drop
+            # stays visible in the final flag even when the last rebuild
+            # fits.  Corruption tripwire: duplicate/out-of-range pids ABORT;
             # population loss from FLAGGED overflow is a recorded outcome
             intact = len(np.unique(pids)) == n_act
             ok = intact and n_act >= int(0.95 * NP)
