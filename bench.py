@@ -260,6 +260,10 @@ def main():
             tag += "-adapt"
         if os.environ.get("BENCH_ANALYTIC", "auto") == "off":
             tag += "-walk"
+    if num_ptcls != 10_000_000:
+        # scale arms get their own side record instead of overwriting the
+        # 10M contract row
+        tag += f"-{num_ptcls // 1_000_000}M"
     record_side(tag, out)
     print(json.dumps(out))
 

@@ -22,7 +22,9 @@ ordinary masked vectorized ops over the flat slot axis.
 
 Capacity management: construction sizes capacity = max(num_ptcls × padding,
 minimum) (the reference's extra-padding inputs); a rebuild whose survivors
-exceed capacity sets ``overflowed``.  Use :func:`rebuild_checked` where
+exceed capacity sets ``overflowed`` — STICKY: once any rebuild has dropped
+particles the flag stays set through later (fitting) rebuilds, so a jit
+loop cannot mask a mid-loop loss.  Use :func:`rebuild_checked` where
 data loss is unacceptable (it retries from the pre-rebuild state on a
 grown structure); :func:`grow_if_overflowed` only adds headroom for future
 rebuilds (host path, rare, mirrors the reference re-allocating its views).
@@ -106,7 +108,9 @@ class ParticleStructure:
     elem_offsets: Optional[jax.Array]
     row_to_elem: Optional[jax.Array]    # (R,) SCS row order (others: None)
     elem_to_row: Optional[jax.Array]    # (E,)
-    overflowed: jax.Array      # () bool — rebuild ran out of capacity
+    overflowed: jax.Array      # () bool — a rebuild has EVER dropped
+    #   particles (sticky across rebuilds: a later fitting rebuild cannot
+    #   resurrect them, so it must not clear the flag)
     # per-element slot capacity of the CURRENT layout (scs: chunk width of
     # the element's chunk; cabm: SoA-padded segment width) — the reshuffle
     # path's fits check (SCS_rebuild.h:3-120 decides reshuffle-vs-rebuild
@@ -442,7 +446,7 @@ def _rebuild(
             elem=elem,
             active=active,
             num_ptcls=jnp.sum(active.astype(jnp.int32)),
-            overflowed=jnp.zeros((), bool),
+            overflowed=ps.overflowed,
         )
 
     if new_ptcl_elems is not None:
@@ -486,7 +490,10 @@ def _rebuild(
         # (key[take] == sorted_key[:C])
         out_fields, (sk,) = _gather_fields(fields, take, extra=(key,))
         out_elem = jnp.where(out_active, sk.astype(LID_DTYPE), -1)
-        n = jnp.sum(active.astype(jnp.int32))
+        # count the OUTPUT mask: under overflow the input count exceeds the
+        # placed survivors, and num_ptcls must report what the structure
+        # actually holds
+        n = jnp.sum(out_active.astype(jnp.int32))
         return dataclasses.replace(
             ps,
             fields=out_fields,
@@ -496,7 +503,7 @@ def _rebuild(
             elem_offsets=elem_offsets,
             row_to_elem=None,
             elem_to_row=None,
-            overflowed=needed > C,
+            overflowed=ps.overflowed | (needed > C),
         )
 
     # SCS / CabM.  mode="auto": try the reference's in-place reshuffle
@@ -661,8 +668,10 @@ def _rebuild_sorted(
         out_fields, _ = _gather_fields(fields, take)
     out_elem = jnp.where(valid, elem_c, -1).astype(LID_DTYPE)
     out_active = valid
-    n = jnp.sum(active.astype(jnp.int32))
-    overflow = needed > C
+    # OUTPUT-mask count (see the CSR path note): what the layout holds, not
+    # what was asked for
+    n = jnp.sum(out_active.astype(jnp.int32))
+    overflow = ps.overflowed | (needed > C)
 
     return dataclasses.replace(
         ps,
@@ -833,7 +842,7 @@ def _reshuffle(
         elem=new_elem,
         active=new_active,
         num_ptcls=n,
-        overflowed=jnp.zeros((), bool),
+        overflowed=ps.overflowed,
     )
 
 
@@ -1002,6 +1011,17 @@ def rebuild_checked(
     out = ps.rebuild(new_elem, new_ptcl_elems, new_ptcl_fields)
     if not bool(out.overflowed):
         return out
+    # ``overflowed`` is sticky (history of earlier drops), so decide the
+    # retry on THIS call's arithmetic: did every expected survivor land?
+    ne = new_elem.astype(LID_DTYPE)
+    expected = int(jnp.sum(
+        (ps.active & (ne >= 0) & (ne < ps.num_elems)).astype(jnp.int32)))
+    if new_ptcl_elems is not None:
+        ape = new_ptcl_elems.astype(LID_DTYPE)
+        expected += int(jnp.sum(
+            ((ape >= 0) & (ape < ps.num_elems)).astype(jnp.int32)))
+    if int(out.num_ptcls) == expected:
+        return out
 
     # Overflow: redo the rebuild on host in particle (not slot) terms and
     # materialize a fresh structure whose constructor sizes capacity from the
@@ -1046,7 +1066,10 @@ def rebuild_checked(
         builder = {"dps": DPS, "csr": CSR}[ps.layout]
         out = builder(ps.num_elems, elems, fields=fields, capacity=cap_hint,
                       name=ps.name)
-    return out
+    # the retry is lossless from the PRE-rebuild state, but earlier sticky
+    # history (particles already dropped before this call) must survive it
+    return dataclasses.replace(
+        out, overflowed=out.overflowed | ps.overflowed)
 
 
 def _grow(ps: ParticleStructure, growth: float) -> ParticleStructure:
@@ -1091,7 +1114,11 @@ def grow_if_overflowed(ps: ParticleStructure, growth: float = 1.5) -> ParticleSt
     This cannot recover the particles the overflowed rebuild already
     dropped — when losing them is not acceptable, call
     :func:`rebuild_checked` instead of ``rebuild`` so the retry runs from
-    the pre-rebuild state."""
+    the pre-rebuild state.
+
+    Growing ACKNOWLEDGES the recorded loss: the sticky ``overflowed`` flag
+    is cleared on the grown structure (it must be, or a grow-each-step loop
+    would re-fire forever), so capture the flag first if you audit it."""
     if not bool(ps.overflowed):
         return ps
     return _grow(ps, growth)

@@ -399,6 +399,33 @@ def test_annulus_detection_negatives():
         np.asarray(m.coords), np.asarray(m.elem2verts)) is not None
 
 
+def test_detection_rejects_same_geometry_different_ids():
+    """The equality proofs must reject meshes with IDENTICAL geometry but a
+    different id mapping — the analytic id formulas assume the generator's
+    ordering, so a flipped quad diagonal (2D: same vertices, different
+    triangle point sets) or a shuffled element order (3D: same tets,
+    different ids) silently relocated particles if admitted."""
+    from pumipic_tpu.mesh.generate import annulus_mesh, box_tet_mesh
+    from pumipic_tpu.mesh.locator import (
+        detect_annulus_structured, detect_box_kuhn,
+    )
+
+    c, t, _ = annulus_mesh(5, 16, 0.3, 1.0)
+    t2 = t.copy()
+    # flip one quad's diagonal: triangles [a,b,d],[a,d,c] -> [a,b,c],[b,d,c]
+    a, b, d = t2[0]
+    (_a2, d2, cv) = t2[1]
+    t2[0] = (a, b, cv)
+    t2[1] = (b, d, cv)
+    assert detect_annulus_structured(c, t2) is None
+
+    c3, t3 = box_tet_mesh(3, 3, 3)
+    perm = np.random.default_rng(3).permutation(t3.shape[0])
+    assert detect_box_kuhn(c3, t3[perm]) is None
+    # positive control: the unshuffled mesh passes
+    assert detect_box_kuhn(c3, t3) is not None
+
+
 def test_annulus_ring_class_proof():
     """ring_class (analytic classification -> gather-free rotation) is
     proven ONLY when cls matches annulus_mesh's per-ring classification;

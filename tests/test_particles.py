@@ -248,6 +248,39 @@ def test_overflow_and_grow(name):
     assert ps3.capacity > ps.capacity
 
 
+@pytest.mark.parametrize("name", ["csr", "dps", "cabm", "scs_c4"])
+def test_overflow_flag_is_sticky(name):
+    """A mid-loop overflow must stay visible: the flag records "a rebuild
+    has EVER dropped particles", so a later rebuild that fits cannot clear
+    it (a jit loop's last iteration would otherwise mask the loss — seen
+    live in the sigma sweep: 1.7M particles gone, overflow=False)."""
+    ppe, elems, fields = _fixture()
+    kw = {"capacity": max(N + 8, 208)} if name in ("csr", "dps") else {}
+    ps = BUILDERS[name](elems, fields, **kw)
+    cur_elem = jnp.asarray(ps.copy_to_host()["elem"])
+    add_n = 64
+    add_fields = {
+        "pos": jnp.zeros((add_n, 3), jnp.float32),
+        "val": jnp.zeros((add_n, 3), jnp.float32),
+        "pid": jnp.arange(N, N + add_n, dtype=jnp.int32),
+    }
+    ps2 = ps.rebuild(cur_elem, jnp.zeros(add_n, jnp.int32), add_fields)
+    assert bool(ps2.overflowed)
+    # a fitting follow-up rebuild (pure survivors, no adds) keeps the flag
+    ps3 = ps2.rebuild(ps2.elem)
+    assert bool(ps3.overflowed)
+    assert ps3.n_ptcls() <= ps3.capacity
+    # rebuild_checked on the flagged structure: THIS call is lossless, so
+    # no retry fires and the history is preserved on the result
+    ps4 = rebuild_checked(ps3, ps3.elem)
+    assert bool(ps4.overflowed)
+    assert int(ps4.n_ptcls()) == int(ps3.n_ptcls())
+    # grow_if_overflowed acknowledges the recorded loss and clears
+    ps5 = grow_if_overflowed(ps3)
+    assert not bool(ps5.overflowed)
+    assert ps5.capacity > ps3.capacity
+
+
 def test_metrics_padding():
     ppe, elems, fields = _fixture("gitrm")
     ps = SellCSigma(E, elems, fields=fields,
