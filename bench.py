@@ -116,42 +116,43 @@ def main():
         # at capacity width); at R=1 nothing migrates so tight headroom is
         # safe — overflow is counted and would invalidate the run loudly.
         capf = float(os.environ.get("BENCH_CAPF", 1.05))
+        # BENCH_ROUTE=gather: keep the packed [lid|route] gather even when
+        # the banded gather-free routing proofs hold (A/B arm)
         pp, state, gyro_map, pstep = make_picparts_setup(
             coords, tris, cls, cfg, device_mesh, use_lb=True,
             cap_factor=capf,
+            banded_route=("off" if os.environ.get("BENCH_ROUTE", "auto")
+                          == "gather" else "auto"),
         )
 
         def step(s):
             s, fwd, stats = pstep(s)
             return s, {"fwd": fwd, "overflow": stats["overflow"],
+                       "kept_home": stats["kept_home"],
                        "alive_per_rank": stats["alive_per_rank"],
                        "sent_per_rank": stats["sent_per_rank"]}
 
         if os.environ.get("BENCH_ADAPT", "0") != "0":
             # adaptive capacity: observe live width + migration volume for
-            # a few steps, then shrink slots to the observed need — the
+            # a few steps, then resize slots to the observed need — the
             # capacity headroom is pure per-step cost (every particle-rate
             # op runs at capacity width); lossless admission quotas are
             # the backstop if a later burst exceeds the shrunk free space
-            from pumipic_tpu.models.pseudo_xgcm import (
-                shrink_picparts_capacity,
-            )
+            from pumipic_tpu.parallel.capacity import CapacityMonitor
 
+            mon = CapacityMonitor()
             probe = state
-            max_alive = max_sent = 0
             for _ in range(3):
                 probe, f = step(probe)
-                max_alive = max(max_alive, int(np.asarray(
-                    jax.device_get(f["alive_per_rank"])).max()))
-                max_sent = max(max_sent, int(np.asarray(
-                    jax.device_get(f["sent_per_rank"])).max()))
-            new_cap = int(max_alive * 1.02) + 4 * max(max_sent, 16) + 64
+                mon.observe(f)
             old_cap = state["active"].shape[1]
-            if new_cap < old_cap:
-                state = shrink_picparts_capacity(probe, new_cap)
-                print(f"# adaptive capacity: {old_cap} -> {new_cap} slots "
-                      f"(max alive {max_alive}, max sent {max_sent})",
+            state = mon.apply(probe)
+            if state["active"].shape[1] != old_cap:
+                print(f"# adaptive capacity: {old_cap} -> "
+                      f"{state['active'].shape[1]} slots",
                       file=sys.stderr, flush=True)
+            else:
+                state = probe
 
     elif mode == "pps3d":
         # the reference's second headline workload: pseudoPushAndSearch
@@ -260,6 +261,8 @@ def main():
             tag += "-adapt"
         if os.environ.get("BENCH_ANALYTIC", "auto") == "off":
             tag += "-walk"
+        if os.environ.get("BENCH_ROUTE", "auto") == "gather":
+            tag += "-gatherroute"
     if num_ptcls != 10_000_000:
         # scale arms get their own side record instead of overwriting the
         # 10M contract row

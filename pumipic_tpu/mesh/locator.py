@@ -315,6 +315,17 @@ class AnnulusLocator2D:
     def locate(self, pts, eps: float = 1e-6):
         """Points → (elem_ids, inside): analytic containing triangle and an
         in-annulus mask (chord-exact; outside points get elem INVALID)."""
+        elem, inside, _, _, _ = self.locate_parts(pts, eps)
+        return elem, inside
+
+    def locate_parts(self, pts, eps: float = 1e-6):
+        """:meth:`locate` plus the raw (ring, sector, tri) f32 indices the
+        element id is assembled from — consumers that route on the
+        STRUCTURE (sector bands: parallel/banded_route.py) use these parts
+        directly instead of re-deriving them from the id with hazardous
+        f32 divisions.  The parts are exact small integers in f32; they
+        are clamped in-range even for outside points (gate on ``inside``/
+        the INVALID elem id)."""
         if isinstance(pts, tuple):
             px, py = pts
         else:
@@ -347,10 +358,11 @@ class AnnulusLocator2D:
         ddy = rd * jnp.sin(thd) - ay
         cross = ddx * (y - ay) - ddy * (x - ax)
         # f32 id arithmetic exact while 2·n_rings·n_sectors < 2^24
-        elem = (rf * self.n_sectors + kf) * 2.0 + jnp.where(cross >= 0,
-                                                            0.0, 1.0)
-        return jnp.where(inside, elem, jnp.float32(INVALID_F)).astype(
-            jnp.int32), inside
+        trif = jnp.where(cross >= 0, 0.0, 1.0)
+        elem = (rf * self.n_sectors + kf) * 2.0 + trif
+        elem = jnp.where(inside, elem, jnp.float32(INVALID_F)).astype(
+            jnp.int32)
+        return elem, inside, rf, kf, trif
 
 
 def detect_annulus_structured(coords: np.ndarray, tris: np.ndarray,

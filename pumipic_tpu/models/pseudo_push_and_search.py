@@ -344,8 +344,31 @@ def make_picparts_setup_3d(
     sharding = NamedSharding(device_mesh, P(RANK_AXIS))
     ps_stacked = jax.device_put(ps_stacked, sharding)
     pp = jax.device_put(pp, sharding)
-    g2l_tbl = (jax.device_put(jnp.asarray(g2l_h), sharding)
-               if g2l_h is not None else None)
+    g2l_tbl = None
+    g2l_fused = False
+    if g2l_h is not None:
+        # fused [g2l | route] columns (the 2D analytic picparts design,
+        # make_picparts_setup): ONE (E_global, 2) i32 row gather replaces
+        # g2l + set_unsafe_procs + the LB's sbar/owner gathers.  The 2-col
+        # ROW form is the measured-optimal gather formulation — a
+        # bit-packed 1-col variant ran 145.7 vs 79.7 ms/step in the 2D
+        # step (narrow (N,)-output gathers hit a pathological layout, the
+        # walk_opt20 class).
+        n_sbars = bt.num_sbars if bt is not None else 0
+        assert mig.route_pack_bound_ok(n_sbars, R)
+        route_h = np.stack([
+            np.asarray(mig.pack_route(
+                pp.elem_safe[r], pp.elem_owner[r],
+                bt.sbar_of_elem[r] if bt is not None else None, R))
+            for r in range(R)
+        ]).astype(np.int64)
+        g2l_fused = True
+        fused = np.zeros((R, gmesh.nelems, 2), np.int32)
+        for r in range(R):
+            fused[r, :, 0] = g2l_h[r]
+            valid = g2l_h[r] >= 0
+            fused[r, valid, 1] = route_h[r][g2l_h[r][valid]]
+        g2l_tbl = jax.device_put(jnp.asarray(fused), sharding)
 
     d = np.asarray(cfg.push_dir, np.float64)
     direction = jnp.asarray(d / np.linalg.norm(d), jnp.float32)
@@ -370,17 +393,26 @@ def make_picparts_setup_3d(
 
         x = ps.get("x")
         xtgt = push_ops.straight_line_push(x, direction, cfg.distance)
+        sbar_p = noncore_p = None
         if kuhn is not None:
-            # global analytic locate + one g2l gather (see setup comment);
-            # in-domain destinations outside this rank's picpart cannot
-            # occur within safe-zone semantics and deactivate the particle
-            # exactly like the walk's buffer-boundary exit
+            # global analytic locate + ONE fused [lid|route] gather (see
+            # setup comment); in-domain destinations outside this rank's
+            # picpart cannot occur within safe-zone semantics and
+            # deactivate the particle exactly like the walk's
+            # buffer-boundary exit
             e_gl, _ins = kuhn.locate(
                 (xtgt[:, 0], xtgt[:, 1], xtgt[:, 2]))
             e_gl = jnp.where(ps.active, e_gl, search_ops.INVALID)
-            elem_ids = jnp.where(
-                e_gl >= 0, g2l_l[0][jnp.maximum(e_gl, 0)],
-                search_ops.INVALID)
+            if g2l_fused:
+                g_row = g2l_l[0][jnp.maximum(e_gl, 0)]   # (N, 2) [lid|route]
+                elem_ids = jnp.where(e_gl >= 0, g_row[:, 0],
+                                     search_ops.INVALID)
+                route_v = g_row[:, 1].astype(jnp.float32)
+            else:
+                elem_ids = jnp.where(
+                    e_gl >= 0, g2l_l[0][jnp.maximum(e_gl, 0)],
+                    search_ops.INVALID)
+                route_v = None
             dest_x = xtgt
         else:
             res = search_ops.search_mesh_3d(
@@ -388,15 +420,21 @@ def make_picparts_setup_3d(
             )
             elem_ids = res.elem_ids
             dest_x = res.dest
+            route_v = None
         ps1 = ps.set("x", dest_x)
-        dest = mig.set_unsafe_procs(
-            lpp.elem_safe, lpp.elem_owner, elem_ids, ps.active, me
-        )
+        ok = ps.active & (elem_ids >= 0)
+        if route_v is not None:
+            dest, sbar_p, noncore_p = mig.route_decode(route_v, ok, me, R)
+        else:
+            dest = mig.set_unsafe_procs(
+                lpp.elem_safe, lpp.elem_owner, elem_ids, ps.active, me
+            )
         if bt_r is not None:
             dest = lbm.repartition(
                 bt_r, bt_r.sbar_of_elem[me], elem_ids,
-                ps.active & (elem_ids >= 0), dest, me, lb_tol,
+                ok, dest, me, lb_tol,
                 elem_owner=lpp.elem_owner,
+                sbar_of_ptcl=sbar_p, noncore=noncore_p,
             )
         ps2, mres = mig.migrate_structure(
             ps1, elem_ids, dest, lpp.elem_gid,
@@ -408,6 +446,8 @@ def make_picparts_setup_3d(
         stats = {
             "alive": jax.lax.psum(nloc, RANK_AXIS),
             "sent": jax.lax.psum(mres.num_sent, RANK_AXIS),
+            # quota-parked leavers (lossless migration backpressure signal)
+            "kept_home": jax.lax.psum(mres.num_kept_home, RANK_AXIS),
             "overflow": jax.lax.pmax(
                 (mres.overflow | ps2.overflowed).astype(jnp.int32), RANK_AXIS
             ),

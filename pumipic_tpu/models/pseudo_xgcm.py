@@ -635,6 +635,8 @@ def make_picparts_setup(
     lb_tol: float = 1.05,
     neighbor_migration: bool = True,
     cap_factor: float = 1.5,
+    partition: str = "auto",
+    banded_route: str = "auto",
 ):
     """Distributed pseudoXGCm over BFS-buffered PICparts: per step —
     push → local search → safe-zone migration → gyro scatter →
@@ -658,7 +660,29 @@ def make_picparts_setup(
     R = int(np.prod([device_mesh.shape[a] for a in device_mesh.axis_names]))
     if inp is None:
         inp = ppm.PicPartsInput()
-    owners = ppm.partition_rcb(coords, elem2verts, R)
+
+    # Partition choice (independent of cfg.analytic_locate, so the
+    # analytic and walk arms run on IDENTICAL picparts): a detection-proven
+    # structured annulus defaults to the sector-band decomposition — it
+    # makes every routed quantity banded in the sector index, enabling the
+    # gather-free routing below (parallel/banded_route.py) — while shaped
+    # meshes keep RCB (the .ptn stand-in, partition_rcb).
+    from pumipic_tpu.mesh.locator import detect_annulus_structured
+    from pumipic_tpu.parallel import banded_route as brm
+
+    detected = detect_annulus_structured(coords, elem2verts, cls=class_id)
+    if partition == "auto":
+        partition = "bands" if detected is not None else "rcb"
+    if partition == "bands":
+        if detected is None:
+            raise ValueError("partition='bands' needs a detection-proven "
+                             "structured annulus")
+        owners = brm.sector_band_owners(
+            detected.n_rings, detected.n_sectors, R)
+    elif partition == "rcb":
+        owners = ppm.partition_rcb(coords, elem2verts, R)
+    else:
+        raise ValueError(f"unknown partition {partition!r}")
     pp = ppm.build_picparts(coords, elem2verts, owners, R, inp, class_id)
     bt = lbm.build_balancer(pp, R) if use_lb else None
     nplan = None
@@ -691,10 +715,7 @@ def make_picparts_setup(
     # rotation.  Shaped meshes fail the proof and keep the walk.
     analytic = None
     if cfg.analytic_locate in ("auto", "force"):
-        from pumipic_tpu.mesh.locator import detect_annulus_structured
-
-        analytic = detect_annulus_structured(coords, elem2verts,
-                                             cls=class_id)
+        analytic = detected
         if analytic is None and cfg.analytic_locate == "force":
             raise ValueError("analytic_locate='force' but the mesh is not "
                              "a structured annulus")
@@ -703,6 +724,15 @@ def make_picparts_setup(
                          f"{cfg.analytic_locate!r}")
     use_rot_an = (analytic is not None and analytic.ring_class
                   and cfg.rot_analytic)
+    # gather-free routing: when the partition is banded AND every routing
+    # quantity verifies against the generic tables, the fused [lid | route]
+    # gather (39.6 ms at 10M, perf/picparts_split3.py) collapses to
+    # elementwise arithmetic on the locate's (ring, sector, tri) parts
+    if banded_route not in ("auto", "off"):
+        raise ValueError(f"unknown banded_route {banded_route!r}")
+    br = None
+    if analytic is not None and banded_route == "auto":
+        br = brm.derive_banded_route(pp, owners, analytic, bt, R)
     # Per-rank slot capacity: every particle-rate op in the step runs at
     # CAPACITY width (padded slots ride the gathers/sorts), so headroom is
     # pure per-step cost — the R=1 picparts-vs-dp gap was almost entirely
@@ -843,12 +873,19 @@ def make_picparts_setup(
         for r in range(R)
     ])
     g2l_tbl = None
-    if analytic is not None:
+    if analytic is not None and br is None:
         # fused [g2l | route] columns: ONE (E_global, 2) i32 row gather per
-        # particle replaces the separate g2l and route gathers — gather
-        # cost is dominated by index count, so the fused row is ~half the
-        # two-gather price (the rot-gather cost model).  pack_route values
-        # are integer-valued f32 < 2^24, exact through the i32 round-trip.
+        # particle replaces the separate g2l and route gathers.  Measured
+        # GATHER formulations at 10M: two separate 1-col gathers ≈ +50 ms
+        # (round-4d pre-fusion); [lid|route] BIT-PACKED into one i32 and
+        # gathered as a 1-col (N,) output: 145.7 ms/step vs this 2-col
+        # row's 79.7 — narrow 1-col gather outputs hit a pathological
+        # layout, the same class as the walk_opt20 1-D rot-table
+        # rejection.  The production path on band partitions is the
+        # gather-FREE banded route above; this 2-col row is the
+        # measured-optimal fallback for non-band partitions.  pack_route
+        # values are integer-valued < 2^24, exact through the i32
+        # round-trip.
         route_h = np.asarray(route).astype(np.int64)      # (R, E_local)
         fused = np.zeros((R, gmesh.nelems, 2), np.int32)
         for r in range(R):
@@ -903,11 +940,23 @@ def make_picparts_setup(
             # occur within safe-zone semantics (the buffer covers every
             # reachable element before migration) and would deactivate the
             # particle exactly like the walk's buffer-boundary exit.
-            e_gl, _ins = analytic.locate(xtgt)
+            e_gl, _ins, rf_p, kf_p, trif_p = analytic.locate_parts(xtgt)
             e_gl = jnp.where(active, e_gl, search_ops.INVALID)
-            g_row = g2l_l[0][jnp.maximum(e_gl, 0)]       # (N, 2) [lid|route]
-            lid = jnp.where(e_gl >= 0, g_row[:, 0], search_ops.INVALID)
-            route_v = g_row[:, 1].astype(jnp.float32)
+            if br is not None:
+                # gather-free banded routing: lid/dest/sbar/noncore are
+                # fused elementwise arithmetic on the locate's
+                # (ring, sector, tri) parts (derive-time exhaustive
+                # verification against the generic tables); the per-rank
+                # window/safe scalars are tiny closed-over constants
+                lid, dest_b, sbar_b, noncore_b = brm.banded_decode(
+                    br, rf_p, kf_p, trif_p, e_gl >= 0, active, me,
+                    br.win_a[me], br.win_w[me], br.win_w0[me],
+                    br.win_nsa[me], br.safe_a[me], br.safe_len[me])
+                route_v = None
+            else:
+                g_row = g2l_l[0][jnp.maximum(e_gl, 0)]   # (N, 2) [lid|route]
+                lid = jnp.where(e_gl >= 0, g_row[:, 0], search_ops.INVALID)
+                route_v = g_row[:, 1].astype(jnp.float32)
             gelem_new = jnp.where(lid >= 0, e_gl, search_ops.INVALID)
             res = search_ops.SearchResult(
                 elem_ids=lid, dest_c=xtgt, all_found=jnp.bool_(True),
@@ -938,8 +987,11 @@ def make_picparts_setup(
             mid["gelem"] = gelem_new
         # one-gather routing: dest (setUnsafeProcs semantics), per-particle
         # sbar and noncore priority decoded from the packed f32 table (or
-        # from the route column already fused into the analytic g2l gather)
-        if analytic is not None:
+        # from the route column already fused into the analytic g2l
+        # gather; or gather-FREE from the banded proofs)
+        if analytic is not None and br is not None:
+            dest, sbar_p, noncore_p = dest_b, sbar_b, noncore_b
+        elif analytic is not None:
             dest, sbar_p, noncore_p = mig.route_decode(
                 route_v, mid["active"], me, R)
         else:
@@ -978,6 +1030,10 @@ def make_picparts_setup(
         stats = {
             "alive": jax.lax.psum(nloc, RANK_AXIS),
             "sent": jax.lax.psum(mres.num_sent, RANK_AXIS),
+            # admission-quota pressure: leavers parked at home because the
+            # receiver lacked free slots (lossless migration); sustained
+            # nonzero means capacity is too tight (parallel/capacity.py)
+            "kept_home": jax.lax.psum(mres.num_kept_home, RANK_AXIS),
             "overflow": jax.lax.pmax(
                 mres.overflow.astype(jnp.int32), RANK_AXIS
             ),
@@ -1014,24 +1070,14 @@ def shrink_picparts_capacity(state, new_cap: int):
     (parallel/migrate.py) as the backstop when a burst exceeds the shrunk
     free space — beyond-quota leavers stay home and retry, never drop.
     The same recompile economics as particle-structure capacity growth.
+
+    Thin alias for :func:`pumipic_tpu.parallel.capacity.resize_capacity`
+    (which also grows); prefer the telemetry-driven
+    :class:`~pumipic_tpu.parallel.capacity.CapacityMonitor` in app loops.
     """
-    sharding = state["active"].sharding
-    act = np.asarray(jax.device_get(state["active"]))
-    live_max = int(act.sum(axis=1).max())
-    if new_cap < live_max:
-        raise ValueError(f"new_cap {new_cap} < max live {live_max}")
-    order = np.argsort(~act, axis=1, kind="stable")[:, :new_cap]
-    out = {}
-    for k, v in state.items():
-        vh = np.asarray(jax.device_get(v))
-        a = np.take_along_axis(vh, order, axis=1)
-        keep = np.take_along_axis(act, order, axis=1)
-        if k in ("elem", "pid", "gelem"):
-            a = np.where(keep, a, -1)
-        elif k == "active":
-            a = keep
-        out[k] = jax.device_put(jnp.asarray(a), sharding)
-    return out
+    from pumipic_tpu.parallel.capacity import resize_capacity
+
+    return resize_capacity(state, new_cap)
 
 
 def make_default_mesh(nelems_target: int = 25_000) -> Mesh2D:

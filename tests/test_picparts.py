@@ -1322,3 +1322,200 @@ def test_shrink_picparts_capacity_conserves():
         np.testing.assert_array_equal(np.sort(in_r), np.sort(out_r))
     with pytest.raises(ValueError):
         shrink_picparts_capacity(state, live_max - 1)
+
+
+def test_capacity_monitor_end_to_end_matches_unresized():
+    """Telemetry-driven capacity resize (parallel/capacity.py): after a
+    monitor-recommended SHRINK the step must keep producing the same
+    physics — pid-keyed particle state and synced fields identical to the
+    never-resized run — and a subsequent GROW must also be value-neutral
+    (idle slots are pure width).  The reference re-sizes its views from
+    padding inputs under the same misfit conditions (SCS_rebuild.h:3-120,
+    scs_input.hpp:15-64)."""
+    from pumipic_tpu.models.pseudo_xgcm import (
+        GyroConfig, XGCmConfig, make_picparts_setup,
+    )
+    from pumipic_tpu.parallel.capacity import (
+        CapacityMonitor, CapacityPolicy, resize_capacity,
+    )
+
+    coords, tris, cls = _full_mesh()
+    mesh = make_device_mesh(R)
+    cfg = XGCmConfig(
+        num_ptcls=1200,
+        mdl_face=4,
+        deg_per_push=10.0,
+        gyro=GyroConfig(rmax=0.05, num_rings=2, points_per_ring=4),
+        max_search_iters=64,
+    )
+    # generous capacity so the shrink recommendation actually fires
+    _, st_a, _, step_a = make_picparts_setup(
+        coords, tris, cls, cfg, mesh, use_lb=True, migrate_cap=1200,
+        cap_factor=3.0)
+    pp_b, st_b, _, step_b = make_picparts_setup(
+        coords, tris, cls, cfg, mesh, use_lb=True, migrate_cap=1200,
+        cap_factor=3.0)
+
+    mon = CapacityMonitor(CapacityPolicy(sent_factor=2, slack=16))
+    for _ in range(2):
+        st_a, fwd_a, stats_a = step_a(st_a)
+        st_b, fwd_b, stats_b = step_b(st_b)
+        assert "kept_home" in stats_b and int(stats_b["kept_home"]) == 0
+        mon.observe(stats_b)
+    cap0 = st_b["active"].shape[1]
+    st_b = mon.apply(st_b)
+    cap1 = st_b["active"].shape[1]
+    assert cap1 < cap0, (cap0, cap1)  # the shrink fired
+    assert mon.steps == 0            # window reset after a resize
+
+    def by_pid(state):
+        act = np.asarray(state["active"])
+        pid = np.asarray(state["pid"])[act]
+        order = np.argsort(pid)
+        cols = {k: np.asarray(state[k])[act][order]
+                for k in ("x0", "x1", "gelem")}
+        return np.sort(pid), cols
+
+    for i in range(3):
+        st_a, fwd_a, stats_a = step_a(st_a)
+        st_b, fwd_b, stats_b = step_b(st_b)
+        assert int(stats_a["alive"]) == int(stats_b["alive"])
+        assert int(stats_b["overflow"]) == 0
+    pid_a, cols_a = by_pid(st_a)
+    pid_b, cols_b = by_pid(st_b)
+    np.testing.assert_array_equal(pid_a, pid_b)
+    for k in cols_a:
+        np.testing.assert_array_equal(cols_a[k], cols_b[k], err_msg=k)
+    np.testing.assert_array_equal(np.asarray(fwd_a), np.asarray(fwd_b))
+
+    # GROW back above the original width: values must not move
+    st_c = resize_capacity(st_b, cap0 + 32)
+    assert st_c["active"].shape[1] == cap0 + 32
+    st_b2, fwd_b2, _ = step_b(st_b)
+    st_c2, fwd_c2, _ = step_b(st_c)
+    pid_b2, cols_b2 = by_pid(st_b2)
+    pid_c2, cols_c2 = by_pid(st_c2)
+    np.testing.assert_array_equal(pid_b2, pid_c2)
+    for k in cols_b2:
+        np.testing.assert_array_equal(cols_b2[k], cols_c2[k], err_msg=k)
+    np.testing.assert_array_equal(np.asarray(fwd_b2), np.asarray(fwd_c2))
+
+
+def test_capacity_monitor_recommendations():
+    """Policy unit checks: shrink only past the hysteresis gain, grow on
+    observed need or on admission-quota pressure (kept_home)."""
+    from pumipic_tpu.parallel.capacity import CapacityMonitor, CapacityPolicy
+
+    pol = CapacityPolicy(alive_headroom=1.0, sent_factor=1, sent_floor=0,
+                         slack=0, shrink_min_gain=0.1, grow_factor=1.5)
+
+    def stats(alive, sent, kept=0):
+        return {"alive_per_rank": jnp.asarray([alive], jnp.int32),
+                "sent_per_rank": jnp.asarray([sent], jnp.int32),
+                "kept_home": jnp.asarray(kept, jnp.int32)}
+
+    mon = CapacityMonitor(pol)
+    assert mon.recommend(1000) is None            # no observations yet
+    mon.observe(stats(500, 10))
+    assert mon.recommend(1000) == 510             # clear shrink
+    assert mon.recommend(550) is None             # within hysteresis band
+    mon.observe(stats(990, 40))                   # need 1030 > cap
+    assert mon.recommend(1000) == int(1030 * 1.5)
+    mon2 = CapacityMonitor(pol)
+    mon2.observe(stats(100, 0, kept=3))           # quota pressure => grow
+    rec = mon2.recommend(1000)
+    assert rec is not None and rec > 1000
+
+
+def test_banded_route_derivation_decode_and_negatives():
+    """Gather-free banded routing (parallel/banded_route.py): derivation
+    verifies exhaustively on a sector-band partition of a proven annulus,
+    its decode matches the packed-gather route (lid/dest/sbar/noncore) for
+    EVERY global element at every rank, and non-band partitions (RCB) are
+    rejected so callers keep the always-correct gather."""
+    from pumipic_tpu.mesh.locator import detect_annulus_structured
+    from pumipic_tpu.parallel import balancer as lbm
+    from pumipic_tpu.parallel import banded_route as brm
+    from pumipic_tpu.parallel import migrate as mig
+
+    coords, tris, cls = _full_mesh()
+    an = detect_annulus_structured(coords, tris, cls=cls)
+    assert an is not None
+    owners = brm.sector_band_owners(an.n_rings, an.n_sectors, R)
+    pp = ppm.build_picparts(coords, tris, owners, R, ppm.PicPartsInput(), cls)
+    bt = lbm.build_balancer(pp, R)
+    br = brm.derive_banded_route(pp, owners, an, bt, R)
+    assert br is not None
+    assert len(br.sbar_runs) >= R  # one bar region per band boundary
+
+    # negative: RCB partition is not sector-banded
+    owners_rcb = ppm.partition_rcb(coords, tris, R)
+    pp2 = ppm.build_picparts(coords, tris, owners_rcb, R,
+                             ppm.PicPartsInput(), cls)
+    bt2 = lbm.build_balancer(pp2, R)
+    assert brm.derive_banded_route(pp2, owners_rcb, an, bt2, R) is None
+
+    # decode equality against the gather route for EVERY global element
+    E_g = tris.shape[0]
+    gid = np.arange(E_g)
+    ring_f = jnp.asarray(gid // (2 * an.n_sectors), jnp.float32)
+    sec_f = jnp.asarray((gid // 2) % an.n_sectors, jnp.float32)
+    tri_f = jnp.asarray(gid & 1, jnp.float32)
+    active = jnp.ones(E_g, bool)
+    eg = np.asarray(pp.elem_gid)
+    for r in range(R):
+        me = jnp.int32(r)
+        lid, dest, sbar, noncore = brm.banded_decode(
+            br, ring_f, sec_f, tri_f, jnp.ones(E_g, bool), active, me,
+            br.win_a[r], br.win_w[r], br.win_w0[r], br.win_nsa[r],
+            br.safe_a[r], br.safe_len[r])
+        # reference path: host g2l + pack_route gather + route_decode
+        g2l = np.full(E_g, -1, np.int64)
+        valid = eg[r] >= 0
+        g2l[eg[r][valid]] = np.nonzero(valid)[0]
+        route = np.asarray(mig.pack_route(
+            pp.elem_safe[r], pp.elem_owner[r], bt.sbar_of_elem[r], R))
+        lid_ref = g2l[gid]
+        np.testing.assert_array_equal(np.asarray(lid), lid_ref, err_msg="lid")
+        rv = jnp.asarray(np.where(lid_ref >= 0,
+                                  route[np.maximum(lid_ref, 0)], 0.0),
+                         jnp.float32)
+        ok = jnp.asarray(lid_ref >= 0)
+        dest_ref, sbar_ref, noncore_ref = mig.route_decode(rv, ok, me, R)
+        np.testing.assert_array_equal(np.asarray(dest), np.asarray(dest_ref))
+        np.testing.assert_array_equal(np.asarray(sbar), np.asarray(sbar_ref))
+        np.testing.assert_array_equal(
+            np.asarray(noncore), np.asarray(noncore_ref))
+
+
+def test_picparts_banded_route_matches_gather_route():
+    """End-to-end: the banded gather-free step must be bit-identical to
+    the packed [lid|route] gather step across multi-step runs with LB +
+    migration (same picparts, same numbering — only the routing
+    arithmetic differs)."""
+    from pumipic_tpu.models.pseudo_xgcm import (
+        GyroConfig, XGCmConfig, make_picparts_setup,
+    )
+
+    coords, tris, cls = _full_mesh()
+    mesh = make_device_mesh(R)
+    cfg = XGCmConfig(
+        num_ptcls=1200, mdl_face=4, deg_per_push=15.0,
+        gyro=GyroConfig(rmax=0.05, num_rings=2, points_per_ring=4),
+        max_search_iters=64,
+    )
+    _, st_b, _, step_b = make_picparts_setup(
+        coords, tris, cls, cfg, mesh, use_lb=True, migrate_cap=1200)
+    _, st_g, _, step_g = make_picparts_setup(
+        coords, tris, cls, cfg, mesh, use_lb=True, migrate_cap=1200,
+        banded_route="off")
+    for _ in range(4):
+        st_b, fwd_b, stats_b = step_b(st_b)
+        st_g, fwd_g, stats_g = step_g(st_g)
+        assert int(stats_b["alive"]) == int(stats_g["alive"])
+        assert int(stats_b["sent"]) == int(stats_g["sent"])
+        assert int(stats_b["overflow"]) == 0
+    for k in st_g:
+        np.testing.assert_array_equal(
+            np.asarray(st_b[k]), np.asarray(st_g[k]), err_msg=k)
+    np.testing.assert_array_equal(np.asarray(fwd_b), np.asarray(fwd_g))
