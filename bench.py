@@ -97,6 +97,13 @@ def main():
         # the analytic locator proves classification is per-ring (A/B arm
         # for the gather-free rotation)
         rot_analytic=bool(int(os.environ.get("BENCH_ROT_ANALYTIC", "1"))),
+        # BENCH_BANDLOC=off: force cartesian locator cells even on a
+        # detection-proven flux-band mesh (A/B arm for the round-5
+        # BandGrid2D ragged flux-band locator); BENCH_BANDT sweeps the
+        # θ-bins-per-band knob
+        band_locator=os.environ.get("BENCH_BANDLOC", "auto"),
+        band_theta=(int(os.environ["BENCH_BANDT"])
+                    if os.environ.get("BENCH_BANDT") else None),
     )
     device_mesh = make_device_mesh()
 
@@ -248,6 +255,8 @@ def main():
         tag += "-walk"
     if mode == "dp" and os.environ.get("BENCH_ROT_ANALYTIC", "1") == "0":
         tag += "-rotgather"
+    if mode == "dp" and os.environ.get("BENCH_BANDLOC", "auto") == "off":
+        tag += "-cartloc"
     if mode == "pps3d":
         tag += "-" + os.environ.get("BENCH_STRUCT", "dps")
         rb = os.environ.get("BENCH_REBUILD", "sort")

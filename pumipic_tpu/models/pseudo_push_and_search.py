@@ -264,8 +264,12 @@ def make_picparts_setup_3d(
     from pumipic_tpu.parallel import balancer as lbm
     from pumipic_tpu.parallel import migrate as mig
     from pumipic_tpu.parallel import picparts as ppm
-    from pumipic_tpu.parallel.mesh_axis import RANK_AXIS
+    from pumipic_tpu.parallel.mesh_axis import mesh_axes
 
+    # axis-name tuple of the device mesh (('ranks',) or
+    # ('slice', 'ranks') multi-slice) — flat-rank collective semantics
+    AX = mesh_axes(device_mesh)
+    hier = len(AX) == 2
     R = int(np.prod([device_mesh.shape[a] for a in device_mesh.axis_names]))
     if inp is None:
         inp = ppm.PicPartsInput()
@@ -341,7 +345,7 @@ def make_picparts_setup_3d(
             )
     ps_stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ps_list)
 
-    sharding = NamedSharding(device_mesh, P(RANK_AXIS))
+    sharding = NamedSharding(device_mesh, P(AX))
     ps_stacked = jax.device_put(ps_stacked, sharding)
     pp = jax.device_put(pp, sharding)
     g2l_tbl = None
@@ -381,15 +385,15 @@ def make_picparts_setup_3d(
     @_partial(
         jax.shard_map,
         mesh=device_mesh,
-        in_specs=(P(RANK_AXIS), P(), P(), P(RANK_AXIS), P(RANK_AXIS)),
-        out_specs=(P(RANK_AXIS), P()),
+        in_specs=(P(AX), P(), P(), P(AX), P(AX)),
+        out_specs=(P(AX), P()),
         check_vma=False,
     )
     def step(pp_l, bt_r, nplan_r, g2l_l, ps_s):
         lpp = ppm.local_view(pp_l)
         lmesh = lpp.mesh
         ps = ppm.local_view(ps_s)
-        me = jax.lax.axis_index(RANK_AXIS).astype(jnp.int32)
+        me = jax.lax.axis_index(AX).astype(jnp.int32)
 
         x = ps.get("x")
         xtgt = push_ops.straight_line_push(x, direction, cfg.distance)
@@ -434,25 +438,25 @@ def make_picparts_setup_3d(
                 bt_r, bt_r.sbar_of_elem[me], elem_ids,
                 ok, dest, me, lb_tol,
                 elem_owner=lpp.elem_owner,
-                sbar_of_ptcl=sbar_p, noncore=noncore_p,
+                sbar_of_ptcl=sbar_p, noncore=noncore_p, axis_name=AX,
             )
         ps2, mres = mig.migrate_structure(
             ps1, elem_ids, dest, lpp.elem_gid,
             lpp.elem_gid_sorted, lpp.elem_gid_perm, me, R, migrate_cap,
-            plan=nplan_r,
+            plan=nplan_r, axis_name=AX, hier=hier,
         )
         nloc = jnp.sum(ps2.active.astype(jnp.int32))
-        _, _, imb = lbm.ptcl_imbalance(nloc)
+        _, _, imb = lbm.ptcl_imbalance(nloc, axis_name=AX)
         stats = {
-            "alive": jax.lax.psum(nloc, RANK_AXIS),
-            "sent": jax.lax.psum(mres.num_sent, RANK_AXIS),
+            "alive": jax.lax.psum(nloc, AX),
+            "sent": jax.lax.psum(mres.num_sent, AX),
             # quota-parked leavers (lossless migration backpressure signal)
-            "kept_home": jax.lax.psum(mres.num_kept_home, RANK_AXIS),
+            "kept_home": jax.lax.psum(mres.num_kept_home, AX),
             "overflow": jax.lax.pmax(
-                (mres.overflow | ps2.overflowed).astype(jnp.int32), RANK_AXIS
+                (mres.overflow | ps2.overflowed).astype(jnp.int32), AX
             ),
-            "unresolved": jax.lax.psum(mres.num_recv_unresolved, RANK_AXIS),
-            "illegal_dest": jax.lax.psum(mres.num_illegal_dest, RANK_AXIS),
+            "unresolved": jax.lax.psum(mres.num_recv_unresolved, AX),
+            "illegal_dest": jax.lax.psum(mres.num_illegal_dest, AX),
             "imbalance": imb,
         }
         return jax.tree_util.tree_map(lambda a: a[None], ps2), stats

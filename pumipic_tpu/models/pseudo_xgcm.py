@@ -94,6 +94,21 @@ class XGCmConfig:
     # walk); "off" forces the general walk; "force" errors if detection
     # fails.  The 2D analog of PushSearchConfig.kuhn.
     analytic_locate: str = "auto"
+    # ragged flux-band locator (mesh.locator.BandGrid2D): "auto" replaces
+    # the cartesian locator grid with band-aligned cells whenever
+    # detect_banded_locator proves the mesh is a stitched flux-band
+    # structure (band-ordered classification + star-shaped rings + a
+    # residual-gated smooth radius model) — the mesh class of real XGC
+    # workloads, where cartesian cells straddle the thin curved bands
+    # (A∪B hit 67-80% vs ~90+% band-aligned on the 120k workload,
+    # perf/band_probe.py).  "off" forces cartesian cells; "force" errors
+    # when detection fails.  Only relevant when the walk runs (the exact
+    # analytic locator takes precedence when proven).
+    band_locator: str = "auto"
+    # θ-bins per band for the band locator (None = auto: next power of two
+    # covering the widest band's triangle count; the sweep knob for the
+    # hit-rate-vs-table-bytes trade — perf/band_probe.py)
+    band_theta: Optional[int] = None
     # gather-free rotation: when the analytic locator ALSO proves the
     # mesh's classification is per-ring (ring_class), the push's
     # rotation-table gather collapses to elementwise arithmetic on the
@@ -294,13 +309,25 @@ class PseudoXGCm:
             and not (self.analytic is not None and self.analytic.ring_class)
             else None)
         if cfg.use_locator and self.analytic is None:
-            from pumipic_tpu.mesh.locator import build_locator_grid
-
-            self.locator = build_locator_grid(
-                np.asarray(mesh.coords), np.asarray(mesh.elem2verts),
-                walk_geom=mesh.walk_geom, peel=peel,
-                cells_per_elem=cpe,
+            from pumipic_tpu.mesh.locator import (
+                build_locator_grid,
+                detect_banded_locator,
             )
+
+            if cfg.band_locator in ("auto", "force"):
+                self.locator = detect_banded_locator(
+                    np.asarray(mesh.coords), np.asarray(mesh.elem2verts),
+                    np.asarray(mesh.class_id), mesh.walk_geom,
+                    n_theta=cfg.band_theta)
+                if self.locator is None and cfg.band_locator == "force":
+                    raise ValueError("band_locator='force' but the mesh is "
+                                     "not a stitched flux-band structure")
+            if self.locator is None:
+                self.locator = build_locator_grid(
+                    np.asarray(mesh.coords), np.asarray(mesh.elem2verts),
+                    walk_geom=mesh.walk_geom, peel=peel,
+                    cells_per_elem=cpe,
+                )
         self.step_fn = self._make_step()   # unjitted (for compile checks)
         self._step = jax.jit(self.step_fn)
 
@@ -518,14 +545,28 @@ def make_dp_setup(mesh: Mesh2D, cfg: XGCmConfig, device_mesh, seed: int = ELEMEN
         state["cd"] = rt0[:, 0]
         state["sd"] = rt0[:, 1]
     if cfg.use_locator and analytic is None:
-        from pumipic_tpu.mesh.locator import build_locator_grid
-
-        locator = build_locator_grid(
-            np.asarray(mesh.coords), np.asarray(mesh.elem2verts),
-            walk_geom=mesh.walk_geom, peel=peel,
-            cells_per_elem=cpe,
-            aux=np.asarray(rot_table) if use_aux else None,
+        from pumipic_tpu.mesh.locator import (
+            build_locator_grid,
+            detect_banded_locator,
         )
+
+        if cfg.band_locator in ("auto", "force") and not use_aux:
+            locator = detect_banded_locator(
+                np.asarray(mesh.coords), np.asarray(mesh.elem2verts),
+                np.asarray(mesh.class_id), mesh.walk_geom,
+                n_theta=cfg.band_theta)
+            if locator is None and cfg.band_locator == "force":
+                raise ValueError("band_locator='force' but the mesh is not "
+                                 "a stitched flux-band structure")
+        elif cfg.band_locator not in ("auto", "off", "force"):
+            raise ValueError(f"unknown band_locator {cfg.band_locator!r}")
+        if locator is None:
+            locator = build_locator_grid(
+                np.asarray(mesh.coords), np.asarray(mesh.elem2verts),
+                walk_geom=mesh.walk_geom, peel=peel,
+                cells_per_elem=cpe,
+                aux=np.asarray(rot_table) if use_aux else None,
+            )
 
     def per_device_step(s):
         elem, active = s["elem"], s["active"]
@@ -655,8 +696,14 @@ def make_picparts_setup(
     from pumipic_tpu.parallel import migrate as mig
     from pumipic_tpu.parallel import picparts as ppm
     from pumipic_tpu.parallel import reduce as red
-    from pumipic_tpu.parallel.mesh_axis import RANK_AXIS
+    from pumipic_tpu.parallel.mesh_axis import mesh_axes
 
+    # axis-name tuple of the device mesh: ("ranks",) flat, or
+    # ("slice", "ranks") on a multi-slice topology — every collective below
+    # takes the tuple (flat-rank semantics), and the world exchanges switch
+    # to the DCN-aware two-stage route (mesh_axis.hier_all_to_all)
+    AX = mesh_axes(device_mesh)
+    hier = len(AX) == 2
     R = int(np.prod([device_mesh.shape[a] for a in device_mesh.axis_names]))
     if inp is None:
         inp = ppm.PicPartsInput()
@@ -781,7 +828,7 @@ def make_picparts_setup(
             state_h["gelem"][r, :n] = g_elems[sel]
             g2l_h[r] = g2l.astype(np.int32)
 
-    sharding = NamedSharding(device_mesh, P(RANK_AXIS))
+    sharding = NamedSharding(device_mesh, P(AX))
     state = {
         k: jax.device_put(jnp.asarray(v), sharding) for k, v in state_h.items()
     }
@@ -808,7 +855,12 @@ def make_picparts_setup(
     pp_cpe, pp_peel, pp_widths = resolve_locator_policy(
         cfg, pp.mesh.nelems, n_cap)
     if cfg.use_locator and analytic is None:
-        from pumipic_tpu.mesh.locator import LocatorGrid2D, build_locator_grid
+        from pumipic_tpu.mesh.locator import (
+            BandGrid2D,
+            LocatorGrid2D,
+            build_locator_grid,
+            detect_banded_locator,
+        )
 
         grids = []
         eg_h = np.asarray(pp.elem_gid)
@@ -816,6 +868,43 @@ def make_picparts_setup(
         ev_h = np.asarray(pp.mesh.elem2verts)
         cz_h = np.asarray(pp.mesh.coords)
         wg_h = np.asarray(pp.mesh.walk_geom)
+        cls_h = np.asarray(pp.mesh.class_id)
+        # ragged flux-band cells per rank when EVERY rank's local picpart
+        # detects as a stitched band structure with matching shape (in
+        # practice R=1, where local == global: the wedge submeshes of a
+        # real decomposition have partial rings and fail detection, so
+        # they keep cartesian cells)
+        band_grids = None
+        if cfg.band_locator in ("auto", "force"):
+            bgs = []
+            for r in range(R):
+                valid_e = np.nonzero(eg_h[r] >= 0)[0]
+                nv = int((vg_h[r] >= 0).sum())
+                bgs.append(detect_banded_locator(
+                    cz_h[r][:nv], ev_h[r][valid_e], cls_h[r][valid_e],
+                    wg_h[r][valid_e], n_theta=cfg.band_theta))
+            if all(b is not None for b in bgs) and len({
+                    (b.n_bands, b.n_theta, b.n_harm, b.n_cheb)
+                    for b in bgs}) == 1:
+                band_grids = bgs
+            elif cfg.band_locator == "force":
+                raise ValueError("band_locator='force' but a picpart is "
+                                 "not a stitched flux-band structure")
+        if band_grids is not None:
+            locator = BandGrid2D(
+                cx=jnp.stack([b.cx for b in band_grids]),
+                cy=jnp.stack([b.cy for b in band_grids]),
+                coef=jnp.stack([b.coef for b in band_grids]),
+                cell_rows=jnp.stack([b.cell_rows for b in band_grids]),
+                cell_elem=jnp.stack([b.cell_elem for b in band_grids]),
+                n_bands=band_grids[0].n_bands,
+                n_theta=band_grids[0].n_theta,
+                n_harm=band_grids[0].n_harm,
+                n_cheb=band_grids[0].n_cheb,
+            )
+            locator = jax.device_put(locator, sharding)
+    if cfg.use_locator and analytic is None and locator is None:
+        grids = []
         for r in range(R):
             valid_e = np.nonzero(eg_h[r] >= 0)[0]
             # local element ids are preserved: build over the valid subset
@@ -899,9 +988,9 @@ def make_picparts_setup(
     @_partial(
         jax.shard_map,
         mesh=device_mesh,
-        in_specs=(P(RANK_AXIS), P(RANK_AXIS), P(), P(), P(RANK_AXIS),
-                  P(RANK_AXIS), P(RANK_AXIS), P(RANK_AXIS), P(RANK_AXIS)),
-        out_specs=(P(RANK_AXIS), P(RANK_AXIS), P()),
+        in_specs=(P(AX), P(AX), P(), P(), P(AX),
+                  P(AX), P(AX), P(AX), P(AX)),
+        out_specs=(P(AX), P(AX), P()),
         check_vma=False,
     )
     def step(pp_l, gmap_l, bt_r, nplan_r, loc_l, rot_l, route_l, g2l_l, s):
@@ -911,7 +1000,7 @@ def make_picparts_setup(
         gmap = gmap_l[0]
         lloc = ppm.local_view(loc_l) if loc_l is not None else None
         rot_table = rot_l[0]
-        me = jax.lax.axis_index(RANK_AXIS).astype(jnp.int32)
+        me = jax.lax.axis_index(AX).astype(jnp.int32)
 
         elem, active = s["elem"], s["active"]
         if use_rot_an:
@@ -1003,12 +1092,12 @@ def make_picparts_setup(
             dest = lbm.repartition(
                 bt_r, bt_r.sbar_of_elem[me], res.elem_ids,
                 mid["active"], dest, me, lb_tol,
-                sbar_of_ptcl=sbar_p, noncore=noncore_p,
+                sbar_of_ptcl=sbar_p, noncore=noncore_p, axis_name=AX,
             )
         mres = mig.migrate(
             mid, res.elem_ids, dest, lpp.elem_gid,
             lpp.elem_gid_sorted, lpp.elem_gid_perm, me, R, migrate_cap,
-            plan=nplan_r,
+            plan=nplan_r, axis_name=AX, hier=hier,
         )
         s2 = mres.state
 
@@ -1023,27 +1112,28 @@ def make_picparts_setup(
         )
         # gyroSync: reduceCommArray(VERT, SUM) over buffered copies
         fwd = red.reduce_comm_array(
-            lpp.vert_send_ids, lpp.vert_recv_ids, fwd, red.Op.SUM
+            lpp.vert_send_ids, lpp.vert_recv_ids, fwd, red.Op.SUM,
+            axis_name=AX, hier=hier,
         )
         nloc = jnp.sum(s2["active"].astype(jnp.int32))
-        _, _, imb = lbm.ptcl_imbalance(nloc)
+        _, _, imb = lbm.ptcl_imbalance(nloc, axis_name=AX)
         stats = {
-            "alive": jax.lax.psum(nloc, RANK_AXIS),
-            "sent": jax.lax.psum(mres.num_sent, RANK_AXIS),
+            "alive": jax.lax.psum(nloc, AX),
+            "sent": jax.lax.psum(mres.num_sent, AX),
             # admission-quota pressure: leavers parked at home because the
             # receiver lacked free slots (lossless migration); sustained
             # nonzero means capacity is too tight (parallel/capacity.py)
-            "kept_home": jax.lax.psum(mres.num_kept_home, RANK_AXIS),
+            "kept_home": jax.lax.psum(mres.num_kept_home, AX),
             "overflow": jax.lax.pmax(
-                mres.overflow.astype(jnp.int32), RANK_AXIS
+                mres.overflow.astype(jnp.int32), AX
             ),
-            "unresolved": jax.lax.psum(mres.num_recv_unresolved, RANK_AXIS),
-            "illegal_dest": jax.lax.psum(mres.num_illegal_dest, RANK_AXIS),
+            "unresolved": jax.lax.psum(mres.num_recv_unresolved, AX),
+            "illegal_dest": jax.lax.psum(mres.num_illegal_dest, AX),
             "imbalance": imb,
             # per-rank telemetry for summarize_across_devices
             # (SummarizeTimeAcrossProcesses analog, ppTiming.cpp:220-338)
-            "alive_per_rank": jax.lax.all_gather(nloc, RANK_AXIS),
-            "sent_per_rank": jax.lax.all_gather(mres.num_sent, RANK_AXIS),
+            "alive_per_rank": jax.lax.all_gather(nloc, AX),
+            "sent_per_rank": jax.lax.all_gather(mres.num_sent, AX),
         }
         return (
             jax.tree_util.tree_map(lambda a: a[None], s2),

@@ -191,12 +191,26 @@ def accumulate_to_rings(
             jnp.floor(ptcl_radius / jnp.float32(ring_width)) - 1.0,
             0.0, R - 2,
         )
-        ef = elem.astype(jnp.float32) * jnp.float32(R)
         ER = num_elems * R
         elem_ring_flat = jnp.zeros((ER,), jnp.float32)
-        for ring_f in (rdf, rdf + 1.0):
-            key = jnp.where(active, ef + ring_f, jnp.float32(ER))
-            elem_ring_flat = elem_ring_flat + count_per_key_matmul(key, ER)
+        if ER >= (1 << 24):
+            # f32 key construction rounds at >= 2^24, and the sorted-
+            # histogram fallback inside count_per_key_matmul would bin the
+            # ALREADY-ROUNDED keys silently (ADVICE r4; same hazard class
+            # as locator._check_ids_f32_exact).  Build keys in int32 —
+            # VPU-emulated multiply, but this is the >2.8M-element corner.
+            rdi = rdf.astype(jnp.int32)
+            ei = elem.astype(jnp.int32) * jnp.int32(R)
+            for ring_i in (rdi, rdi + 1):
+                key = jnp.where(active, ei + ring_i, jnp.int32(ER))
+                elem_ring_flat = elem_ring_flat + count_per_key_matmul(
+                    key, ER)
+        else:
+            ef = elem.astype(jnp.float32) * jnp.float32(R)
+            for ring_f in (rdf, rdf + 1.0):
+                key = jnp.where(active, ef + ring_f, jnp.float32(ER))
+                elem_ring_flat = elem_ring_flat + count_per_key_matmul(
+                    key, ER)
         elem_ring = elem_ring_flat.reshape(num_elems, R)
 
     # Stage 2: expand per-element ring counts to the element's vertices

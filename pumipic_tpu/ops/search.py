@@ -54,6 +54,7 @@ import jax
 import jax.numpy as jnp
 
 from pumipic_tpu.mesh.core import Mesh2D, Mesh3D
+from pumipic_tpu.ops.geometry import closest_point_on_triangle
 
 INVALID = -1
 COMPACT_DIV = 16     # width pyramid ratio for straggler compaction
@@ -73,6 +74,16 @@ BCC_ABS_TOL = 1e-7
 # meaningful on meshes with coordinates >> 1 (the reference's
 # compute_tolerance_from_area plays the same role, adjacency.tpp:419-428).
 MT_TOL = 1e-6
+# Stranded-walker recovery (``recover="project"``): a loop-limit survivor is
+# recovered onto its current element iff its destination is within this
+# fraction of the element's longest edge from the element's closure — the
+# sliver/degenerate ping-pong class, where the point sits within float noise
+# of a shared side yet fails both neighbors' tolerance tests.  Genuinely
+# unreachable destinations (non-convex detours, bad configs) stay deleted.
+RECOVER_REL_TOL = 1e-3
+# how far the projected point is nudged toward the element centroid so the
+# recovered (elem, dest) pair strictly passes later containment tests
+RECOVER_NUDGE = 1e-5
 
 
 class BoundaryCtx(NamedTuple):
@@ -171,6 +182,10 @@ class SearchResult(NamedTuple):
     # with aux_capture: per-particle columns of the aux table at the FINAL
     # element, captured during the walk (no post-search gather needed)
     aux_c: Optional[Tuple[jax.Array, ...]] = None
+    # with recover="project": loop-limit walkers accepted by projecting the
+    # destination onto their current element (sliver/degenerate recovery
+    # instead of deletion); None when recovery is off
+    num_recovered: Optional[jax.Array] = None
 
     @property
     def dest(self) -> jax.Array:
@@ -420,6 +435,93 @@ def _core_3d_mt(mesh: Mesh3D):
 
 
 # ---------------------------------------------------------------------------
+# stranded-walker recovery (sliver/degenerate robustness)
+# ---------------------------------------------------------------------------
+
+def _make_recover(mesh):
+    """Projection recovery for loop-limit survivors: closest point on the
+    walker's CURRENT element to its destination, accepted when the distance
+    is within ``RECOVER_REL_TOL`` of the element scale.
+
+    The reference recovers sliver-stranded walkers with a max-projected-
+    distance face fallback inside the loop (``search_mesh``/
+    ``processUndetected``, adjacency.hpp:602-762, 470-516) and ships
+    ``closest_point_on_triangle`` (adjacency.hpp:910-1009) as the
+    projection primitive its apps use; here the projection runs ONCE on
+    the (narrow) set of walkers that would otherwise be deleted at the
+    loop limit, so the hot converged path pays nothing.
+
+    Returns ``recover(e, dest) -> (ok, q)``: ``q`` is the projected
+    destination nudged toward the element centroid so containment tests
+    strictly hold for the recovered pair."""
+
+    def recover(e, dest):
+        ev = mesh.elem2verts[jnp.maximum(e, 0)]          # (w, nv)
+        vs = mesh.coords[ev]                             # (w, nv, dim)
+        if mesh.dim == 2:
+            zero = jnp.zeros_like(dest[0])
+            p3 = jnp.stack([dest[0], dest[1], zero], axis=-1)
+            v3 = jnp.concatenate(
+                [vs, jnp.zeros(vs.shape[:2] + (1,), vs.dtype)], axis=-1)
+            q3 = closest_point_on_triangle(p3, v3[:, 0], v3[:, 1], v3[:, 2])
+            qc = (q3[:, 0], q3[:, 1])
+            d2 = jnp.sum((q3 - p3) ** 2, axis=-1)
+        else:
+            p3 = jnp.stack(dest, axis=-1)
+            best = None
+            d2 = None
+            # tet surface = min over its four faces (face i opposite vtx i)
+            for (i, j, k) in ((1, 2, 3), (0, 2, 3), (0, 1, 3), (0, 1, 2)):
+                q = closest_point_on_triangle(p3, vs[:, i], vs[:, j],
+                                              vs[:, k])
+                qd = jnp.sum((q - p3) ** 2, axis=-1)
+                if best is None:
+                    best, d2 = q, qd
+                else:
+                    take = qd < d2
+                    best = jnp.where(take[:, None], q, best)
+                    d2 = jnp.minimum(qd, d2)
+            # an INTERIOR point has positive distance to every face — a
+            # stranded-but-contained walker (done flag lost to the loop
+            # limit right after its crossing) must be accepted as-is
+            def _det3(a, b, c):
+                return (a[:, 0] * (b[:, 1] * c[:, 2] - b[:, 2] * c[:, 1])
+                        - a[:, 1] * (b[:, 0] * c[:, 2] - b[:, 2] * c[:, 0])
+                        + a[:, 2] * (b[:, 0] * c[:, 1] - b[:, 1] * c[:, 0]))
+
+            v0 = vs[:, 0]
+            vol = _det3(vs[:, 1] - v0, vs[:, 2] - v0, vs[:, 3] - v0)
+            sgn = jnp.sign(jnp.where(vol == 0, 1.0, vol))
+            tolv = 1e-6 * jnp.abs(vol)
+            contained = jnp.ones(e.shape, bool)
+            corners = (vs[:, 0], vs[:, 1], vs[:, 2], vs[:, 3])
+            for k in range(4):
+                reps = [p3 if m == k else corners[m] for m in range(4)]
+                wk = _det3(reps[1] - reps[0], reps[2] - reps[0],
+                           reps[3] - reps[0])
+                contained = contained & (wk * sgn >= -tolv)
+            d2 = jnp.where(contained, 0.0, d2)
+            best = jnp.where(contained[:, None], p3, best)
+            qc = tuple(best[:, i] for i in range(3))
+        cent = vs.mean(axis=1)                           # (w, dim)
+        # element scale from the longest edge
+        scale2 = jnp.zeros(e.shape, vs.dtype)
+        nv = vs.shape[1]
+        for i in range(nv):
+            for j in range(i + 1, nv):
+                scale2 = jnp.maximum(
+                    scale2, jnp.sum((vs[:, i] - vs[:, j]) ** 2, axis=-1))
+        ok = d2 <= (RECOVER_REL_TOL ** 2) * scale2
+        q_out = tuple(
+            qi + (cent[:, i] - qi) * RECOVER_NUDGE
+            for i, qi in enumerate(qc)
+        )
+        return ok, q_out
+
+    return recover
+
+
+# ---------------------------------------------------------------------------
 # walk engine
 # ---------------------------------------------------------------------------
 
@@ -460,7 +562,7 @@ def _compact_idx(done: jax.Array, m: int) -> jax.Array:
 
 
 def _make_step(core, mesh, boundary_handler, use_guess: bool,
-               record_exit: bool, aux_table=None):
+               record_exit: bool, aux_table=None, recover: str = "off"):
     """One vectorized walk step, width-agnostic.  State arrays are all (N,).
 
     ``rec`` threads the optional per-particle capture state through the
@@ -546,6 +648,14 @@ def _make_step(core, mesh, boundary_handler, use_guess: bool,
     # walk treat dest as a per-level constant: no dest in the loop carry, no
     # dest merge scatters (docs/PERFORMANCE.md)
     step.modifies_dest = getattr(boundary_handler, "modifies_dest", True)
+    if recover not in ("off", "project"):
+        raise ValueError(f"unknown recover mode {recover!r}; "
+                         f"expected 'off' or 'project'")
+    if recover == "project" and n_aux:
+        raise ValueError("recover='project' cannot be combined with "
+                         "aux_capture (recovered walkers never trigger the "
+                         "at-finish capture)")
+    step.recover_fn = _make_recover(mesh) if recover == "project" else None
     return step
 
 
@@ -553,7 +663,8 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
               fallback=None, fg0=None, record_exit: bool = False,
               widths: Optional[Tuple[int, ...]] = None,
               it0: int = 0,
-              aux0: Tuple[jax.Array, ...] = ()) -> SearchResult:
+              aux0: Tuple[jax.Array, ...] = (),
+              recover_fn=None) -> SearchResult:
     """Pyramid walk: run at full width only while most walkers are live, then
     repeatedly shrink the working width, each time compacting the survivors
     of the PREVIOUS level (one O(N) argsort total); all levels' results
@@ -564,6 +675,8 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
     pyramid (entries must be decreasing and < N).
     """
     n = elem0.shape[0]
+    if recover_fn is None:
+        recover_fn = getattr(step, "recover_fn", None)
     if fallback is None:
         fallback = elem0
     if fg0 is None:
@@ -693,6 +806,37 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
         prev = (s_elem, s_dest, s_done, s_fbg, s_rec, s_orig)
         last_done = s_done
 
+    # stranded-walker recovery (sliver/degenerate robustness): before the
+    # loop-limit deletion, survivors whose destination sits within float
+    # noise of their current element's closure are accepted with the
+    # projected destination (see _make_recover).  Runs on the DEEPEST
+    # pyramid level only — stranded walkers persist through every level, so
+    # by the loop limit they have compacted into it (shallower unfinished
+    # slots only exist when survivors exceed a level width at the limit;
+    # those keep the reference's deletion semantics).
+    num_recovered = jnp.int32(0)
+    recover_scatter = None            # (gidx, ok, q) for the dest fix-up
+    if recover_fn is not None:
+        if levels:
+            gidx_l, (s_elem, s_dest, s_done, s_rec) = levels[-1]
+            und = ~s_done & (s_elem >= 0)
+            r_ok, r_q = recover_fn(s_elem, s_dest)
+            rec_ok = und & r_ok
+            s_done = s_done | rec_ok
+            levels[-1] = (gidx_l, (s_elem, s_dest, s_done, s_rec))
+            last_done = s_done
+            num_recovered = jnp.sum(rec_ok.astype(jnp.int32))
+            recover_scatter = (gidx_l, rec_ok, r_q)
+        else:
+            und = ~done & (elem >= 0)
+            r_ok, r_q = recover_fn(elem, dest)
+            rec_ok = und & r_ok
+            done = done | rec_ok
+            last_done = done
+            num_recovered = jnp.sum(rec_ok.astype(jnp.int32))
+            dest = tuple(
+                jnp.where(rec_ok, qi, d) for qi, d in zip(r_q, dest))
+
     # loop-limit fallback on the level-0 slots (deeper levels overwrite):
     # delete unfinished walkers (adjacency.hpp:1126-1149)
     elem = jnp.where(done, elem, INVALID)
@@ -732,17 +876,27 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
                     for d, sd in zip(dest, s_dest)
                 )
 
+    if recover_scatter is not None:
+        # recovered walkers' destinations move to the projected point (the
+        # levels' dest merge wrote their LAST walk dest, which need not be
+        # contained); a handful of slots, one narrow scatter per component
+        gidx_l, rec_ok, r_q = recover_scatter
+        gidx_r = jnp.where(rec_ok, gidx_l, n)
+        dest = tuple(
+            d.at[gidx_r].set(qi, mode="drop") for d, qi in zip(dest, r_q))
+
     all_found = jnp.all(last_done)
+    num_rec = num_recovered if recover_fn is not None else None
     aux_c = rec[:n_aux] if n_aux else None
     if record_exit:
         return SearchResult(
             elem_ids=elem, dest_c=dest, iters=it, all_found=all_found,
             exit_side=rec[n_aux], num_hits=rec[n_aux + 1],
-            hit_c=rec[n_aux + 2:], aux_c=aux_c,
+            hit_c=rec[n_aux + 2:], aux_c=aux_c, num_recovered=num_rec,
         )
     return SearchResult(
         elem_ids=elem, dest_c=dest, iters=it, all_found=all_found,
-        aux_c=aux_c,
+        aux_c=aux_c, num_recovered=num_rec,
     )
 
 
@@ -759,7 +913,7 @@ def _components(x) -> Tuple[jax.Array, ...]:
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=(
-    "max_iters", "boundary_handler", "record_exit", "widths"))
+    "max_iters", "boundary_handler", "record_exit", "widths", "recover"))
 def search_mesh_2d(
     mesh: Mesh2D,
     x_orig: jax.Array,
@@ -770,6 +924,7 @@ def search_mesh_2d(
     boundary_handler: Callable[[BoundaryCtx], BoundaryResult] = remove_on_exit,
     record_exit: bool = False,
     widths: Optional[Tuple[int, ...]] = None,
+    recover: str = "off",
 ) -> SearchResult:
     """Walk every active particle from ``elem_init`` to the element containing
     ``x_tgt``.  Inactive particles get ``elem_ids == INVALID``.
@@ -777,6 +932,9 @@ def search_mesh_2d(
     Matches ``search_mesh_2d`` semantics (adjacency.hpp:1011-1158): boundary
     exits are delegated to ``boundary_handler``; particles still walking when
     ``max_iters`` is hit are deleted, as the reference does at its loop limit.
+    ``recover="project"`` first projects loop-limit survivors onto their
+    current element and deletes only genuinely unreachable ones (see
+    :func:`_make_recover`; ``SearchResult.num_recovered`` counts them).
     """
     # clamp garbage starts so returned ids are always valid mesh elements
     elem0 = jnp.where(
@@ -785,7 +943,7 @@ def search_mesh_2d(
     )
     done0 = ~active
     step = _make_step(_core_2d(mesh), mesh, boundary_handler, False,
-                      record_exit)
+                      record_exit, recover=recover)
     return _run_walk(
         step, elem0, _components(x_tgt), done0, _components(x_orig),
         max_iters, record_exit=record_exit, widths=widths,
@@ -793,7 +951,8 @@ def search_mesh_2d(
 
 
 @partial(jax.jit, static_argnames=(
-    "max_iters", "boundary_handler", "method", "record_exit", "widths"))
+    "max_iters", "boundary_handler", "method", "record_exit", "widths",
+    "recover"))
 def search_mesh_3d(
     mesh: Mesh3D,
     x_orig: jax.Array,
@@ -805,6 +964,7 @@ def search_mesh_3d(
     method: str = "bcc",
     record_exit: bool = False,
     widths: Optional[Tuple[int, ...]] = None,
+    recover: str = "off",
 ) -> SearchResult:
     """Tet-mesh walk with the same boundary/loop-limit semantics as the
     reference's ``search_mesh`` (adjacency.hpp:558-768).
@@ -826,7 +986,8 @@ def search_mesh_3d(
     core = {
         "intersection": _core_3d_mt, "hybrid": _core_3d_hybrid,
     }.get(method, _core_3d_bcc)(mesh)
-    step = _make_step(core, mesh, boundary_handler, False, record_exit)
+    step = _make_step(core, mesh, boundary_handler, False, record_exit,
+                      recover=recover)
     return _run_walk(
         step, elem0, _components(x_tgt), done0, _components(x_orig),
         max_iters, record_exit=record_exit, widths=widths,
@@ -834,7 +995,7 @@ def search_mesh_3d(
 
 
 @partial(jax.jit, static_argnames=(
-    "max_iters", "boundary_handler", "record_exit", "widths"))
+    "max_iters", "boundary_handler", "record_exit", "widths", "recover"))
 def search_mesh_2d_accel(
     mesh: Mesh2D,
     grid,
@@ -847,6 +1008,7 @@ def search_mesh_2d_accel(
     record_exit: bool = False,
     widths: Optional[Tuple[int, ...]] = None,
     aux_capture: Optional[jax.Array] = None,
+    recover: str = "off",
 ) -> SearchResult:
     """Grid-accelerated 2D search: walk from a background-grid guess of the
     DESTINATION (1-2 hops) instead of the previous element (one hop per
@@ -868,7 +1030,7 @@ def search_mesh_2d_accel(
     a grid built with the same aux (``attach_cell_rows(..., aux=...)``).
     """
     step = _make_step(_core_2d(mesh), mesh, boundary_handler, True,
-                      record_exit, aux_table=aux_capture)
+                      record_exit, aux_table=aux_capture, recover=recover)
     fallback = jnp.where(
         active, jnp.clip(elem_prev.astype(jnp.int32), 0, mesh.nelems - 1),
         INVALID,
@@ -1052,7 +1214,8 @@ def search_mesh_2d_accel(
 
 
 @partial(jax.jit, static_argnames=(
-    "max_iters", "boundary_handler", "method", "record_exit", "widths"))
+    "max_iters", "boundary_handler", "method", "record_exit", "widths",
+    "recover"))
 def search_mesh_3d_accel(
     mesh: Mesh3D,
     grid,
@@ -1065,6 +1228,7 @@ def search_mesh_3d_accel(
     method: str = "bcc",
     record_exit: bool = False,
     widths: Optional[Tuple[int, ...]] = None,
+    recover: str = "off",
 ) -> SearchResult:
     """Grid-accelerated 3D search (see :func:`search_mesh_2d_accel`).
 
@@ -1076,7 +1240,8 @@ def search_mesh_3d_accel(
     core = {
         "intersection": _core_3d_mt, "hybrid": _core_3d_hybrid,
     }.get(method, _core_3d_bcc)(mesh)
-    step = _make_step(core, mesh, boundary_handler, True, record_exit)
+    step = _make_step(core, mesh, boundary_handler, True, record_exit,
+                      recover=recover)
     fallback = jnp.where(
         active, jnp.clip(elem_prev.astype(jnp.int32), 0, mesh.nelems - 1),
         INVALID,
@@ -1263,6 +1428,71 @@ def search_mesh_2d_pt(
     return res.elem_ids[0]
 
 
+def check_initial_parents(
+    mesh,
+    x_orig,
+    elem_init: jax.Array,
+    active: jax.Array,
+    mode: str = "repair",
+    max_iters: int = 32,
+    locator=None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Validate — and optionally repair — claimed parent elements on walk
+    entry.
+
+    The reference validates that every particle's ORIGIN lies in its claimed
+    parent and DELETES violators with a warning count
+    (``check_initial_parents``, adjacency.tpp:72-151; ``search_mesh_3d``'s
+    ``checkParent`` hard-asserts instead, adjacency.hpp:371-383).  Bad
+    parents happen with stale app state, after external pushes, or on
+    imported meshes whose seeding disagrees with the walk tolerance — and a
+    walk from a wrong parent can cross the domain boundary and silently
+    delete an in-domain particle.
+
+    ``mode="delete"``: reference semantics — invalid-parent particles get
+    ``INVALID``.  ``mode="repair"``: relocate them first (a bounded walk
+    toward the origin from the stale parent — or from ``locator``'s guess
+    of the origin when given) and delete only off-mesh origins.
+
+    Returns ``(elem, num_bad, num_repaired)``: ``elem`` is int32 with
+    repaired/validated parents (``INVALID`` where inactive or deleted).
+    Call before the search; cost is one particle-rate row gather, plus the
+    repair walk when bad parents exist (it converges immediately for the
+    all-good case).
+
+    Non-convex caveat: without ``locator``, the repair walk starts from the
+    stale parent and can hit an interior boundary when the straight path to
+    the origin crosses a hole (greedy-walk semantics, module docstring) —
+    those particles are deleted, the reference's behavior for ALL bad
+    parents.  Pass the model's locator grid for full robustness (the guess
+    starts 1-2 hops from the origin, so the walk never spans the domain).
+    """
+    if mode not in ("delete", "repair"):
+        raise ValueError(f"unknown mode {mode!r}; expected 'delete' or "
+                         f"'repair'")
+    orig = _components(x_orig)
+    e_raw = elem_init.astype(jnp.int32)
+    in_table = (e_raw >= 0) & (e_raw < mesh.nelems)
+    e_safe = jnp.clip(e_raw, 0, mesh.nelems - 1)
+    core = _core_2d(mesh) if mesh.dim == 2 else _core_3d_bcc(mesh)
+    inside, _, _, _ = core(e_safe, orig, orig, False)
+    bad = active & (~inside | ~in_table)
+    num_bad = jnp.sum(bad.astype(jnp.int32))
+    if mode == "delete":
+        elem = jnp.where(active & ~bad, e_safe, INVALID)
+        return elem, num_bad, jnp.int32(0)
+    # repair: walk toward the origin itself.  The stale parent is usually
+    # near the true one, so the greedy descent converges in a few hops; a
+    # locator guess shortcuts arbitrary displacements.
+    start = locator.guess(orig) if locator is not None else e_safe
+    search = search_mesh_2d if mesh.dim == 2 else search_mesh_3d
+    res = search(mesh, x_orig, x_orig, start, bad, max_iters)
+    repaired = bad & (res.elem_ids >= 0)
+    elem = jnp.where(
+        bad, res.elem_ids, jnp.where(active, e_safe, INVALID))
+    return elem, num_bad, jnp.sum(repaired.astype(jnp.int32))
+
+
 def trace_particle_through_mesh(
     mesh,
     x_orig: jax.Array,
@@ -1272,15 +1502,27 @@ def trace_particle_through_mesh(
     max_iters: int = 200,
     boundary_handler: Callable[[BoundaryCtx], BoundaryResult] = remove_on_exit,
     record_exit: bool = False,
+    validate_parents: str = "off",
+    recover: str = "off",
 ) -> SearchResult:
     """Unified 2D/3D driver (``trace_particle_through_mesh``,
-    adjacency.tpp:460-615): dispatches on mesh dimension."""
+    adjacency.tpp:460-615): dispatches on mesh dimension.
+
+    ``validate_parents``: "off" | "delete" | "repair" — run
+    :func:`check_initial_parents` on entry (the reference driver's
+    check_initial_parents call, adjacency.tpp:495-505; "repair" exceeds it
+    by relocating instead of deleting).  ``recover``: "off" | "project" —
+    sliver/degenerate loop-limit recovery (see :func:`search_mesh_2d`)."""
+    if validate_parents != "off":
+        elem_init, _, _ = check_initial_parents(
+            mesh, x_orig, elem_init, active, mode=validate_parents)
+        active = active & (elem_init >= 0)
     if mesh.dim == 2:
         return search_mesh_2d(
             mesh, x_orig, x_tgt, elem_init, active, max_iters,
-            boundary_handler, record_exit,
+            boundary_handler, record_exit, recover=recover,
         )
     return search_mesh_3d(
         mesh, x_orig, x_tgt, elem_init, active, max_iters, boundary_handler,
-        record_exit=record_exit,
+        record_exit=record_exit, recover=recover,
     )

@@ -146,8 +146,13 @@ class CapacityMonitor:
         if need > cur_cap or self.kept_home > 0:
             # under-capacity: observed need exceeds width, or admission
             # quotas had to park leavers — grow with headroom so the next
-            # burst fits without an immediate second re-jit
-            return max(int(need * self.policy.grow_factor), cur_cap + 1)
+            # burst fits without an immediate second re-jit.  Growth is
+            # taken from CURRENT capacity too: under receiver-side quota
+            # pressure ``need`` (sized from max_alive/max_sent) can sit at
+            # or below cur_cap, and a +1-slot resize per window would pay
+            # a full re-jit for nothing (ADVICE r4).
+            return max(int(need * self.policy.grow_factor),
+                       int(cur_cap * self.policy.grow_factor), cur_cap + 1)
         if need <= cur_cap * (1.0 - self.policy.shrink_min_gain):
             return need
         return None

@@ -5,12 +5,10 @@ whole domain is the safe zone, so particles never migrate and mesh-field
 reductions collapse to a host ``MPI_Allreduce``
 (``src/pumipic_comm.cpp:233-247``).  This is the reference's easiest
 distribution and the TPU's most natural one: particles are sharded along
-their flat axis over the ``"ranks"`` device axis, the mesh is replicated, and
-every per-step field reduction is a single ``psum`` riding the ICI.
-
-The per-device body is the SAME single-device code (search, rebuild, scatter
-are all shape-local); ``shard_map`` + ``psum`` is the only distribution
-logic.  Load balance across devices is by construction (equal shard sizes).
+their flat axis over the device mesh, the mesh is replicated, and every
+per-step field reduction is a single ``psum`` riding the ICI (and DCN on a
+multi-slice ("slice", "ranks") mesh — XLA lowers the tuple-axis psum to the
+hierarchical reduce itself).
 """
 from __future__ import annotations
 
@@ -21,19 +19,20 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from pumipic_tpu.parallel.mesh_axis import RANK_AXIS
+from pumipic_tpu.parallel.mesh_axis import RANK_AXIS, mesh_axes, num_ranks
 
 
-def reduce_vertex_field(field: jax.Array) -> jax.Array:
-    """reduceCommArray(FULL, SUM) analog: allreduce over the rank axis.
-    Call inside a shard_map body."""
-    return jax.lax.psum(field, RANK_AXIS)
+def reduce_vertex_field(field: jax.Array, axis_name=RANK_AXIS) -> jax.Array:
+    """reduceCommArray(FULL, SUM) analog: allreduce over the rank axis (or
+    axes).  Call inside a shard_map body."""
+    return jax.lax.psum(field, axis_name)
 
 
 def shard_particles(mesh: Mesh, arrays, pad_value=0):
     """Place flat particle arrays (leading axis N) sharded over ranks,
     padding N up to a multiple of the rank count."""
-    n_ranks = mesh.shape[RANK_AXIS]
+    n_ranks = num_ranks(mesh)
+    spec = P(mesh_axes(mesh))
 
     def place(x):
         n = x.shape[0]
@@ -41,7 +40,7 @@ def shard_particles(mesh: Mesh, arrays, pad_value=0):
         if rem:
             pad = jnp.full((rem,) + x.shape[1:], pad_value, x.dtype)
             x = jnp.concatenate([x, pad])
-        return jax.device_put(x, NamedSharding(mesh, P(RANK_AXIS)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(place, arrays)
 
@@ -51,19 +50,22 @@ def make_dp_step(mesh: Mesh, per_device_step: Callable):
     into an SPMD step where ``fields`` (per-vertex arrays) are psummed.
 
     ``per_device_step`` must be shape-local (it is — all our kernels are).
+    Works unchanged on a multi-slice ("slice", "ranks") mesh: the axis-name
+    tuple is the flattened rank axis.
     """
+    ax = mesh_axes(mesh)
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(RANK_AXIS),),
-        out_specs=(P(RANK_AXIS), P()),
+        in_specs=(P(ax),),
+        out_specs=(P(ax), P()),
         check_vma=False,
     )
     def step(local_state):
         new_state, fields = per_device_step(local_state)
         fields = jax.tree_util.tree_map(
-            lambda f: jax.lax.psum(f, RANK_AXIS), fields
+            lambda f: jax.lax.psum(f, ax), fields
         )
         return new_state, fields
 

@@ -21,8 +21,10 @@ to its bucket capacity AND its conservatively-counted free slots.  Leavers
 beyond their quota stay HOME (active, counted in ``num_kept_home``) and
 retry on the next step's routing — semantics the safe-zone model tolerates
 (the particle is still inside this rank's buffered region).  ``overflow``
-remains a tripwire: with quotas in force the payload exchange itself can
-never drop.  Arrivals whose element is absent from the receiving picpart
+flags only TRUE bucket overflow (per-destination volume > ``cap``, i.e. the
+send-buffer size is the binding constraint); receiver-side quota parking
+with volumes within cap is lossless backpressure reported solely via
+``num_kept_home``.  Arrivals whose element is absent from the receiving picpart
 are likewise counted (``num_recv_unresolved``) rather than silently lost.
 
 Two collectives are provided:
@@ -50,7 +52,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pumipic_tpu.parallel.mesh_axis import RANK_AXIS
+from pumipic_tpu.parallel.mesh_axis import RANK_AXIS, hier_all_to_all
 
 INVALID = -1
 
@@ -59,7 +61,9 @@ class MigrateResult(NamedTuple):
     state: Dict[str, jax.Array]   # updated local particle state
     num_sent: jax.Array           # () particles that left this rank
     num_recv: jax.Array           # () particles that arrived
-    overflow: jax.Array           # () bool: a destination bucket overflowed
+    overflow: jax.Array           # () bool: a destination's intended volume
+    #                                 exceeded the physical bucket size cap
+    #                                 (quota parking alone never sets this)
     num_recv_unresolved: jax.Array  # () arrivals whose elem gid is unknown
     num_illegal_dest: jax.Array   # () dests outside the neighbor plan (0 for
     #                                 the world collective)
@@ -299,7 +303,13 @@ def _slots_from_ranks(order, sorted_key, rank_in_bucket, counts,
         admitted, sorted_key * cap + rank_in_bucket, num_buckets * cap)
     slot = jnp.zeros((N,), jnp.int32).at[order].set(slot_sorted)
     kept = jnp.zeros((N,), bool).at[order].set(is_leaver & ~admitted)
-    overflow = jnp.any(counts > lim_b)
+    # overflow = TRUE bucket overflow only (intended volume exceeded the
+    # physical send-bucket size ``cap`` — the config knob is too tight).
+    # Quota-limited admission (receiver free-slot backpressure with
+    # counts <= cap) is lossless parking and is reported ONLY through
+    # ``kept``/num_kept_home, so downstream overflow==0 asserts don't
+    # invalidate runs that lost nothing (ADVICE r4).
+    overflow = jnp.any(counts > cap)
     return slot, overflow, kept
 
 
@@ -405,12 +415,20 @@ def migrate(
     my_rank: jax.Array,
     num_ranks: int,
     cap: int,
-    axis_name: str = RANK_AXIS,
+    axis_name=RANK_AXIS,
     plan: Optional[NeighborPlan] = None,
+    hier: bool = False,
 ) -> MigrateResult:
     """Bucketed migration (call inside shard_map).  With ``plan`` the
     exchange runs neighbor-scoped ppermute rounds (payload O(neighbors·cap));
-    without it, one world all_to_all (payload O(R·cap))."""
+    without it, one world all_to_all (payload O(R·cap)).
+
+    ``axis_name`` may be a multi-slice ("slice", "ranks") tuple (flat-rank
+    semantics; ppermute/all_to_all over the tuple are the flattened axis).
+    ``hier=True`` routes the world exchange through the two-stage
+    within-slice/across-slice collective (mesh_axis.hier_all_to_all) —
+    bit-identical, one aggregated DCN transpose instead of R scattered
+    sends."""
     if num_ranks == 1:
         # single-rank early-out, exactly the reference's comm-size-1 path
         # (SCS_migrate.h): no exchange, just apply the post-search element
@@ -457,9 +475,12 @@ def migrate(
     payload, field_slices = _pack_payload(state, leaving, gid)
     send = _fill_send(payload, slot, R, K).reshape(R, K, -1)
 
-    recv = jax.lax.all_to_all(
-        send, axis_name, split_axis=0, concat_axis=0, tiled=False
-    ).reshape(R * K, -1)
+    if hier and not isinstance(axis_name, str) and len(axis_name) == 2:
+        recv = hier_all_to_all(send, axis_name).reshape(R * K, -1)
+    else:
+        recv = jax.lax.all_to_all(
+            send, axis_name, split_axis=0, concat_axis=0, tiled=False
+        ).reshape(R * K, -1)
 
     new_state, num_recv, num_unresolved, recv_overflow = _place_arrivals(
         state, staying, new_elem, recv, field_slices, gid_sorted, gid_perm
@@ -485,8 +506,9 @@ def migrate_structure(
     my_rank: jax.Array,
     num_ranks: int,
     cap: int,
-    axis_name: str = RANK_AXIS,
+    axis_name=RANK_AXIS,
     plan: Optional[NeighborPlan] = None,
+    hier: bool = False,
 ):
     """Structure-integrated distributed migration: the TPU analog of the
     per-container ``migrate`` the reference implements four times
@@ -510,7 +532,7 @@ def migrate_structure(
     state["active"] = ps.active
     res = migrate(
         state, new_elem, dest_rank, elem_gid, gid_sorted, gid_perm,
-        my_rank, num_ranks, cap, axis_name=axis_name, plan=plan,
+        my_rank, num_ranks, cap, axis_name=axis_name, plan=plan, hier=hier,
     )
     merged = res.state
     ps2 = dataclasses.replace(

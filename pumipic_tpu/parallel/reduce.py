@@ -19,7 +19,7 @@ from enum import Enum
 import jax
 import jax.numpy as jnp
 
-from pumipic_tpu.parallel.mesh_axis import RANK_AXIS
+from pumipic_tpu.parallel.mesh_axis import RANK_AXIS, hier_all_to_all
 
 
 class Op(Enum):
@@ -27,6 +27,16 @@ class Op(Enum):
     MAX = "max"
     MIN = "min"
     BCAST = "bcast"
+
+
+def _exchange(vals, axis_name, hier: bool):
+    """(R, K[, k]) pairwise exchange: flat all_to_all, or the DCN-aware
+    two-stage route on a ("slice", "ranks") mesh (bit-identical;
+    mesh_axis.hier_all_to_all)."""
+    if hier and not isinstance(axis_name, str) and len(axis_name) == 2:
+        return hier_all_to_all(vals, axis_name)
+    return jax.lax.all_to_all(
+        vals, axis_name, split_axis=0, concat_axis=0, tiled=False)
 
 
 def _gather_rows(field, ids, fill_value):
@@ -44,11 +54,18 @@ def reduce_comm_array(
     recv_ids: jax.Array,     # (R, Kv) local: my owned ids grouped by holder
     field: jax.Array,        # (V[, k]) local per-vertex array
     op: Op = Op.SUM,
-    axis_name: str = RANK_AXIS,
+    axis_name=RANK_AXIS,
+    hier: bool = False,
 ) -> jax.Array:
     """Fan-in + fan-out owner reduction of a per-entity array (call inside
     shard_map).  Returns the reduced-and-rebroadcast field, identical on
-    every rank holding a copy of each entity."""
+    every rank holding a copy of each entity.
+
+    ``axis_name`` may be the ("slice", "ranks") tuple of a multi-slice
+    mesh (flat-rank semantics).  ``hier=True`` additionally routes both
+    exchanges through the two-stage within-slice/across-slice collective
+    (ICI redistribution + one aggregated DCN transpose per direction) —
+    bit-identical results, DCN-friendly traffic shape."""
     V = field.shape[0]
     R, K = send_ids.shape
 
@@ -64,9 +81,8 @@ def reduce_comm_array(
 
         # fan-in: my copies -> owners
         send_vals = _gather_rows(field, send_ids, neutral)      # (R, K[, k])
-        recv_vals = jax.lax.all_to_all(
-            send_vals, axis_name, split_axis=0, concat_axis=0, tiled=False
-        )  # (R, K[, k]) row s = copies of my owned entities held by rank s
+        recv_vals = _exchange(send_vals, axis_name, hier)
+        # (R, K[, k]) row s = copies of my owned entities held by rank s
 
         keys = jnp.where(recv_ids >= 0, recv_ids, V).reshape(-1)
         flat = recv_vals.reshape((R * K,) + recv_vals.shape[2:])
@@ -82,9 +98,8 @@ def reduce_comm_array(
 
     # fan-out: owners broadcast reduced values back along the same routes
     out_vals = _gather_rows(field, recv_ids, 0.0 if jnp.issubdtype(field.dtype, jnp.floating) else 0)
-    back = jax.lax.all_to_all(
-        out_vals, axis_name, split_axis=0, concat_axis=0, tiled=False
-    )  # (R, K[, k]) row o = my copies' reduced values from owner o
+    back = _exchange(out_vals, axis_name, hier)
+    # (R, K[, k]) row o = my copies' reduced values from owner o
 
     tgt = jnp.where(send_ids >= 0, send_ids, V).reshape(-1)
     flat_back = back.reshape((R * K,) + back.shape[2:])

@@ -560,3 +560,356 @@ def test_search_aux_capture_matches_final_element():
             jnp.asarray(elems, jnp.int32), jnp.ones(n, bool), 200,
             aux_capture=aux[:, :2],
         )
+
+
+# ---------------------------------------------------------------------------
+# round-5 walk robustness: initial-parent validation/repair + stranded
+# recovery (check_initial_parents, adjacency.tpp:72-151; sliver recovery,
+# adjacency.hpp:470-516, 910-1009)
+# ---------------------------------------------------------------------------
+
+def _points_in_elems(coords, tris, te, seed=3):
+    rng = np.random.default_rng(seed)
+    w = rng.dirichlet((1.0, 1.0, 1.0), len(te))
+    return (coords[tris[te]] * w[:, :, None]).sum(axis=1)
+
+
+def test_check_initial_parents_repair_2d():
+    # distorted stitched mesh (the sliver-prone gmsh-import analog)
+    coords, tris, _cls = gen.tokamak_mesh(10, 48)
+    m = Mesh2D.from_arrays(coords, tris)
+    rng = np.random.default_rng(7)
+    n = 200
+    te = rng.integers(0, len(tris), n)
+    pts = _points_in_elems(coords, tris, te)
+    # wrong parents: shifted ids, plus a few off-mesh origins
+    wrong = (te + 7) % len(tris)
+    pts[:5] = np.array([50.0, 50.0])          # far outside the domain
+    elem, num_bad, num_rep = search.check_initial_parents(
+        m, jnp.asarray(pts, jnp.float32), jnp.asarray(wrong, jnp.int32),
+        jnp.ones(n, bool), mode="repair")
+    elem = np.asarray(elem)
+    assert int(num_bad) >= n - 20             # nearly all parents are wrong
+    # off-mesh origins: deleted, not repaired
+    assert np.all(elem[:5] == -1)
+    assert int(num_rep) == int(num_bad) - 5
+    # every repaired parent CONTAINS its origin (edge ties may differ from
+    # the seeding element)
+    ev = np.asarray(m.elem2verts)
+    cz = np.asarray(m.coords)
+    for i in range(5, n):
+        assert elem[i] >= 0, i
+        a, b, c = cz[ev[elem[i]]]
+        p = pts[i]
+        s = _cross2(b - a, c - a)
+        assert _cross2(b - a, p - a) * np.sign(s) >= -1e-5 * abs(s)
+        assert _cross2(c - b, p - b) * np.sign(s) >= -1e-5 * abs(s)
+        assert _cross2(a - c, p - c) * np.sign(s) >= -1e-5 * abs(s)
+
+
+def test_check_initial_parents_delete_mode():
+    coords, tris = gen.rectangle_mesh(6, 6)
+    m = Mesh2D.from_arrays(coords, tris)
+    n = 50
+    rng = np.random.default_rng(11)
+    te = rng.integers(0, len(tris), n)
+    pts = _points_in_elems(coords, tris, te, seed=12)
+    wrong = te.copy()
+    wrong[::2] = (te[::2] + 9) % len(tris)    # half the parents are wrong
+    elem, num_bad, num_rep = search.check_initial_parents(
+        m, jnp.asarray(pts, jnp.float32), jnp.asarray(wrong, jnp.int32),
+        jnp.ones(n, bool), mode="delete")
+    elem = np.asarray(elem)
+    # reference semantics: bad parents deleted with a count, good kept
+    assert int(num_rep) == 0
+    assert int(num_bad) == int((elem == -1).sum())
+    good = elem >= 0
+    assert np.array_equal(elem[good], wrong[good])
+    assert int(num_bad) > 0
+
+
+def test_check_initial_parents_3d():
+    coords, tets = gen.box_tet_mesh(4, 4, 4)
+    m = Mesh3D.from_arrays(coords, tets)
+    rng = np.random.default_rng(5)
+    n = 100
+    te = rng.integers(0, len(tets), n)
+    w = rng.dirichlet((1.0,) * 4, n)
+    pts = (coords[tets[te]] * w[:, :, None]).sum(axis=1)
+    wrong = (te + 13) % len(tets)
+    elem, num_bad, num_rep = search.check_initial_parents(
+        m, jnp.asarray(pts, jnp.float32), jnp.asarray(wrong, jnp.int32),
+        jnp.ones(n, bool), mode="repair")
+    elem = np.asarray(elem)
+    assert int(num_bad) > 0
+    assert np.all(elem >= 0)
+    # containment of every origin in its (repaired) parent
+    ev = np.asarray(m.elem2verts)
+    cz = np.asarray(m.coords)
+    for i in range(n):
+        v = cz[ev[elem[i]]]
+        vol = np.dot(v[3] - v[0], np.cross(v[1] - v[0], v[2] - v[0]))
+        for k in range(4):
+            vv = v.copy()
+            vv[k] = pts[i]
+            wk = np.dot(vv[3] - vv[0], np.cross(vv[1] - vv[0], vv[2] - vv[0]))
+            assert wk / vol >= -1e-4, (i, elem[i], k)
+
+
+def test_trace_validate_parents_repair_recovers_destinations():
+    # convex mesh: repair succeeds for EVERY in-domain origin
+    coords, tris = gen.rectangle_mesh(10, 10)
+    m = Mesh2D.from_arrays(coords, tris)
+    rng = np.random.default_rng(21)
+    n = 128
+    te = rng.integers(0, len(tris), n)
+    orig = _points_in_elems(coords, tris, te, seed=22)
+    # small push
+    tgt = np.clip(orig + rng.normal(0, 0.01, orig.shape), 0.001, 0.999)
+    good = search.trace_particle_through_mesh(
+        m, jnp.asarray(orig, jnp.float32), jnp.asarray(tgt, jnp.float32),
+        jnp.asarray(te, jnp.int32), jnp.ones(n, bool))
+    bad_parents = (te + 11) % len(tris)
+    fixed = search.trace_particle_through_mesh(
+        m, jnp.asarray(orig, jnp.float32), jnp.asarray(tgt, jnp.float32),
+        jnp.asarray(bad_parents, jnp.int32), jnp.ones(n, bool),
+        validate_parents="repair")
+    # identical results to the correctly-parented walk (modulo edge ties:
+    # require containment-equivalence via element equality here — the
+    # repaired parent is the walk's own choice for the same origin)
+    ga = np.asarray(good.elem_ids)
+    fa = np.asarray(fixed.elem_ids)
+    ev = np.asarray(m.elem2verts)
+    cz = np.asarray(m.coords)
+    for i in range(n):
+        if ga[i] == fa[i]:
+            continue
+        # differing ids must both contain the destination (edge tie)
+        assert ga[i] >= 0 and fa[i] >= 0, (i, ga[i], fa[i])
+        for e in (ga[i], fa[i]):
+            a, b, c = cz[ev[e]]
+            p = tgt[i]
+            s = _cross2(b - a, c - a)
+            assert _cross2(b - a, p - a) * np.sign(s) >= -1e-4 * abs(s)
+
+
+def test_check_initial_parents_locator_robust_on_nonconvex():
+    """Without a locator the repair walk can cross the annulus hole and
+    delete (greedy-walk non-convexity, documented); WITH the model's
+    locator every in-domain origin is repaired."""
+    from pumipic_tpu.mesh.locator import build_locator_grid
+
+    coords, tris, _cls = gen.tokamak_mesh(8, 40)
+    m = Mesh2D.from_arrays(coords, tris)
+    rng = np.random.default_rng(21)
+    n = 128
+    te = rng.integers(0, len(tris), n)
+    orig = _points_in_elems(coords, tris, te, seed=22)
+    bad_parents = (te + 11) % len(tris)
+    loc = build_locator_grid(coords, tris)
+    elem, num_bad, num_rep = search.check_initial_parents(
+        m, jnp.asarray(orig, jnp.float32),
+        jnp.asarray(bad_parents, jnp.int32), jnp.ones(n, bool),
+        mode="repair", locator=loc)
+    elem = np.asarray(elem)
+    assert np.all(elem >= 0)                  # every origin repaired
+    assert int(num_rep) == int(num_bad)
+
+
+def test_recover_project_accepts_adjacent_strand_rejects_far():
+    coords, tris = gen.rectangle_mesh(8, 8)
+    m = Mesh2D.from_arrays(coords, tris)
+    # particle 0: dest one hop away — with max_iters=1 the walker crosses
+    # into the right element but the loop limit fires before its containment
+    # test: stranded-but-contained, recovery must accept it.
+    # particle 1: dest many hops away — stranded far from its element,
+    # recovery must REJECT it (reference deletion semantics preserved).
+    orig = jnp.asarray([[0.19, 0.05], [0.05, 0.05]], jnp.float32)
+    tgt = jnp.asarray([[0.30, 0.05], [0.95, 0.95]], jnp.float32)
+    e0 = search.search_mesh_2d(
+        m, orig, orig, jnp.zeros(2, jnp.int32), jnp.ones(2, bool)).elem_ids
+    res_off = search.search_mesh_2d(
+        m, orig, tgt, e0, jnp.ones(2, bool), max_iters=1)
+    assert int(res_off.elem_ids[0]) == -1     # loop-limit deletion today
+    assert not bool(res_off.all_found)
+    res_on = search.search_mesh_2d(
+        m, orig, tgt, e0, jnp.ones(2, bool), max_iters=1, recover="project")
+    assert int(res_on.num_recovered) == 1
+    assert int(res_on.elem_ids[0]) >= 0
+    assert int(res_on.elem_ids[1]) == -1      # far strand stays deleted
+    # recovered (elem, dest) pair passes containment
+    e = int(res_on.elem_ids[0])
+    p = np.asarray(res_on.dest)[0]
+    ev = np.asarray(m.elem2verts)
+    cz = np.asarray(m.coords)
+    a, b, c = cz[ev[e]]
+    s = _cross2(b - a, c - a)
+    assert _cross2(b - a, p - a) * np.sign(s) >= -1e-6 * abs(s)
+    assert _cross2(c - b, p - b) * np.sign(s) >= -1e-6 * abs(s)
+    assert _cross2(a - c, p - c) * np.sign(s) >= -1e-6 * abs(s)
+
+
+def test_recover_project_parity_when_converged():
+    """Recovery must be a no-op when every walker converges."""
+    coords, tris, _cls = gen.tokamak_mesh(8, 40)
+    m = Mesh2D.from_arrays(coords, tris)
+    rng = np.random.default_rng(31)
+    n = 512
+    te = rng.integers(0, len(tris), n)
+    orig = _points_in_elems(coords, tris, te, seed=32)
+    tgt = orig + rng.normal(0, 0.02, orig.shape)
+    a = search.search_mesh_2d(
+        m, jnp.asarray(orig, jnp.float32), jnp.asarray(tgt, jnp.float32),
+        jnp.asarray(te, jnp.int32), jnp.ones(n, bool))
+    b = search.search_mesh_2d(
+        m, jnp.asarray(orig, jnp.float32), jnp.asarray(tgt, jnp.float32),
+        jnp.asarray(te, jnp.int32), jnp.ones(n, bool), recover="project")
+    assert bool(a.all_found) and bool(b.all_found)
+    assert int(b.num_recovered) == 0
+    np.testing.assert_array_equal(np.asarray(a.elem_ids),
+                                  np.asarray(b.elem_ids))
+    np.testing.assert_array_equal(np.asarray(a.dest), np.asarray(b.dest))
+
+
+def test_recover_project_3d_contained_strand():
+    coords, tets = gen.box_tet_mesh(6, 6, 6)
+    m = Mesh3D.from_arrays(coords, tets)
+    # one-hop destination with max_iters=1: crossed but untested (see 2D)
+    orig = jnp.asarray([[0.10, 0.05, 0.05]], jnp.float32)
+    tgt = jnp.asarray([[0.20, 0.05, 0.05]], jnp.float32)
+    e0 = search.search_mesh_3d(
+        m, orig, orig, jnp.zeros(1, jnp.int32), jnp.ones(1, bool)).elem_ids
+    ref = search.search_mesh_3d(m, orig, tgt, e0, jnp.ones(1, bool))
+    assert int(ref.elem_ids[0]) >= 0
+    res_off = search.search_mesh_3d(m, orig, tgt, e0, jnp.ones(1, bool),
+                                    max_iters=1)
+    res_on = search.search_mesh_3d(m, orig, tgt, e0, jnp.ones(1, bool),
+                                   max_iters=1, recover="project")
+    if int(res_off.elem_ids[0]) == -1:        # genuinely stranded at limit
+        assert int(res_on.num_recovered) == 1
+        assert int(res_on.elem_ids[0]) >= 0
+        # containment of the recovered pair
+        ev = np.asarray(m.elem2verts)
+        cz = np.asarray(m.coords)
+        v = cz[ev[int(res_on.elem_ids[0])]]
+        p = np.asarray(res_on.dest)[0]
+        vol = np.dot(v[3] - v[0], np.cross(v[1] - v[0], v[2] - v[0]))
+        for k in range(4):
+            vv = v.copy()
+            vv[k] = p
+            wk = np.dot(vv[3] - vv[0], np.cross(vv[1] - vv[0], vv[2] - vv[0]))
+            assert wk / vol >= -1e-5
+
+
+# ---------------------------------------------------------------------------
+# round-5 ragged flux-band locator (mesh.locator.BandGrid2D)
+# ---------------------------------------------------------------------------
+
+def test_band_locator_detection_and_walk_parity():
+    """On a stitched flux-band mesh (tokamak), the band-aligned locator must
+    drive search_mesh_2d_accel to walk-identical results."""
+    from pumipic_tpu.mesh.locator import detect_banded_locator
+
+    # detection needs enough ring vertices to fit the D-shapes; coarse
+    # meshes legitimately return None (cartesian fallback)
+    coords, tris, cls = gen.tokamak_mesh(24, 120)
+    m = Mesh2D.from_arrays(coords, tris, cls)
+    bg = detect_banded_locator(np.asarray(coords), np.asarray(tris),
+                               np.asarray(cls), m.walk_geom)
+    assert bg is not None
+    assert bg.n_bands == 24
+    coarse_c, coarse_t, coarse_cls = gen.tokamak_mesh(8, 40)
+    mc = Mesh2D.from_arrays(coarse_c, coarse_t, coarse_cls)
+    assert detect_banded_locator(
+        np.asarray(coarse_c), np.asarray(coarse_t), np.asarray(coarse_cls),
+        mc.walk_geom) is None
+    rng = np.random.default_rng(9)
+    n = 5000
+    te = rng.integers(0, len(tris), n)
+    orig = _points_in_elems(coords, tris, te, seed=10)
+    tgt = orig + rng.normal(0, 0.02, orig.shape)   # some boundary exits too
+    plain = search.search_mesh_2d(
+        m, jnp.asarray(orig, jnp.float32), jnp.asarray(tgt, jnp.float32),
+        jnp.asarray(te, jnp.int32), jnp.ones(n, bool), 64)
+    accel = search.search_mesh_2d_accel(
+        m, bg, jnp.asarray(orig, jnp.float32), jnp.asarray(tgt, jnp.float32),
+        jnp.asarray(te, jnp.int32), jnp.ones(n, bool), 64)
+    pa = np.asarray(plain.elem_ids)
+    aa = np.asarray(accel.elem_ids)
+    # identical removals; found elements equal or edge-tie equivalents
+    np.testing.assert_array_equal(pa < 0, aa < 0)
+    diff = np.nonzero(pa != aa)[0]
+    ev = np.asarray(m.elem2verts)
+    cz = np.asarray(m.coords)
+    for i in diff:
+        for e in (pa[i], aa[i]):
+            a, b, c = cz[ev[e]]
+            p = tgt[i]
+            s = _cross2(b - a, c - a)
+            # the walk's containment tolerance is relative to the affine
+            # FMA magnitudes, which exceeds an area-relative check on
+            # slivers — allow a small absolute slack on top
+            tol = 1e-4 * abs(s) + 2e-7
+            assert _cross2(b - a, p - a) * np.sign(s) >= -tol, i
+            assert _cross2(c - b, p - b) * np.sign(s) >= -tol, i
+            assert _cross2(a - c, p - c) * np.sign(s) >= -tol, i
+
+
+def test_band_locator_detection_negatives():
+    """Meshes without the stitched band structure must be rejected (callers
+    fall back to the cartesian grid)."""
+    from pumipic_tpu.mesh.locator import detect_banded_locator
+
+    # rectangle: classification all ones, no rings
+    coords, tris = gen.rectangle_mesh(8, 8)
+    m = Mesh2D.from_arrays(coords, tris)
+    assert detect_banded_locator(
+        np.asarray(coords), np.asarray(tris),
+        np.asarray(m.class_id), m.walk_geom) is None
+    # disk: ring counts vary but the innermost fan has a center vertex
+    coords, tris, cls = gen.disk_mesh(8, 8)
+    m2 = Mesh2D.from_arrays(coords, tris, cls)
+    assert detect_banded_locator(
+        np.asarray(coords), np.asarray(tris), np.asarray(cls),
+        m2.walk_geom) is None
+    # shuffled classification (not band-ordered)
+    coords, tris, cls = gen.tokamak_mesh(6, 24)
+    cls2 = np.asarray(cls).copy()
+    cls2[::7] = 1
+    m3 = Mesh2D.from_arrays(coords, tris, cls2)
+    assert detect_banded_locator(
+        np.asarray(coords), np.asarray(tris), cls2, m3.walk_geom) is None
+
+
+def test_band_locator_in_dp_model_matches_cartesian():
+    """The dp step with the band locator must produce the same physics as
+    with the cartesian locator (walk results are locator-independent)."""
+    import dataclasses as dc
+
+    from pumipic_tpu.models.pseudo_xgcm import (
+        GyroConfig, XGCmConfig, make_dp_setup,
+    )
+    from pumipic_tpu.parallel.mesh_axis import make_device_mesh
+
+    coords, tris, cls = gen.tokamak_mesh(24, 120)
+    m = Mesh2D.from_arrays(coords, tris, cls)
+    from pumipic_tpu.mesh.locator import detect_banded_locator
+    assert detect_banded_locator(
+        np.asarray(coords), np.asarray(tris), np.asarray(cls),
+        m.walk_geom) is not None     # the band path is actually taken
+    cfg = XGCmConfig(
+        num_ptcls=4096, mdl_face=12, deg_per_push=10.0,
+        max_search_iters=64,
+        gyro=GyroConfig(rmax=0.05, num_rings=2, points_per_ring=4),
+    )
+    mesh_dev = make_device_mesh(1)
+    s_band, step_band = make_dp_setup(m, cfg, mesh_dev)
+    s_cart, step_cart = make_dp_setup(
+        m, dc.replace(cfg, band_locator="off"), mesh_dev)
+    for _ in range(3):
+        s_band, f_band = step_band(s_band)
+        s_cart, f_cart = step_cart(s_cart)
+    np.testing.assert_array_equal(np.asarray(s_band["elem"]),
+                                  np.asarray(s_cart["elem"]))
+    np.testing.assert_allclose(np.asarray(f_band["fwd"]),
+                               np.asarray(f_cart["fwd"]), rtol=1e-6)
