@@ -176,6 +176,9 @@ class KuhnLocator3D:
     nx: int = _static_field(default=1)
     ny: int = _static_field(default=1)
     nz: int = _static_field(default=1)
+    # canonical→actual element-id permutation for IMPORTED structured Kuhn
+    # meshes with shuffled vertex/element order (see AnnulusLocator2D.perm)
+    perm: Optional[jax.Array] = None
 
     def locate(self, pts, eps: float = 1e-6):
         """Points → (elem_ids, inside): analytic containing tet, and an
@@ -209,8 +212,13 @@ class KuhnLocator3D:
         )
         # f32 id arithmetic exact while 6·nx·ny·nz < 2^24
         elem = ((ix * self.ny + iy) * self.nz + iz) * 6.0 + idx
-        return jnp.where(inside, elem, jnp.float32(INVALID_F)).astype(
-            jnp.int32), inside
+        elem = jnp.where(inside, elem, jnp.float32(INVALID_F)).astype(
+            jnp.int32)
+        if self.perm is not None:
+            # imported ordering: canonical → actual id, one small gather
+            elem = jnp.where(
+                elem >= 0, self.perm[jnp.maximum(elem, 0)], elem)
+        return elem, inside
 
 
 INVALID_F = -1.0
@@ -246,22 +254,53 @@ def detect_box_kuhn(coords: np.ndarray, tets: np.ndarray
     # exactly box_tet_mesh's
     from pumipic_tpu.mesh.generate import box_tet_mesh
 
-    ref_coords, ref_tets = box_tet_mesh(
-        nx, ny, nz, xs[-1] - xs[0], ys[-1] - ys[0], zs[-1] - zs[0])
-    if not np.allclose(ref_coords + np.array([xs[0], ys[0], zs[0]]),
-                       coords, rtol=1e-6, atol=1e-12):
-        return None
-    # orientation-insensitive: Mesh3D.from_arrays may flip vertex pairs to
-    # fix tet orientation; the tet as a POINT SET (what locate assigns) is
-    # determined by its vertex set
-    if not np.array_equal(np.sort(ref_tets, axis=1), np.sort(tets, axis=1)):
-        return None
     h = np.array([xs[-1] - xs[0], ys[-1] - ys[0], zs[-1] - zs[0]])
     h = h / np.array([nx, ny, nz])
+    ref_coords, ref_tets = box_tet_mesh(
+        nx, ny, nz, xs[-1] - xs[0], ys[-1] - ys[0], zs[-1] - zs[0])
+    identity = (
+        np.allclose(ref_coords + np.array([xs[0], ys[0], zs[0]]),
+                    coords, rtol=1e-6, atol=1e-12)
+        # orientation-insensitive: Mesh3D.from_arrays may flip vertex
+        # pairs to fix tet orientation; the tet as a POINT SET (what
+        # locate assigns) is determined by its vertex set
+        and np.array_equal(np.sort(ref_tets, axis=1),
+                           np.sort(tets, axis=1))
+    )
+    if identity:
+        return KuhnLocator3D(
+            origin=jnp.asarray([xs[0], ys[0], zs[0]], jnp.float32),
+            inv_h=jnp.asarray(1.0 / h, jnp.float32),
+            nx=nx, ny=ny, nz=nz,
+        )
+    # imported orderings: permutation-tolerant proof — recover the vertex
+    # lattice permutation from snapped coordinates and match every tet to
+    # a canonical Kuhn path simplex as a vertex SET (see
+    # _detect_annulus_permuted; the 3D analog for gmsh round-trips)
+    scale = np.array([xs[0], ys[0], zs[0]])
+    ijk = np.round((coords - scale) / h).astype(np.int64)
+    if not np.allclose(scale + ijk * h, coords, rtol=1e-6, atol=1e-12):
+        return None
+    lat = (ijk[:, 0] * (ny + 1) + ijk[:, 1]) * (nz + 1) + ijk[:, 2]
+    if (ijk.min() < 0 or (ijk.max(axis=0) != [nx, ny, nz]).any()
+            or len(np.unique(lat)) != coords.shape[0]):
+        return None
+    pv = np.empty(coords.shape[0], np.int64)
+    pv[lat] = np.arange(coords.shape[0])
+    canon = pv[ref_tets]                      # canonical tets, actual ids
+    cs = np.sort(canon, axis=1)
+    ts = np.sort(tets, axis=1)
+    oc = np.lexsort(cs.T)
+    ot = np.lexsort(ts.T)
+    if not np.array_equal(cs[oc], ts[ot]):
+        return None
+    sigma = np.empty(tets.shape[0], np.int64)
+    sigma[oc] = ot                            # canonical id -> actual id
     return KuhnLocator3D(
         origin=jnp.asarray([xs[0], ys[0], zs[0]], jnp.float32),
         inv_h=jnp.asarray(1.0 / h, jnp.float32),
         nx=nx, ny=ny, nz=nz,
+        perm=jnp.asarray(sigma, LID_DTYPE),
     )
 
 
@@ -303,13 +342,25 @@ class AnnulusLocator2D:
     # replace per-particle class/rotation table gathers with elementwise
     # arithmetic.
     ring_class: bool = _static_field(default=False)
+    # angular offset of sector ray 0 (imported structured annuli may be
+    # rotated; the canonical generator has theta0 = 0)
+    theta0: jax.Array = 0.0
+    # canonical→actual element-id permutation for IMPORTED structured
+    # annuli whose element/vertex order is shuffled (gmsh round-trips):
+    # the analytic locate computes the canonical id, then maps through
+    # this (E,) table — one small gather instead of the full walk.  None
+    # = identity (the generator's order; pure gather-free locate).
+    perm: Optional[jax.Array] = None
 
     def class_of(self, elem: jax.Array) -> jax.Array:
         """Analytic per-element classification for a proven ``ring_class``
         mesh: class_id(e) = e // (2·n_sectors) + 1 (annulus_mesh layout) —
         pure elementwise, replacing the mesh-table gather at particle
-        rate.  Only valid when ``ring_class`` is True."""
+        rate.  Only valid when ``ring_class`` is True (which detection
+        grants only for the identity element ordering — with a ``perm``
+        the actual id is not analytic in the ring)."""
         assert self.ring_class, "class_of requires a ring_class-proven mesh"
+        assert self.perm is None
         return elem // (2 * self.n_sectors) + 1
 
     def locate(self, pts, eps: float = 1e-6):
@@ -334,11 +385,12 @@ class AnnulusLocator2D:
         y = py - self.cy
         two_pi = jnp.float32(2.0 * np.pi)
         dth = two_pi / self.n_sectors
-        th = jnp.arctan2(y, x)
+        th = jnp.arctan2(y, x) - self.theta0
         th = jnp.where(th < 0, th + two_pi, th)
+        th = jnp.where(th < 0, th + two_pi, th)     # theta0 ∈ (-π, π]
         kf = jnp.clip(jnp.floor(th / dth), 0.0, self.n_sectors - 1.0)
         # wedge-bisector projection: exact ring floor AND chord-exact bounds
-        phi = (kf + 0.5) * dth
+        phi = self.theta0 + (kf + 0.5) * dth
         m = jnp.cos(0.5 * dth)
         r_eff = (x * jnp.cos(phi) + y * jnp.sin(phi)) / m
         r_out = self.r_in + self.dr * self.n_rings
@@ -350,7 +402,7 @@ class AnnulusLocator2D:
         # cross((d-a), (p-a)) > 0 → tri [a,b,d] (elem +0), < 0 → [a,d,c] (+1)
         ra = self.r_in + rf * self.dr
         rd = ra + self.dr
-        tha = kf * dth
+        tha = self.theta0 + kf * dth
         thd = tha + dth
         ax = ra * jnp.cos(tha)
         ay = ra * jnp.sin(tha)
@@ -362,7 +414,75 @@ class AnnulusLocator2D:
         elem = (rf * self.n_sectors + kf) * 2.0 + trif
         elem = jnp.where(inside, elem, jnp.float32(INVALID_F)).astype(
             jnp.int32)
+        if self.perm is not None:
+            # imported ordering: canonical → actual id through one small
+            # gather (still no walk, no containment pyramid)
+            elem = jnp.where(
+                elem >= 0, self.perm[jnp.maximum(elem, 0)], elem)
         return elem, inside, rf, kf, trif
+
+
+def _detect_annulus_permuted(coords, tris, c, rad, n_rings, n_sectors,
+                             r_in, r_out, level_tol):
+    """Permutation/rotation-tolerant structured-annulus proof: recover the
+    (ring × sector) lattice with a global angular offset, the vertex
+    permutation, and the element permutation σ (canonical → actual id) by
+    EXACT connectivity matching.  Returns (theta0, sigma) or None.
+
+    This widens the detected class from 'bit-identical to the generator'
+    to 'any reordering/rotation of a structured annulus' — the orderings
+    real mesh IMPORTS have (gmsh round-trips shuffle vertices and
+    elements; VERDICT r4 on detection generality)."""
+    V = coords.shape[0]
+    E = tris.shape[0]
+    S, Rg = n_sectors, n_rings
+    dth = 2.0 * np.pi / S
+    th = np.arctan2(coords[:, 1] - c[1], coords[:, 0] - c[0])
+    # ring index per vertex from the radius level
+    order = np.argsort(rad)
+    lev = np.zeros(V, np.int64)
+    lev[order] = np.cumsum(
+        np.concatenate([[0], (np.diff(rad[order]) > level_tol)]))
+    if lev.max() != Rg:
+        return None
+    # global angular offset: vertices sit at theta0 + k·dth, so the S-fold
+    # phase mean recovers theta0 exactly on an ideal lattice
+    z = np.exp(1j * S * th)
+    theta0 = np.angle(z.mean()) / S
+    kf = np.mod(np.round((th - theta0) / dth).astype(np.int64), S)
+    # verify every vertex is ON its lattice site (rotation-tolerant)
+    r_lat = r_in + (r_out - r_in) * lev / Rg
+    ang = theta0 + kf * dth
+    ideal = np.stack([c[0] + r_lat * np.cos(ang),
+                      c[1] + r_lat * np.sin(ang)], axis=1)
+    if not np.allclose(ideal, coords, rtol=1e-6, atol=2e-6 * r_out):
+        return None
+    # vertex permutation lattice-site -> vertex id (must be a bijection)
+    lat = lev * S + kf
+    if len(np.unique(lat)) != V or V != (Rg + 1) * S:
+        return None
+    pv = np.empty(V, np.int64)
+    pv[lat] = np.arange(V)
+    # canonical triangles through the vertex permutation
+    rr = np.repeat(np.arange(Rg), S)
+    kk = np.tile(np.arange(S), Rg)
+    a = pv[rr * S + kk]
+    b = pv[rr * S + (kk + 1) % S]
+    cc = pv[(rr + 1) * S + kk]
+    d = pv[(rr + 1) * S + (kk + 1) % S]
+    canon = np.empty((E, 3), np.int64)
+    canon[0::2] = np.stack([a, b, d], axis=1)
+    canon[1::2] = np.stack([a, d, cc], axis=1)
+    # exact element matching as vertex SETS (orientation-insensitive)
+    cs = np.sort(canon, axis=1)
+    ts = np.sort(np.asarray(tris, np.int64), axis=1)
+    oc = np.lexsort(cs.T)
+    ot = np.lexsort(ts.T)
+    if not np.array_equal(cs[oc], ts[ot]):
+        return None
+    sigma = np.empty(E, np.int64)
+    sigma[oc] = ot                       # canonical id -> actual id
+    return float(theta0), sigma
 
 
 def detect_annulus_structured(coords: np.ndarray, tris: np.ndarray,
@@ -410,20 +530,38 @@ def detect_annulus_structured(coords: np.ndarray, tris: np.ndarray,
         n_rings, n_sectors, r_in, r_out, c[0], c[1])
     # atol covers the f32 round-trip of Mesh2D.from_arrays (~6e-8·r_out),
     # still ~10^4 below any mesh feature (ring spacing ~0.05·r_out)
-    if ref_coords.shape != coords.shape or not np.allclose(
-            ref_coords, coords, rtol=1e-6, atol=2e-6 * r_out):
+    identity = (
+        ref_coords.shape == coords.shape
+        and np.allclose(ref_coords, coords, rtol=1e-6, atol=2e-6 * r_out)
+        # orientation-insensitive (from_arrays may flip a vertex pair): the
+        # triangle as a POINT SET determines what locate must assign
+        and np.array_equal(np.sort(ref_tris, axis=1),
+                           np.sort(tris, axis=1))
+    )
+    if identity:
+        ring_class = cls is not None and np.array_equal(
+            np.asarray(cls).ravel(), _ref_cls.ravel())
+        return AnnulusLocator2D(
+            cx=jnp.float32(c[0]), cy=jnp.float32(c[1]),
+            r_in=jnp.float32(r_in),
+            dr=jnp.float32((r_out - r_in) / n_rings),
+            n_rings=n_rings, n_sectors=n_sectors, ring_class=ring_class,
+        )
+    # imported orderings: permutation/rotation-tolerant proof (locate maps
+    # canonical → actual ids through one small gather)
+    got = _detect_annulus_permuted(
+        coords, tris, c, rad, n_rings, n_sectors, r_in, r_out, level_tol)
+    if got is None:
         return None
-    # orientation-insensitive (from_arrays may flip a vertex pair): the
-    # triangle as a POINT SET determines what locate must assign
-    if not np.array_equal(np.sort(ref_tris, axis=1), np.sort(tris, axis=1)):
-        return None
-    ring_class = cls is not None and np.array_equal(
-        np.asarray(cls).ravel(), _ref_cls.ravel())
+    theta0, sigma = got
+    _check_ids_f32_exact(tris)
     return AnnulusLocator2D(
         cx=jnp.float32(c[0]), cy=jnp.float32(c[1]),
         r_in=jnp.float32(r_in),
         dr=jnp.float32((r_out - r_in) / n_rings),
-        n_rings=n_rings, n_sectors=n_sectors, ring_class=ring_class,
+        n_rings=n_rings, n_sectors=n_sectors, ring_class=False,
+        theta0=jnp.float32(theta0),
+        perm=jnp.asarray(sigma, LID_DTYPE),
     )
 
 
@@ -503,14 +641,29 @@ class BandGrid2D:
 
     cx: jax.Array                 # () polar center
     cy: jax.Array                 # ()
-    coef: jax.Array               # (P+1, 2J+1) Chebyshev(b) × Fourier(θ)
+    # SVD-factored forward model R(b, θ) = Cheb(u)ᵀ (U·V) h(θ): the Miller
+    # flux-surface family is strongly low-rank (rank 5 reconstructs the
+    # 120k model to 2e-4 of 4e-3 min ring gap), so the harmonic recurrence
+    # carries only ``rank`` accumulator arrays instead of P+1 — the dense
+    # (P+1, 2J+1) accumulation measured +~100 ms at 10M (vreg spill /
+    # HBM-traffic class, round-5 TPU arm 1)
+    coef_u: jax.Array             # (P+1, rank)
+    coef_v: jax.Array             # (rank, 2J+1)
+    # scalar radial-inverse polynomial u0(r) fitted to the angular-mean
+    # profile (host build): a register-resident Horner seed for Newton —
+    # SCALAR coefficients cost nothing at particle rate
+    inv_coef: jax.Array           # (deg+1,) ascending powers of r
     cell_rows: jax.Array          # (K·T, 14) [A affine 6 | idA | B … | idB]
     cell_elem: jax.Array          # (K·T,) candidate A ids (guess())
     n_bands: int = _static_field(default=1)     # K
     n_theta: int = _static_field(default=1)     # T θ-bins per band
     n_harm: int = _static_field(default=8)      # J
     n_cheb: int = _static_field(default=8)      # P
-    bisect_iters: int = _static_field(default=14)
+    rank: int = _static_field(default=5)
+    # root refinement: u0 seed + ``newton_iters`` safeguarded Newton steps
+    # (each one Clenshaw value+derivative pass) — replaces the 14-pass
+    # bisection, whose per-pass q-array reads dominated the ψ cost
+    newton_iters: int = _static_field(default=3)
     # duck-typing with LocatorGrid2D for search_mesh_2d_accel's dispatch
     cell_lines: Optional[jax.Array] = None
     cell_rows_b: Optional[jax.Array] = None
@@ -523,36 +676,48 @@ class BandGrid2D:
         y = py - self.cy
         r = jnp.sqrt(x * x + y * y)
         th = jnp.arctan2(y, x)
-        J, P = self.n_harm, self.n_cheb
+        J, P, rk = self.n_harm, self.n_cheb, self.rank
         c1 = jnp.cos(th)
         s1 = jnp.sin(th)
-        # per-particle Chebyshev coefficients q_p = Σ_j coef[p, j]·h_j(θ):
-        # harmonics by recurrence, accumulated directly into q (never
-        # materializing an (N, 2J+1) harmonics array)
-        q = [jnp.full(r.shape, self.coef[p, 0]) for p in range(P + 1)]
+        # rank-space projections t_k = Σ_j V[k, j]·h_j(θ): harmonics by
+        # recurrence with only ``rank`` live accumulators
+        t = [jnp.full(r.shape, self.coef_v[k, 0]) for k in range(rk)]
         cj, sj = c1, s1
         for j in range(J):
-            for p in range(P + 1):
-                q[p] = q[p] + self.coef[p, 1 + j] * cj
-                q[p] = q[p] + self.coef[p, 1 + J + j] * sj
+            for k in range(rk):
+                t[k] = t[k] + self.coef_v[k, 1 + j] * cj
+                t[k] = t[k] + self.coef_v[k, 1 + J + j] * sj
             if j + 1 < J:
                 cj, sj = cj * c1 - sj * s1, sj * c1 + cj * s1
+        # per-particle Chebyshev coefficients (one fused pass from rank-r)
+        q = [sum(self.coef_u[p, k] * t[k] for k in range(rk))
+             for p in range(P + 1)]
 
-        def radius_at(u):
+        def radius_and_slope(u):
+            # Clenshaw for value AND du-derivative in one recurrence pair
             bk1 = jnp.zeros_like(u)
             bk2 = jnp.zeros_like(u)
+            dk1 = jnp.zeros_like(u)
+            dk2 = jnp.zeros_like(u)
             for p in range(P, 0, -1):
+                dk1, dk2 = 2.0 * bk1 + 2.0 * u * dk1 - dk2, dk1
                 bk1, bk2 = q[p] + 2.0 * u * bk1 - bk2, bk1
-            return q[0] + u * bk1 - bk2
+            val = q[0] + u * bk1 - bk2
+            dv = bk1 + u * dk1 - dk2
+            return val, dv
 
-        lo = jnp.full(r.shape, -1.05, r.dtype)
-        hi = jnp.full(r.shape, 1.05, r.dtype)
-        for _ in range(self.bisect_iters):
-            mid = 0.5 * (lo + hi)
-            below = radius_at(mid) < r
-            lo = jnp.where(below, mid, lo)
-            hi = jnp.where(below, hi, mid)
-        return (0.5 * (lo + hi) + 1.0) * (0.5 * self.n_bands), th
+        # seed from the scalar angular-mean inverse, then safeguarded
+        # Newton (profiles are monotone in u with slope ~(r_out-r_in)/2,
+        # never near zero)
+        u = jnp.full(r.shape, self.inv_coef[-1], r.dtype)
+        for p in range(self.inv_coef.shape[0] - 2, -1, -1):
+            u = u * r + self.inv_coef[p]
+        u = jnp.clip(u, -1.05, 1.05)
+        for _ in range(self.newton_iters):
+            val, dv = radius_and_slope(u)
+            u = u - (val - r) / jnp.maximum(dv, 1e-6)
+            u = jnp.clip(u, -1.05, 1.05)
+        return (u + 1.0) * (0.5 * self.n_bands), th
 
     def cell_of(self, pts) -> jax.Array:
         px, py = (pts[0], pts[1]) if isinstance(pts, tuple) else (
@@ -686,13 +851,33 @@ def detect_banded_locator(
     G[np.diag_indices_from(G)] += 1e-12 * np.trace(G)
     coef = np.linalg.solve(G, Tb.T @ C)              # (P+1, 2J+1)
 
-    # residual gate: model radius vs actual vertex radii, relative to the
-    # local ring spacing (the quantity band assignment is measured in)
+    th_grid = np.linspace(-np.pi, np.pi, 256, endpoint=False)
+    Ag = ang_feats(th_grid)
+    prof_full = Tb @ coef @ Ag.T                     # (K+1, 256)
+    gaps_full = np.diff(prof_full, axis=0)
+    if gaps_full.min() <= 0:
+        return None                                  # non-nested fit
+    # SVD rank truncation: the runtime harmonic recurrence carries one
+    # accumulator array per rank, and the dense (P+1)-accumulator form
+    # measured +~100 ms at 10M (round-5 arm 1) — flux-surface families
+    # are strongly low-rank, so pick the smallest rank whose profile
+    # error is well under the minimum ring gap
+    Uc, sv, Vt = np.linalg.svd(coef, full_matrices=False)
+    rank = len(sv)
+    for rr_ in range(2, len(sv) + 1):
+        cr = (Uc[:, :rr_] * sv[:rr_]) @ Vt[:rr_]
+        if np.abs(Tb @ cr @ Ag.T - prof_full).max() <= 0.1 * gaps_full.min():
+            rank = rr_
+            break
+    rank = min(rank, 8)
+    coef = (Uc[:, :rank] * sv[:rank]) @ Vt[:rank]    # what actually runs
+
+    # residual gate ON THE TRUNCATED MODEL: model radius vs actual vertex
+    # radii, relative to the local ring spacing (the quantity band
+    # assignment is measured in)
     Rfit = Tb @ coef                                 # (K+1, 2J+1) smoothed
     eval_err = 0.0
     min_gap = np.inf
-    th_grid = np.linspace(-np.pi, np.pi, 256, endpoint=False)
-    Ag = ang_feats(th_grid)
     prof = Rfit @ Ag.T                               # (K+1, 256)
     gaps = np.diff(prof, axis=0)
     if gaps.min() <= 0:
@@ -716,8 +901,14 @@ def detect_banded_locator(
         n_theta = 1 << int(np.ceil(np.log2(max(per_band.max(), 8))))
     T = int(n_theta)
 
+    # scalar Newton seed: invert the ANGULAR-MEAN radial profile with an
+    # ascending-power polynomial u0(r) (register-resident on device)
+    rmean = prof.mean(axis=1)                        # (K+1,)
+    inv_deg = min(10, K - 1)
+    inv_coef = np.polynomial.polynomial.polyfit(rmean, u, inv_deg)
+
     # --- calibration through the composite assignment (host mirror of
-    # BandGrid2D.cell_of, float64)
+    # BandGrid2D.cell_of — same seed + Newton algorithm, float64)
     def band_of(pts):
         dxq = pts[:, 0] - center[0]
         dyq = pts[:, 1] - center[1]
@@ -725,21 +916,24 @@ def detect_banded_locator(
         tq = np.arctan2(dyq, dxq)
         q = ang_feats(tq) @ coef.T                   # (n, P+1)
 
-        def radius_at(uv):
+        def radius_and_slope(uv):
             bk1 = np.zeros_like(uv)
             bk2 = np.zeros_like(uv)
+            dk1 = np.zeros_like(uv)
+            dk2 = np.zeros_like(uv)
             for p in range(P, 0, -1):
+                dk1, dk2 = 2.0 * bk1 + 2.0 * uv * dk1 - dk2, dk1
                 bk1, bk2 = q[:, p] + 2.0 * uv * bk1 - bk2, bk1
-            return q[:, 0] + uv * bk1 - bk2
+            return q[:, 0] + uv * bk1 - bk2, bk1 + uv * dk1 - dk2
 
-        lo = np.full(len(rq), -1.05)
-        hi = np.full(len(rq), 1.05)
-        for _ in range(14):
-            mid = 0.5 * (lo + hi)
-            below = radius_at(mid) < rq
-            lo = np.where(below, mid, lo)
-            hi = np.where(below, hi, mid)
-        bst = (0.5 * (lo + hi) + 1.0) * (K / 2.0)
+        uv = np.full(len(rq), inv_coef[-1])
+        for p in range(len(inv_coef) - 2, -1, -1):
+            uv = uv * rq + inv_coef[p]
+        uv = np.clip(uv, -1.05, 1.05)
+        for _ in range(3):
+            val, dv = radius_and_slope(uv)
+            uv = np.clip(uv - (val - rq) / np.maximum(dv, 1e-6), -1.05, 1.05)
+        bst = (uv + 1.0) * (K / 2.0)
         return np.clip(np.floor(bst), 0, K - 1).astype(np.int64), tq
 
     def cell_of_h(pts):
@@ -767,10 +961,12 @@ def detect_banded_locator(
 
     return BandGrid2D(
         cx=jnp.float32(center[0]), cy=jnp.float32(center[1]),
-        coef=jnp.asarray(coef, jnp.float32),
+        coef_u=jnp.asarray(Uc[:, :rank] * sv[:rank], jnp.float32),
+        coef_v=jnp.asarray(Vt[:rank], jnp.float32),
+        inv_coef=jnp.asarray(inv_coef, jnp.float32),
         cell_rows=jnp.asarray(rows),
         cell_elem=jnp.asarray(a, LID_DTYPE),
-        n_bands=K, n_theta=T, n_harm=J, n_cheb=P,
+        n_bands=K, n_theta=T, n_harm=J, n_cheb=P, rank=rank,
     )
 
 

@@ -280,7 +280,13 @@ def make_picparts_setup_3d(
     if neighbor_migration:
         from pumipic_tpu.parallel import distributor as dstm
 
-        nplan = mig.build_neighbor_plan(dstm.from_picparts(pp))
+        # DCN-aware round split on a multi-slice mesh: within-slice edges
+        # first (ICI rounds), cross-slice edges batched after (DCN rounds)
+        slice_of_rank = (np.repeat(
+            np.arange(device_mesh.shape[AX[0]]),
+            device_mesh.shape[AX[1]]) if hier else None)
+        nplan = mig.build_neighbor_plan(dstm.from_picparts(pp),
+                                        slice_of_rank=slice_of_rank)
 
     # --- global seeding, routed to owning ranks
     gmesh = Mesh3D.from_arrays(coords, tets)

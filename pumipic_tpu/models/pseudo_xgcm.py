@@ -719,7 +719,10 @@ def make_picparts_setup(
 
     detected = detect_annulus_structured(coords, elem2verts, cls=class_id)
     if partition == "auto":
-        partition = "bands" if detected is not None else "rcb"
+        # sector_band_owners assumes the generator's canonical element
+        # order; an imported (permutation-proven) annulus keeps RCB
+        partition = ("bands" if detected is not None
+                     and detected.perm is None else "rcb")
     if partition == "bands":
         if detected is None:
             raise ValueError("partition='bands' needs a detection-proven "
@@ -736,7 +739,13 @@ def make_picparts_setup(
     if neighbor_migration:
         from pumipic_tpu.parallel import distributor as dstm
 
-        nplan = mig.build_neighbor_plan(dstm.from_picparts(pp))
+        # DCN-aware round split on a multi-slice mesh: within-slice edges
+        # first (ICI rounds), cross-slice edges batched after (DCN rounds)
+        slice_of_rank = (np.repeat(
+            np.arange(device_mesh.shape[AX[0]]),
+            device_mesh.shape[AX[1]]) if hier else None)
+        nplan = mig.build_neighbor_plan(dstm.from_picparts(pp),
+                                        slice_of_rank=slice_of_rank)
 
     # --- host-side particle seeding on the GLOBAL mesh, routed to owners
     gmesh = Mesh2D.from_arrays(coords, elem2verts, class_id)
@@ -884,7 +893,7 @@ def make_picparts_setup(
                     cz_h[r][:nv], ev_h[r][valid_e], cls_h[r][valid_e],
                     wg_h[r][valid_e], n_theta=cfg.band_theta))
             if all(b is not None for b in bgs) and len({
-                    (b.n_bands, b.n_theta, b.n_harm, b.n_cheb)
+                    (b.n_bands, b.n_theta, b.n_harm, b.n_cheb, b.rank)
                     for b in bgs}) == 1:
                 band_grids = bgs
             elif cfg.band_locator == "force":
@@ -894,13 +903,16 @@ def make_picparts_setup(
             locator = BandGrid2D(
                 cx=jnp.stack([b.cx for b in band_grids]),
                 cy=jnp.stack([b.cy for b in band_grids]),
-                coef=jnp.stack([b.coef for b in band_grids]),
+                coef_u=jnp.stack([b.coef_u for b in band_grids]),
+                coef_v=jnp.stack([b.coef_v for b in band_grids]),
+                inv_coef=jnp.stack([b.inv_coef for b in band_grids]),
                 cell_rows=jnp.stack([b.cell_rows for b in band_grids]),
                 cell_elem=jnp.stack([b.cell_elem for b in band_grids]),
                 n_bands=band_grids[0].n_bands,
                 n_theta=band_grids[0].n_theta,
                 n_harm=band_grids[0].n_harm,
                 n_cheb=band_grids[0].n_cheb,
+                rank=band_grids[0].rank,
             )
             locator = jax.device_put(locator, sharding)
     if cfg.use_locator and analytic is None and locator is None:

@@ -185,26 +185,52 @@ class NeighborPlan:
     perms: tuple = _static_field(default=())   # per-round ((src, dst), ...)
     num_rounds: int = _static_field(default=0)
     max_out_degree: int = _static_field(default=0)
+    # DCN-aware schedule (multi-slice meshes): rounds [0, num_intra_rounds)
+    # carry only within-slice edges (ICI); later rounds batch the
+    # cross-slice edges (DCN).  Equals num_rounds on flat meshes.
+    num_intra_rounds: int = _static_field(default=0)
 
 
-def build_neighbor_plan(distributor) -> NeighborPlan:
+def build_neighbor_plan(distributor, slice_of_rank=None) -> NeighborPlan:
     """Greedy bipartite edge coloring of the directed neighbor graph
     (senders × receivers): each color class is a partial permutation.
     For a graph with max in/out degree Δ this uses ≤ 2Δ-1 rounds (usually
     ≈ Δ); the reference's per-neighbor Isend/Irecv achieves the same
-    O(neighbors) payload (SCS_migrate.h:41-62)."""
+    O(neighbors) payload (SCS_migrate.h:41-62).
+
+    ``slice_of_rank`` (R,) splits the schedule for a multi-slice mesh:
+    within-slice edges are colored into the leading rounds (each such
+    ppermute rides ICI links only) and cross-slice edges into trailing
+    rounds (batched DCN traffic) — results are bit-identical to the
+    unsplit schedule (arrivals re-order by source rank at placement)."""
     nb = np.asarray(distributor.is_neighbor)
     R = nb.shape[0]
     edges = [(r, s) for r in range(R) for s in range(R)
              if r != s and nb[r, s]]
     # sort for deterministic coloring
     edges.sort()
+    if slice_of_rank is not None:
+        sl = np.asarray(slice_of_rank)
+        intra = [e for e in edges if sl[e[0]] == sl[e[1]]]
+        inter = [e for e in edges if sl[e[0]] != sl[e[1]]]
+    else:
+        intra, inter = edges, []
+
     colors = {}
     src_used: Dict[int, set] = {r: set() for r in range(R)}
     dst_used: Dict[int, set] = {r: set() for r in range(R)}
-    for e in edges:
+    for e in intra:
         r, s = e
         c = 0
+        while c in src_used[r] or c in dst_used[s]:
+            c += 1
+        colors[e] = c
+        src_used[r].add(c)
+        dst_used[s].add(c)
+    num_intra = max(colors.values(), default=-1) + 1
+    for e in inter:
+        r, s = e
+        c = num_intra                       # DCN rounds start after ICI ones
         while c in src_used[r] or c in dst_used[s]:
             c += 1
         colors[e] = c
@@ -226,6 +252,7 @@ def build_neighbor_plan(distributor) -> NeighborPlan:
         perms=tuple(tuple(p) for p in perms),
         num_rounds=rounds,
         max_out_degree=max_out,
+        num_intra_rounds=num_intra if slice_of_rank is not None else rounds,
     )
 
 

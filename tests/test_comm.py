@@ -376,3 +376,37 @@ def test_migrate_world_hier_matches_flat():
     assert ta == tb == 8 * N          # conservation
     for k in a:
         np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_neighbor_plan_slice_split():
+    """The DCN-aware schedule (slice_of_rank) must color within-slice edges
+    into the leading rounds, cross-slice edges after, and stay a valid
+    edge coloring (each round a partial permutation)."""
+    from types import SimpleNamespace
+
+    from pumipic_tpu.parallel.migrate import build_neighbor_plan
+
+    Rn = 8
+    nb = np.zeros((Rn, Rn), bool)
+    for r in range(Rn):
+        nb[r, (r + 1) % Rn] = nb[r, (r - 1) % Rn] = True     # ring
+        nb[r, (r + 4) % Rn] = True                           # cross pair
+    dist = SimpleNamespace(is_neighbor=nb)
+    sl = np.repeat(np.arange(2), 4)
+    plan = build_neighbor_plan(dist, slice_of_rank=sl)
+    assert 0 < plan.num_intra_rounds < plan.num_rounds
+    for k, perm in enumerate(plan.perms):
+        srcs = [p[0] for p in perm]
+        dsts = [p[1] for p in perm]
+        assert len(set(srcs)) == len(srcs) and len(set(dsts)) == len(dsts)
+        for (r, s) in perm:
+            if k < plan.num_intra_rounds:
+                assert sl[r] == sl[s], (k, r, s)
+            else:
+                assert sl[r] != sl[s], (k, r, s)
+    # every edge colored exactly once
+    assert sum(len(p) for p in plan.perms) == int(nb.sum())
+    # flat plan unchanged semantics
+    flat = build_neighbor_plan(dist)
+    assert flat.num_intra_rounds == flat.num_rounds
+    assert sum(len(p) for p in flat.perms) == int(nb.sum())

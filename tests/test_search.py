@@ -913,3 +913,82 @@ def test_band_locator_in_dp_model_matches_cartesian():
                                   np.asarray(s_cart["elem"]))
     np.testing.assert_allclose(np.asarray(f_band["fwd"]),
                                np.asarray(f_cart["fwd"]), rtol=1e-6)
+
+
+def test_annulus_detection_permutation_and_rotation_tolerant():
+    """Imported structured annuli (shuffled vertex/element order + a rigid
+    rotation — the gmsh round-trip class) must still be detection-proven;
+    locate maps canonical ids through the recovered permutation."""
+    from pumipic_tpu.mesh.locator import detect_annulus_structured
+
+    coords, tris, cls = gen.annulus_mesh(12, 64, 0.3, 1.0)
+    rng = np.random.default_rng(3)
+    pv = rng.permutation(len(coords))
+    rot = 0.37
+    R = np.array([[np.cos(rot), -np.sin(rot)], [np.sin(rot), np.cos(rot)]])
+    coords2 = np.empty_like(coords)
+    coords2[pv] = coords @ R.T
+    pe = rng.permutation(len(tris))
+    tris2 = pv[tris][pe]
+    cls2 = np.asarray(cls)[pe]
+    loc = detect_annulus_structured(coords2, tris2, cls=cls2)
+    assert loc is not None and loc.perm is not None
+    assert not loc.ring_class          # actual ids not analytic in ring
+    n = 20000
+    te = rng.integers(0, len(tris2), n)
+    pts = _points_in_elems(coords2, tris2, te, seed=44).astype(np.float32)
+    e_an, _ins = loc.locate(jnp.asarray(pts))
+    e_an = np.asarray(e_an)
+    mism = np.nonzero(e_an != te)[0]
+    # mismatches must be edge ties (containment holds)
+    for i in mism:
+        assert e_an[i] >= 0
+        a, b, c = coords2[tris2[e_an[i]]]
+        p = pts[i]
+        s = _cross2(b - a, c - a)
+        tol = 1e-5 * abs(s) + 1e-9
+        assert _cross2(b - a, p - a) * np.sign(s) >= -tol, i
+        assert _cross2(c - b, p - b) * np.sign(s) >= -tol, i
+        assert _cross2(a - c, p - c) * np.sign(s) >= -tol, i
+
+
+def test_kuhn_detection_permutation_tolerant():
+    from pumipic_tpu.mesh.locator import detect_box_kuhn
+
+    coords, tets = gen.box_tet_mesh(6, 5, 4)
+    rng = np.random.default_rng(4)
+    pv = rng.permutation(len(coords))
+    coords2 = np.empty_like(coords)
+    coords2[pv] = coords
+    tets2 = pv[tets][rng.permutation(len(tets))]
+    loc = detect_box_kuhn(coords2, tets2)
+    assert loc is not None and loc.perm is not None
+    n = 5000
+    pts = rng.uniform(0.02, 0.98, (n, 3))
+    e, ins = loc.locate(tuple(jnp.asarray(pts[:, i], jnp.float32)
+                              for i in range(3)))
+    e = np.asarray(e)
+    assert np.asarray(ins).all() and (e >= 0).all()
+    for i in range(0, n, 7):           # containment spot check
+        v = coords2[tets2[e[i]]]
+        vol = np.dot(v[3] - v[0], np.cross(v[1] - v[0], v[2] - v[0]))
+        for k in range(4):
+            vv = v.copy()
+            vv[k] = pts[i]
+            w = np.dot(vv[3] - vv[0], np.cross(vv[1] - vv[0], vv[2] - vv[0]))
+            assert w / vol >= -1e-5, (i, k)
+
+
+def test_strict_detection_still_identity():
+    """The generator's own output must keep the gather-free identity path
+    (perm None, ring_class proven) — the flagship bench contract."""
+    from pumipic_tpu.mesh.locator import (
+        detect_annulus_structured, detect_box_kuhn,
+    )
+
+    coords, tris, cls = gen.annulus_mesh(6, 32, 0.3, 1.0)
+    loc = detect_annulus_structured(coords, tris, cls=np.asarray(cls))
+    assert loc is not None and loc.perm is None and loc.ring_class
+    c3, t3 = gen.box_tet_mesh(4, 4, 4)
+    k3 = detect_box_kuhn(c3, t3)
+    assert k3 is not None and k3.perm is None
