@@ -255,8 +255,12 @@ def main():
         tag += "-walk"
     if mode == "dp" and os.environ.get("BENCH_ROT_ANALYTIC", "1") == "0":
         tag += "-rotgather"
-    if mode == "dp" and os.environ.get("BENCH_BANDLOC", "auto") == "off":
-        tag += "-cartloc"
+    if mode == "dp" and os.environ.get("BENCH_BANDLOC", "auto") == "force":
+        # band arm must be forced: the auto policy's measured-cost gate
+        # keeps the cartesian grid wherever the gather cost model predicts
+        # band loses (everywhere below ~460k elements at 10M particles —
+        # perf/gather_cost_surface.py)
+        tag += "-bandloc"
     if mode == "pps3d":
         tag += "-" + os.environ.get("BENCH_STRUCT", "dps")
         rb = os.environ.get("BENCH_REBUILD", "sort")

@@ -58,6 +58,15 @@ CONFIGS = {
     "cpe16_abc": (16.0, "rows_abc", (N // 4, N // 64, 2048)),
     "cpe16_abc_n8": (16.0, "rows_abc", (N // 8, N // 128, 2048)),
     "cpe32_abc": (32.0, "rows_abc", (N // 4, N // 64, 2048)),
+    # round-5 id-diet peel (attach_cell_ids_3d): top-k int32 ids per cell
+    # + chained sub-cliff walk_geom gathers — resolution decoupled from
+    # table bytes (cpe32 k=2 = 6.2 MB vs 81 MB inline @26col), so the
+    # locator buys hit rate with cells the rows layouts could never afford
+    "cpe16_ids": (16.0, "ids", (N // 4, N // 64, 2048)),
+    "cpe32_ids": (32.0, "ids", (N // 4, N // 64, 2048)),
+    "cpe64_ids": (64.0, "ids", (N // 4, N // 64, 2048)),
+    "cpe32_ids4": (32.0, "ids4", (N // 4, N // 64, 2048)),
+    "cpe64_ids4": (64.0, "ids4", (N // 8, N // 128, 2048)),
 }
 
 # round-4: structured-Kuhn analytic locate (no table, no gather, no walk;

@@ -131,8 +131,15 @@ class LocatorGrid3D:
     # and this holds candidate B's — two independent half-width gathers
     # instead of one 26-col gather (the gather cliff is per-table)
     cell_rows_b: Optional[jax.Array] = None
+    # optional id-diet peel table (``attach_cell_ids_3d``): ONLY the top-k
+    # candidate element ids per cell as int32 (n_cells, k); the peel
+    # chains a second gather off the small per-element walk_geom table.
+    # Decouples locator resolution from table bytes: cpe32 costs 6.2 MB
+    # instead of the inline-rows 81 MB @26col (round-5 id-diet peel)
+    cell_ids: Optional[jax.Array] = None
     # explicit cell_rows layout tag (see LocatorGrid2D.rows_layout):
-    # "rows" 26 cols, "rows_ab" 14, "rows_abc" 27, "rows_split" two 13-col
+    # "rows" 26 cols, "rows_ab" 14, "rows_abc" 27, "rows_split" two 13-col,
+    # "ids" (n_cells, k) int32 + chained walk_geom gathers
     rows_layout: str = _static_field(default="rows")
 
     def cell_of(self, pts) -> jax.Array:
@@ -624,12 +631,25 @@ class BandGrid2D:
       Chebyshev polynomials in the band coordinate (flux surfaces morph
       smoothly) — giving a forward model R(b, θ) with residual gates
       (detection returns None when the mesh isn't band-structured enough);
-    - run time: θ-harmonics by recurrence → per-particle Chebyshev
-      coefficients (one small matmul) → monotone bisection of R(b, θ) = r
-      in b (Clenshaw per step) → band; cell = band·T + θ-bin, then the
-      standard 14-col calibrated candidate-row peel
+    - run time: θ-harmonics by recurrence FROM (x/r, y/r) — no
+      trig calls — → per-particle Chebyshev coefficients (rank-space
+      accumulators) → scalar-poly-seeded safeguarded Newton on
+      R(b, θ) = r (Clenshaw value+slope per step) → band; the angular
+      bin uses the transcendental-free "diamond angle" τ(x, y) ∈ [0, 4)
+      (monotone in θ; piecewise rational); cell = band·T + τ-bin, then
+      the standard 14-col calibrated candidate-row peel
       (search_mesh_2d_accel dispatches on the same duck-typed interface
       as LocatorGrid2D).
+
+    TRANSCENDENTAL-FREE IS THE PERF DESIGN RULE HERE (round 5): the
+    original atan2/cos/sin formulation measured ~300 ms/pass at 10M on
+    the chip — particle-rate transcendentals are catastrophic on this
+    backend — while the identical model evaluated from (x/r, y/r) with
+    τ-binning runs ~7 ms through plain XLA (~8.4 ms as a fused Pallas
+    kernel, bit-identical cells; perf/pallas_smoke.py).  τ-binning costs
+    ≤0.3% A∪B hit vs true-θ bins at equal T (perf/band_tau_probe.py) —
+    the calibration bins with the same τ, so the non-uniform bin widths
+    are absorbed.
 
     Fit bias near ring boundaries is ABSORBED by the calibration: cells
     are calibrated through the same composite assignment, so systematically
@@ -670,15 +690,17 @@ class BandGrid2D:
     rows_layout: str = _static_field(default="rows")
 
     def _band_continuous(self, px, py):
-        """Continuous band coordinate b*(x, y) by monotone bisection of the
-        forward model; pure fused elementwise arithmetic."""
+        """Continuous band coordinate b*(x, y) plus the diamond angle
+        τ ∈ [0, 4); pure fused elementwise arithmetic — NO trig calls
+        (see class docstring: transcendentals at particle rate measured
+        ~40× the cost of this whole evaluation on-chip)."""
         x = px - self.cx
         y = py - self.cy
         r = jnp.sqrt(x * x + y * y)
-        th = jnp.arctan2(y, x)
         J, P, rk = self.n_harm, self.n_cheb, self.rank
-        c1 = jnp.cos(th)
-        s1 = jnp.sin(th)
+        inv_r = 1.0 / jnp.maximum(r, 1e-30)
+        c1 = x * inv_r
+        s1 = y * inv_r
         # rank-space projections t_k = Σ_j V[k, j]·h_j(θ): harmonics by
         # recurrence with only ``rank`` live accumulators
         t = [jnp.full(r.shape, self.coef_v[k, 0]) for k in range(rk)]
@@ -717,16 +739,17 @@ class BandGrid2D:
             val, dv = radius_and_slope(u)
             u = u - (val - r) / jnp.maximum(dv, 1e-6)
             u = jnp.clip(u, -1.05, 1.05)
-        return (u + 1.0) * (0.5 * self.n_bands), th
+        # diamond angle τ ∈ [0, 4): monotone in θ, pure arithmetic
+        d = y / jnp.maximum(jnp.abs(x) + jnp.abs(y), 1e-30)
+        tau = jnp.where(x >= 0, jnp.where(y >= 0, d, 4.0 + d), 2.0 - d)
+        return (u + 1.0) * (0.5 * self.n_bands), tau
 
     def cell_of(self, pts) -> jax.Array:
         px, py = (pts[0], pts[1]) if isinstance(pts, tuple) else (
             pts[:, 0], pts[:, 1])
-        bstar, th = self._band_continuous(px, py)
+        bstar, tau = self._band_continuous(px, py)
         bf = jnp.clip(jnp.floor(bstar), 0.0, self.n_bands - 1.0)
-        two_pi = jnp.float32(2.0 * np.pi)
-        thn = jnp.where(th < 0, th + two_pi, th)
-        tf = jnp.clip(jnp.floor(thn * (self.n_theta / (2.0 * np.pi))),
+        tf = jnp.clip(jnp.floor(tau * (self.n_theta / 4.0)),
                       0.0, self.n_theta - 1.0)
         # f32 id arithmetic exact while K·T < 2^24
         return (bf * self.n_theta + tf).astype(jnp.int32)
@@ -768,6 +791,7 @@ def detect_banded_locator(
     samples_per_cell: int = 16,
     seed: int = 1729,
     resid_gate: float = 0.25,
+    cost_gate_ms: Optional[float] = None,
 ) -> Optional[BandGrid2D]:
     """Build a :class:`BandGrid2D` iff the mesh is a stitched flux-band
     structure: band-ordered classification, star-shaped ring polygons, and
@@ -896,10 +920,31 @@ def detect_banded_locator(
     min_gap = float(gaps.min())
 
     if n_theta is None:
-        # ~2 θ-cells per band triangle on the widest band
+        # ~2 τ-cells per band triangle on the widest band, CAPPED so the
+        # 14-col rows table stays under the measured sub-cliff gather
+        # budget (~10.8 MB on this chip, docs/PERFORMANCE.md round-2d:
+        # 14-col 10M-index gathers cost ~30 ms sub-cliff vs ~68 ms at
+        # 21.5 MB — hit rate past the cap cannot buy back the peel cost)
         per_band = np.bincount(cls - 1, minlength=K)
-        n_theta = 1 << int(np.ceil(np.log2(max(per_band.max(), 8))))
+        want = 1 << int(np.ceil(np.log2(max(per_band.max(), 8))))
+        cap = max(int(BAND_ROWS_BYTES_BUDGET / (14 * 4 * K)) // 256 * 256,
+                  256)
+        n_theta = min(want, cap)
     T = int(n_theta)
+
+    if cost_gate_ms is not None:
+        # measured-cost adoption gate (round 5): the band peel pays the
+        # analytic band evaluation plus a 14-col gather from a K·T-row
+        # table that is SMALL by construction (BAND_ROWS_BYTES_BUDGET) —
+        # and on this chip small-table gathers price every consumed
+        # column at particle rate (perf/gather_cost_surface.py), so a
+        # 14-col consume costs ~112 ms vs the big cartesian table's ~73.
+        # Only adopt when the model predicts an actual win over the
+        # caller's cartesian alternative (pass None / use 'force' to
+        # bypass, e.g. for correctness tests and probes).
+        band_ms = _BAND_EVAL_MS + predict_rowgather_ms(K * T, 14, 14)
+        if band_ms >= cost_gate_ms:
+            return None
 
     # scalar Newton seed: invert the ANGULAR-MEAN radial profile with an
     # ascending-power polynomial u0(r) (register-resident on device)
@@ -908,12 +953,21 @@ def detect_banded_locator(
     inv_coef = np.polynomial.polynomial.polyfit(rmean, u, inv_deg)
 
     # --- calibration through the composite assignment (host mirror of
-    # BandGrid2D.cell_of — same seed + Newton algorithm, float64)
+    # BandGrid2D.cell_of — same seed + Newton algorithm, float64; f32/f64
+    # boundary flips are ~0.5% of cells and cost <0.1% hit,
+    # perf/band_f32_diag.py)
     def band_of(pts):
         dxq = pts[:, 0] - center[0]
         dyq = pts[:, 1] - center[1]
         rq = np.hypot(dxq, dyq)
         tq = np.arctan2(dyq, dxq)
+        tau = np.where(
+            dxq >= 0,
+            np.where(dyq >= 0,
+                     dyq / np.maximum(np.abs(dxq) + np.abs(dyq), 1e-30),
+                     4.0 + dyq / np.maximum(np.abs(dxq) + np.abs(dyq),
+                                            1e-30)),
+            2.0 - dyq / np.maximum(np.abs(dxq) + np.abs(dyq), 1e-30))
         q = ang_feats(tq) @ coef.T                   # (n, P+1)
 
         def radius_and_slope(uv):
@@ -934,12 +988,11 @@ def detect_banded_locator(
             val, dv = radius_and_slope(uv)
             uv = np.clip(uv - (val - rq) / np.maximum(dv, 1e-6), -1.05, 1.05)
         bst = (uv + 1.0) * (K / 2.0)
-        return np.clip(np.floor(bst), 0, K - 1).astype(np.int64), tq
+        return np.clip(np.floor(bst), 0, K - 1).astype(np.int64), tau
 
     def cell_of_h(pts):
-        b, tq = band_of(pts)
-        tn = np.mod(tq, 2 * np.pi)
-        tb = np.clip((tn / (2 * np.pi) * T).astype(np.int64), 0, T - 1)
+        b, tau = band_of(pts)
+        tb = np.clip((tau / 4.0 * T).astype(np.int64), 0, T - 1)
         return b * T + tb
 
     n_cells = K * T
@@ -975,9 +1028,44 @@ def detect_banded_locator(
 # ids >= 2^24 would silently round on the f32 round-trip)
 _F32_EXACT_ID_LIMIT = 1 << 24
 
+# byte budget for the BandGrid2D rows table: keep K·T·14·4 under the
+# measured sub-cliff 14-col gather regime (~30 ms at 10M indices for
+# tables ≤ 10.8 MB vs ~68 ms at 21.5 MB, docs/PERFORMANCE.md round-2d)
+BAND_ROWS_BYTES_BUDGET = 10.8e6
+
+# chip-measured row-gather cost surface at 10M indices
+# (perf/gather_cost_surface.py, round 5): XLA compiles SMALL-table row
+# gathers to a per-CONSUMED-COLUMN particle-rate strategy (table size
+# irrelevant: 1.4/6.9/10.3 MB all ~30 ms at 2 cols + ~6.8 ms per extra
+# col → 111-112 ms at 14) and LARGE-table gathers to a row-transaction
+# strategy (columns nearly free, cost grows with table bytes: 68 ms at
+# 27.4 MB, 123 ms at 110 MB).  The regime switch lies between 10.3 and
+# 27.4 MB on this chip.
+_GATHER_SMALL_BYTES = 12e6
+_GATHER_SMALL_BASE_MS = 29.8     # 2 consumed cols
+_GATHER_SMALL_PER_COL_MS = 6.78
+_GATHER_LARGE_BASE_MS = 68.0     # at 27.4 MB
+_GATHER_LARGE_PER_MB_MS = 0.665  # beyond 27.4 MB
+_BAND_EVAL_MS = 7.2              # BandGrid2D.cell_of, transcendental-free
+_CART_CELL_MS = 2.5              # LocatorGrid2D.cell_of
+
+
+def predict_rowgather_ms(n_rows: int, stored_cols: int,
+                         consumed_cols: int) -> float:
+    """Predicted ms for one 10M-index row gather on the bench chip (see
+    the cost-surface constants above).  Used to gate locator-layout
+    choices on measured evidence instead of hit rate alone."""
+    mb = n_rows * stored_cols * 4 / 1e6
+    if mb * 1e6 <= _GATHER_SMALL_BYTES:
+        return (_GATHER_SMALL_BASE_MS
+                + _GATHER_SMALL_PER_COL_MS * max(consumed_cols - 2, 0))
+    return _GATHER_LARGE_BASE_MS + _GATHER_LARGE_PER_MB_MS * max(
+        mb - 27.4, 0.0)
+
 # known peel layouts (build_locator_grid validates against this set; an
 # unknown string must raise instead of silently falling through to "rows")
-_KNOWN_PEELS = ("auto", "rows", "lines", "rows_split", "rows_ab", "rows_abc")
+_KNOWN_PEELS = ("auto", "rows", "lines", "rows_split", "rows_ab",
+                "rows_abc", "ids", "ids4")
 
 
 def _check_ids_f32_exact(geom: np.ndarray) -> None:
@@ -1102,6 +1190,47 @@ def attach_cell_rows_3d(grid: LocatorGrid3D, walk_geom,
     return dataclasses.replace(grid, cell_rows=jnp.asarray(rows))
 
 
+def attach_cell_ids_3d(grid: LocatorGrid3D, walk_geom, k: int = 2,
+                       samples_per_cell: int = 8,
+                       seed: int = 1729) -> LocatorGrid3D:
+    """id-diet peel ("ids"/"ids4"): the cell table stores ONLY the top-k
+    calibrated candidate element ids (int32, (n_cells, k)); the peel
+    chains a second gather off the small per-element walk_geom table
+    ((E, 16) f32 — 1.6 MB at the pps3d scale, far below the gather
+    cliff).  This decouples locator RESOLUTION from table BYTES: the
+    inline-rows layouts pay 26 f32 cols per cell (81 MB at cpe32 on 24.5k
+    tets), so past cpe16 resolution was unaffordable; id cells cost 4k
+    bytes each (6.2 MB at cpe32 k=2), and tet guess accuracy keeps
+    climbing with resolution (A∪B 88.3% at cpe16 → 92.4% at cpe32,
+    perf/slab_probe.py) while both chained gathers stay sub-cliff.  The
+    2D big-mesh result went the other way (one mid-size inline-rows
+    gather beat chained gathers, walk_opt19) because the 2D per-element
+    geometry table at 120k elements is 7.8 MB — 3 orders closer to the
+    cliff than the pps3d walk_geom."""
+    geom = np.asarray(walk_geom)
+    ce = np.asarray(grid.cell_elem, dtype=np.int64)
+    nx, ny, nz = grid.nx, grid.ny, grid.nz
+    n_grid = nx * ny * nz
+    o = np.asarray(grid.origin, np.float64)
+    h = 1.0 / np.asarray(grid.inv_h, np.float64)
+
+    K = samples_per_cell
+    rng = np.random.default_rng(seed)
+    cell = np.repeat(np.arange(n_grid, dtype=np.int64), K)
+    u = rng.uniform(size=(n_grid * K, 3))
+    iz = cell % nz
+    iy = (cell // nz) % ny
+    ix = cell // (ny * nz)
+    px = o[0] + (ix + u[:, 0]) * h[0]
+    py = o[1] + (iy + u[:, 1]) * h[1]
+    pz = o[2] + (iz + u[:, 2]) * h[2]
+    found = _host_walk_3d(geom, ce[cell], px, py, pz)
+    cands = _topk_per_cell(cell, found, ce, k)
+    ids = np.stack(cands, axis=1).astype(np.int32)
+    return dataclasses.replace(grid, cell_ids=jnp.asarray(ids),
+                               rows_layout="ids")
+
+
 def build_locator_grid_3d(coords: np.ndarray, elem2verts: np.ndarray,
                           cells_per_elem: float = 2.0,
                           walk_geom=None,
@@ -1156,6 +1285,9 @@ def build_locator_grid_3d(coords: np.ndarray, elem2verts: np.ndarray,
             peel = "lines" if rows_bytes > PEEL_AUTO_LINES_BYTES else "rows"
         if peel == "lines":
             out = attach_cell_lines_3d(out, walk_geom)
+        elif peel in ("ids", "ids4"):
+            out = attach_cell_ids_3d(out, walk_geom,
+                                     k=(4 if peel == "ids4" else 2))
         else:
             out = attach_cell_rows_3d(out, walk_geom,
                                       split=(peel == "rows_split"),

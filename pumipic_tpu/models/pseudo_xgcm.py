@@ -315,10 +315,24 @@ class PseudoXGCm:
             )
 
             if cfg.band_locator in ("auto", "force"):
+                from pumipic_tpu.mesh.locator import (
+                    _CART_CELL_MS,
+                    predict_rowgather_ms,
+                )
+
+                # auto adopts the band grid only when the chip-measured
+                # gather cost model predicts a win over the cartesian
+                # peel this build would otherwise use (round 5: on the
+                # 120k workload the band table's 14-col small-table
+                # gather costs ~112 ms vs the cartesian ~73 — band lost
+                # the A/B at every T, perf/walk_lab_results.json)
+                gate = (_CART_CELL_MS + predict_rowgather_ms(
+                    int(mesh.nelems * cpe), 14, 14)
+                    if cfg.band_locator == "auto" else None)
                 self.locator = detect_banded_locator(
                     np.asarray(mesh.coords), np.asarray(mesh.elem2verts),
                     np.asarray(mesh.class_id), mesh.walk_geom,
-                    n_theta=cfg.band_theta)
+                    n_theta=cfg.band_theta, cost_gate_ms=gate)
                 if self.locator is None and cfg.band_locator == "force":
                     raise ValueError("band_locator='force' but the mesh is "
                                      "not a stitched flux-band structure")

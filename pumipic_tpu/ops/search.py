@@ -1247,6 +1247,53 @@ def search_mesh_3d_accel(
         INVALID,
     )
     dest = _components(x_tgt)
+    if getattr(grid, "cell_ids", None) is not None:
+        # id-diet peel (attach_cell_ids_3d): the cell table carries ONLY
+        # the top-k candidate ids (int32), and each candidate's
+        # containment test chains a gather off the small per-element
+        # walk_geom table — both gathers sub-cliff at ANY locator
+        # resolution, so the grid can buy hit rate with cells that the
+        # inline 26-col rows could never afford (cpe32: 6.2 MB vs 81 MB)
+        c = grid.cell_of(dest)
+        ids = grid.cell_ids[c]                         # (N, k) i32, tiny
+        dx, dy, dz = dest
+        wg12 = mesh.walk_geom[:, :12]                  # (E, 12) small
+
+        def _inside_wg(wg):
+            l1 = wg[:, 0] * dx + wg[:, 1] * dy + wg[:, 2] * dz + wg[:, 3]
+            l2 = wg[:, 4] * dx + wg[:, 5] * dy + wg[:, 6] * dz + wg[:, 7]
+            l3 = (wg[:, 8] * dx + wg[:, 9] * dy + wg[:, 10] * dz
+                  + wg[:, 11])
+            w0 = 1.0 - l1 - l2 - l3
+            m1 = (jnp.abs(wg[:, 0] * dx) + jnp.abs(wg[:, 1] * dy)
+                  + jnp.abs(wg[:, 2] * dz) + jnp.abs(wg[:, 3]))
+            m2 = (jnp.abs(wg[:, 4] * dx) + jnp.abs(wg[:, 5] * dy)
+                  + jnp.abs(wg[:, 6] * dz) + jnp.abs(wg[:, 7]))
+            m3 = (jnp.abs(wg[:, 8] * dx) + jnp.abs(wg[:, 9] * dy)
+                  + jnp.abs(wg[:, 10] * dz) + jnp.abs(wg[:, 11]))
+            t1 = BCC_REL_TOL * m1 + BCC_ABS_TOL
+            t2 = BCC_REL_TOL * m2 + BCC_ABS_TOL
+            t3 = BCC_REL_TOL * m3 + BCC_ABS_TOL
+            return ((w0 >= -(t1 + t2 + t3)) & (l1 >= -t1) & (l2 >= -t2)
+                    & (l3 >= -t3))
+
+        kk = ids.shape[1]
+        best = ids[:, 0]
+        found = jnp.zeros(best.shape, bool)
+        for j in range(kk):
+            ej = ids[:, j]
+            ins = _inside_wg(wg12[ej])
+            best = jnp.where(ins & ~found, ej, best)
+            found = found | ins
+        elem0 = jnp.where(active, jnp.where(found, best, ids[:, 0]),
+                          INVALID)
+        fg0 = active & ~found
+        done0 = ~active | (active & found)
+        return _run_walk(
+            step, elem0, dest, done0=done0, orig=_components(x_orig),
+            max_iters=max_iters, fallback=fallback, fg0=fg0,
+            record_exit=record_exit, widths=widths, it0=max(kk - 1, 1),
+        )
     if grid.cell_lines is not None:
         # slim separating-plane peel with inline containment off the small
         # walk_geom table (see the 2D path / attach_cell_lines_3d)

@@ -396,6 +396,22 @@ def test_search_3d_accel_matches_plain():
         np.asarray(res_plain.elem_ids), np.asarray(res_abc.elem_ids)
     )
 
+    # id-diet peel (k candidate ids + chained walk_geom gathers) must
+    # match too, at k=2 and k=4
+    for peel, kk in (("ids", 2), ("ids4", 4)):
+        grid_ids = build_locator_grid_3d(coords, tets,
+                                         walk_geom=m.walk_geom, peel=peel)
+        assert grid_ids.cell_ids is not None
+        assert grid_ids.cell_ids.shape[1] == kk
+        assert grid_ids.cell_ids.dtype == jnp.int32
+        res_ids = search.search_mesh_3d_accel(
+            m, grid_ids, jnp.asarray(orig), jnp.asarray(tgt),
+            jnp.asarray(elems, jnp.int32), jnp.ones(n, bool), 100,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_plain.elem_ids), np.asarray(res_ids.elem_ids)
+        )
+
 
 def test_search_3d_reflect_boundary():
     coords, tets = gen.box_tet_mesh(4, 4, 4)
@@ -903,7 +919,12 @@ def test_band_locator_in_dp_model_matches_cartesian():
         gyro=GyroConfig(rmax=0.05, num_rings=2, points_per_ring=4),
     )
     mesh_dev = make_device_mesh(1)
-    s_band, step_band = make_dp_setup(m, cfg, mesh_dev)
+    # 'force' bypasses the measured-cost adoption gate (round 5): at this
+    # mesh size both locator tables are small, so the gather cost model
+    # predicts band == cart + the band-eval overhead and auto correctly
+    # keeps the cartesian grid — the parity arm must force the band path
+    s_band, step_band = make_dp_setup(
+        m, dc.replace(cfg, band_locator="force"), mesh_dev)
     s_cart, step_cart = make_dp_setup(
         m, dc.replace(cfg, band_locator="off"), mesh_dev)
     for _ in range(3):
@@ -913,6 +934,32 @@ def test_band_locator_in_dp_model_matches_cartesian():
                                   np.asarray(s_cart["elem"]))
     np.testing.assert_allclose(np.asarray(f_band["fwd"]),
                                np.asarray(f_cart["fwd"]), rtol=1e-6)
+
+
+def test_band_locator_cost_gate():
+    """detect_banded_locator's measured-cost adoption gate: band-structured
+    meshes are still rejected under 'auto' when the gather cost model
+    predicts the cartesian peel wins (perf/gather_cost_surface.py — on
+    small tables every consumed column prices at particle rate, so the
+    band table's 14-col consume never beats a sub-large cartesian
+    table).  A generous gate admits; a tight one rejects."""
+    from pumipic_tpu.mesh.locator import (
+        detect_banded_locator, predict_rowgather_ms,
+    )
+
+    coords, tris, cls = gen.tokamak_mesh(16, 96)
+    m = Mesh2D.from_arrays(coords, tris, cls)
+    a = np.asarray
+    assert detect_banded_locator(a(coords), a(tris), a(cls), m.walk_geom,
+                                 cost_gate_ms=1e9) is not None
+    assert detect_banded_locator(a(coords), a(tris), a(cls), m.walk_geom,
+                                 cost_gate_ms=1.0) is None
+    # the cost model itself: small tables price consumed columns, large
+    # tables price bytes (regime constants from the chip measurement)
+    assert predict_rowgather_ms(100_000, 14, 2) < 35
+    assert predict_rowgather_ms(100_000, 14, 14) > 100
+    assert 60 < predict_rowgather_ms(500_000, 14, 14) < 80
+    assert predict_rowgather_ms(2_000_000, 14, 14) > 110
 
 
 def test_annulus_detection_permutation_and_rotation_tolerant():
