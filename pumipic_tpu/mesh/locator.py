@@ -920,16 +920,27 @@ def detect_banded_locator(
     min_gap = float(gaps.min())
 
     if n_theta is None:
-        # ~2 τ-cells per band triangle on the widest band, CAPPED so the
-        # 14-col rows table stays under the measured sub-cliff gather
-        # budget (~10.8 MB on this chip, docs/PERFORMANCE.md round-2d:
-        # 14-col 10M-index gathers cost ~30 ms sub-cliff vs ~68 ms at
-        # 21.5 MB — hit rate past the cap cannot buy back the peel cost)
+        # T sizing by the measured gather cost surface (round 5,
+        # perf/gather_cost_surface.py): a 14-col consume prices at
+        # ~112 ms from ANY small table and ~68 ms + 0.67 ms/MB from a
+        # row-transaction-bound large table, so the candidates are
+        # (a) hit-driven resolution capped into the small regime, and
+        # (b) the smallest table safely PAST the measured large-regime
+        # switch (27.4 MB) — the right choice when the band grid is
+        # adopted at all (its cost-gate crossover is ~460k elements,
+        # where the cartesian alternative is ~104 MB).  Pick the
+        # cheaper predicted; tie goes to more cells (hit rate).
         per_band = np.bincount(cls - 1, minlength=K)
         want = 1 << int(np.ceil(np.log2(max(per_band.max(), 8))))
-        cap = max(int(BAND_ROWS_BYTES_BUDGET / (14 * 4 * K)) // 256 * 256,
-                  256)
-        n_theta = min(want, cap)
+        cap_small = max(
+            int(BAND_ROWS_BYTES_BUDGET / (14 * 4 * K)) // 256 * 256, 256)
+        cands = {min(want, cap_small)}
+        t_large = int(-(-27.5e6 // (14 * 4 * K * 256))) * 256
+        if t_large <= 4 * want and K * t_large < _F32_EXACT_ID_LIMIT:
+            cands.add(t_large)
+        n_theta = min(
+            sorted(cands, reverse=True),
+            key=lambda t: predict_rowgather_ms(K * t, 14, 14))
     T = int(n_theta)
 
     if cost_gate_ms is not None:
@@ -1044,8 +1055,9 @@ BAND_ROWS_BYTES_BUDGET = 10.8e6
 _GATHER_SMALL_BYTES = 12e6
 _GATHER_SMALL_BASE_MS = 29.8     # 2 consumed cols
 _GATHER_SMALL_PER_COL_MS = 6.78
-_GATHER_LARGE_BASE_MS = 68.0     # at 27.4 MB
+_GATHER_LARGE_BASE_MS = 68.0     # at 27.4 MB, 2 consumed cols
 _GATHER_LARGE_PER_MB_MS = 0.665  # beyond 27.4 MB
+_GATHER_LARGE_PER_COL_MS = 0.47  # (73.6 - 68.0)/12 at 27.4 MB
 _BAND_EVAL_MS = 7.2              # BandGrid2D.cell_of, transcendental-free
 _CART_CELL_MS = 2.5              # LocatorGrid2D.cell_of
 
@@ -1059,8 +1071,9 @@ def predict_rowgather_ms(n_rows: int, stored_cols: int,
     if mb * 1e6 <= _GATHER_SMALL_BYTES:
         return (_GATHER_SMALL_BASE_MS
                 + _GATHER_SMALL_PER_COL_MS * max(consumed_cols - 2, 0))
-    return _GATHER_LARGE_BASE_MS + _GATHER_LARGE_PER_MB_MS * max(
-        mb - 27.4, 0.0)
+    return (_GATHER_LARGE_BASE_MS
+            + _GATHER_LARGE_PER_MB_MS * max(mb - 27.4, 0.0)
+            + _GATHER_LARGE_PER_COL_MS * max(consumed_cols - 2, 0))
 
 # known peel layouts (build_locator_grid validates against this set; an
 # unknown string must raise instead of silently falling through to "rows")
