@@ -942,6 +942,14 @@ def detect_banded_locator(
             sorted(cands, reverse=True),
             key=lambda t: predict_rowgather_ms(K * t, 14, 14))
     T = int(n_theta)
+    if K * T >= _F32_EXACT_ID_LIMIT:
+        # BandGrid2D.cell_of computes b*T + t in f32 (exact only below
+        # 2^24); the auto-sizing candidates respect this, but an explicit
+        # n_theta (cfg.band_theta sweeps) must not silently round cell ids
+        raise ValueError(
+            f"n_theta={T} gives K*T={K * T} >= 2^24: band cell ids are "
+            f"carried in f32 peel columns and would round; use a smaller "
+            f"n_theta")
 
     if cost_gate_ms is not None:
         # measured-cost adoption gate (round 5): the band peel pays the
@@ -1565,6 +1573,10 @@ def build_locator_grid(coords: np.ndarray, elem2verts: np.ndarray,
     if peel == "rows_abc":
         raise ValueError("rows_abc is a 3D-only peel (triangle-mesh cells "
                          "rarely overlap 3 elements; use rows)")
+    if peel in ("ids", "ids4"):
+        raise ValueError("ids/ids4 are 3D-only peels (the id-diet layout "
+                         "chains containment off the 3D walk_geom table; "
+                         "use rows/rows_ab in 2D)")
     coords = np.asarray(coords, np.float64)
     ev = np.asarray(elem2verts, np.int64)
     E = ev.shape[0]

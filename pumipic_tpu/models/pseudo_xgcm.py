@@ -314,6 +314,9 @@ class PseudoXGCm:
                 detect_banded_locator,
             )
 
+            if cfg.band_locator not in ("auto", "off", "force"):
+                raise ValueError(
+                    f"unknown band_locator {cfg.band_locator!r}")
             if cfg.band_locator in ("auto", "force"):
                 from pumipic_tpu.mesh.locator import (
                     _CART_CELL_MS,
@@ -560,20 +563,34 @@ def make_dp_setup(mesh: Mesh2D, cfg: XGCmConfig, device_mesh, seed: int = ELEMEN
         state["sd"] = rt0[:, 1]
     if cfg.use_locator and analytic is None:
         from pumipic_tpu.mesh.locator import (
+            _CART_CELL_MS,
             build_locator_grid,
             detect_banded_locator,
+            predict_rowgather_ms,
         )
 
+        if cfg.band_locator not in ("auto", "off", "force"):
+            raise ValueError(f"unknown band_locator {cfg.band_locator!r}")
+        if cfg.band_locator == "force" and use_aux:
+            raise ValueError(
+                "band_locator='force' is incompatible with rot_aux_capture "
+                "(the aux rotation channel rides the cartesian peel rows)")
         if cfg.band_locator in ("auto", "force") and not use_aux:
+            # auto adopts the band grid only when the chip-measured gather
+            # cost model predicts a win over the cartesian peel this build
+            # would otherwise use (same gate as PseudoXGCm.__init__; on the
+            # 120k workload band lost the A/B at every T —
+            # perf/walk_lab_results.json)
+            gate = (_CART_CELL_MS + predict_rowgather_ms(
+                int(mesh.nelems * cpe), 14, 14)
+                if cfg.band_locator == "auto" else None)
             locator = detect_banded_locator(
                 np.asarray(mesh.coords), np.asarray(mesh.elem2verts),
                 np.asarray(mesh.class_id), mesh.walk_geom,
-                n_theta=cfg.band_theta)
+                n_theta=cfg.band_theta, cost_gate_ms=gate)
             if locator is None and cfg.band_locator == "force":
                 raise ValueError("band_locator='force' but the mesh is not "
                                  "a stitched flux-band structure")
-        elif cfg.band_locator not in ("auto", "off", "force"):
-            raise ValueError(f"unknown band_locator {cfg.band_locator!r}")
         if locator is None:
             locator = build_locator_grid(
                 np.asarray(mesh.coords), np.asarray(mesh.elem2verts),
@@ -898,14 +915,28 @@ def make_picparts_setup(
         # real decomposition have partial rings and fail detection, so
         # they keep cartesian cells)
         band_grids = None
+        if cfg.band_locator not in ("auto", "off", "force"):
+            raise ValueError(f"unknown band_locator {cfg.band_locator!r}")
         if cfg.band_locator in ("auto", "force"):
+            from pumipic_tpu.mesh.locator import (
+                _CART_CELL_MS,
+                predict_rowgather_ms,
+            )
+
             bgs = []
             for r in range(R):
                 valid_e = np.nonzero(eg_h[r] >= 0)[0]
                 nv = int((vg_h[r] >= 0).sum())
+                # same measured-cost adoption gate as the dp path: adopt
+                # band only where the gather cost model predicts a win over
+                # this rank's cartesian alternative
+                gate = (_CART_CELL_MS + predict_rowgather_ms(
+                    int(len(valid_e) * pp_cpe), 14, 14)
+                    if cfg.band_locator == "auto" else None)
                 bgs.append(detect_banded_locator(
                     cz_h[r][:nv], ev_h[r][valid_e], cls_h[r][valid_e],
-                    wg_h[r][valid_e], n_theta=cfg.band_theta))
+                    wg_h[r][valid_e], n_theta=cfg.band_theta,
+                    cost_gate_ms=gate))
             if all(b is not None for b in bgs) and len({
                     (b.n_bands, b.n_theta, b.n_harm, b.n_cheb, b.rank)
                     for b in bgs}) == 1:

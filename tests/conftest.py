@@ -49,9 +49,9 @@ QUICK_TESTS = {
     "test_rebuild_variants", "test_migrate_single_rank",
     "test_metrics_padding", "test_count_per_key_matmul_matches_sorted",
     # models + distributed smoke
-    "test_search2d_driver", "test_pseudo_xgcm_smoke",
+    "test_search2d_driver", "test_pseudo_xgcm_runs_and_conserves",
     "test_migrate_roundtrip", "test_reduce_comm_array_sum",
-    "test_lb_single_shot",
+    "test_repartition_reduces_imbalance",
 }
 
 

@@ -400,11 +400,16 @@ def test_annulus_detection_negatives():
 
 
 def test_detection_rejects_same_geometry_different_ids():
-    """The equality proofs must reject meshes with IDENTICAL geometry but a
-    different id mapping — the analytic id formulas assume the generator's
-    ordering, so a flipped quad diagonal (2D: same vertices, different
-    triangle point sets) or a shuffled element order (3D: same tets,
-    different ids) silently relocated particles if admitted."""
+    """The equality proofs must reject meshes with IDENTICAL geometry but
+    DIFFERENT connectivity (a flipped quad diagonal: same vertices,
+    different triangle point sets) — admitting one would silently relocate
+    particles.  A pure RELABELING (shuffled element order, same tets) is a
+    different case: since round 5 the proofs are permutation-tolerant
+    (lattice recovery + exact connectivity matching) and must ACCEPT it
+    while mapping canonical ids through the recovered permutation — so the
+    shuffle arm asserts id CORRECTNESS against a barycentric containment
+    oracle instead of rejection (full permutation coverage:
+    tests/test_search.py::test_kuhn_detection_permutation_tolerant)."""
     from pumipic_tpu.mesh.generate import annulus_mesh, box_tet_mesh
     from pumipic_tpu.mesh.locator import (
         detect_annulus_structured, detect_box_kuhn,
@@ -421,7 +426,21 @@ def test_detection_rejects_same_geometry_different_ids():
 
     c3, t3 = box_tet_mesh(3, 3, 3)
     perm = np.random.default_rng(3).permutation(t3.shape[0])
-    assert detect_box_kuhn(c3, t3[perm]) is None
+    t3p = t3[perm]
+    loc = detect_box_kuhn(c3, t3p)
+    assert loc is not None, "relabeled Kuhn mesh must still be proven"
+    rng = np.random.default_rng(0)
+    pts = (rng.uniform(0.05, 0.95, size=(2000, 3)) * c3.max(0)).astype(
+        np.float32)
+    ids, inside = loc.locate(jnp.asarray(pts))
+    assert bool(np.asarray(inside).all())
+    # ids must be in the PERMUTED numbering: the claimed tet contains the pt
+    verts = c3[t3p[np.asarray(ids)]].astype(np.float64)
+    av, bv, cvv, dv = (verts[:, i] for i in range(4))
+    T = np.stack([bv - av, cvv - av, dv - av], axis=-1)
+    lam = np.linalg.solve(T, (pts - av)[..., None])[..., 0]
+    bary = np.concatenate([1 - lam.sum(-1, keepdims=True), lam], axis=-1)
+    assert (bary.min(axis=-1) > -1e-4).all()
     # positive control: the unshuffled mesh passes
     assert detect_box_kuhn(c3, t3) is not None
 

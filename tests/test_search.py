@@ -962,6 +962,105 @@ def test_band_locator_cost_gate():
     assert predict_rowgather_ms(2_000_000, 14, 14) > 110
 
 
+def test_band_adoption_gate_wired_into_model_setups(monkeypatch):
+    """REGRESSION (round-5 review): every model entry point must pass the
+    measured-cost adoption gate to detect_banded_locator under
+    band_locator='auto' — make_dp_setup (the bench.py metric-of-record
+    path) once omitted it, silently adopting the measured-slower band arm
+    on the 120k workload.  'force' must bypass the gate (gate None)."""
+    import dataclasses as dc
+
+    import pumipic_tpu.mesh.locator as loc
+    from pumipic_tpu.models.pseudo_xgcm import (
+        GyroConfig, PseudoXGCm, XGCmConfig, make_dp_setup,
+    )
+    from pumipic_tpu.parallel.mesh_axis import make_device_mesh
+
+    coords, tris, cls = gen.tokamak_mesh(16, 96)
+    m = Mesh2D.from_arrays(coords, tris, cls)
+    cfg = XGCmConfig(num_ptcls=512, mdl_face=8, deg_per_push=10.0,
+                     max_search_iters=64,
+                     gyro=GyroConfig(rmax=0.05, num_rings=2,
+                                     points_per_ring=4))
+    seen = []
+    real = loc.detect_banded_locator
+
+    def spy(*a, **kw):
+        seen.append(kw.get("cost_gate_ms"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(loc, "detect_banded_locator", spy)
+
+    mesh_dev = make_device_mesh(1)
+    make_dp_setup(m, cfg, mesh_dev)                       # auto (default)
+    assert len(seen) == 1 and seen[0] is not None
+    # the gate is the cartesian alternative's predicted cost — a real
+    # positive milliseconds figure, never an uninitialized 0/None
+    assert 0 < seen[0] < 1e4
+
+    PseudoXGCm(m, cfg)                                    # model class: auto
+    assert len(seen) == 2 and seen[1] is not None
+
+    make_dp_setup(m, dc.replace(cfg, band_locator="force"), mesh_dev)
+    assert len(seen) == 3 and seen[2] is None             # force bypasses
+
+
+def test_band_locator_config_validation():
+    """Unknown band_locator strings must raise in every entry point, and
+    'force' must raise (not be silently ignored) when rot_aux_capture
+    claims the peel's aux channel."""
+    import dataclasses as dc
+
+    from pumipic_tpu.models.pseudo_xgcm import (
+        GyroConfig, PseudoXGCm, XGCmConfig, make_dp_setup,
+    )
+    from pumipic_tpu.parallel.mesh_axis import make_device_mesh
+
+    coords, tris, cls = gen.tokamak_mesh(8, 48)
+    m = Mesh2D.from_arrays(coords, tris, cls)
+    cfg = XGCmConfig(num_ptcls=256, mdl_face=4, deg_per_push=10.0,
+                     max_search_iters=64,
+                     gyro=GyroConfig(rmax=0.05, num_rings=2,
+                                     points_per_ring=4))
+    mesh_dev = make_device_mesh(1)
+    with pytest.raises(ValueError, match="band_locator"):
+        make_dp_setup(m, dc.replace(cfg, band_locator="on"), mesh_dev)
+    with pytest.raises(ValueError, match="band_locator"):
+        PseudoXGCm(m, dc.replace(cfg, band_locator="banded"))
+    # rot_analytic=False keeps banded-rotation detection off so the aux
+    # channel is actually claimed (use_aux True) — the conflicting config
+    with pytest.raises(ValueError, match="rot_aux_capture"):
+        make_dp_setup(m, dc.replace(cfg, band_locator="force",
+                                    rot_aux_capture=True,
+                                    rot_analytic=False), mesh_dev)
+
+
+def test_band_locator_rejects_f32_inexact_n_theta():
+    """An explicit n_theta pushing K*T past 2^24 must raise: band cell ids
+    ride f32 peel columns and would silently round."""
+    from pumipic_tpu.mesh.locator import detect_banded_locator
+
+    coords, tris, cls = gen.tokamak_mesh(16, 96)
+    m = Mesh2D.from_arrays(coords, tris, cls)
+    a = np.asarray
+    with pytest.raises(ValueError, match="2\\^24"):
+        detect_banded_locator(a(coords), a(tris), a(cls), m.walk_geom,
+                              n_theta=1 << 20)
+
+
+def test_2d_locator_rejects_3d_only_peels():
+    """build_locator_grid (2D) must reject the 3D-only id-diet peels
+    instead of silently attaching plain rows."""
+    from pumipic_tpu.mesh.locator import build_locator_grid
+
+    coords, tris, _ = gen.annulus_mesh(5, 16, 0.3, 1.0)
+    m = Mesh2D.from_arrays(coords, tris)
+    for p in ("ids", "ids4"):
+        with pytest.raises(ValueError, match="3D-only"):
+            build_locator_grid(np.asarray(coords), np.asarray(tris),
+                               walk_geom=m.walk_geom, peel=p)
+
+
 def test_annulus_detection_permutation_and_rotation_tolerant():
     """Imported structured annuli (shuffled vertex/element order + a rigid
     rotation — the gmsh round-trip class) must still be detection-proven;
