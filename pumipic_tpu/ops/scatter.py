@@ -168,7 +168,15 @@ def accumulate_to_rings(
     # per-particle-per-vertex scatter costs 2*nvpe*N adds; counting at
     # element granularity first cuts the particle-rate scatter 6x, and the
     # vertex expansion then runs at mesh size (E*nvpe*R adds, negligible).
-    if ptcl_radius is None:
+    if R == 1:
+        # degenerate single-ring config: both brackets coincide, deposit
+        # each particle ONCE.  (The general paths assume R >= 2: rd=-1
+        # would wrap `.at[:, -1]` onto ring 0 and double-count, and the
+        # per-particle clip(lo=0, hi=R-2=-1) would shift keys to elem-1 —
+        # round-5 review finding, regression test_gyro_scatter_one_ring.)
+        key = jnp.where(active, elem, num_elems).astype(jnp.int32)
+        elem_ring = count_per_key_matmul(key, num_elems)[:, None]
+    elif ptcl_radius is None:
         # uniform radius (the reference's 1.125*ringWidth placeholder,
         # gyroScatter.hpp:185): ring pair is the same for every particle
         rd = min(max(int(1.125) - 1, 0), R - 2)

@@ -173,13 +173,21 @@ def plan_flows(
     avg = jnp.maximum(total / R, 1e-30)
 
     def waterfill(B, T):
-        """λ with sum_m max(λ - B_m, 0) = T (non-members carry B = +inf)."""
+        """λ with sum_m max(λ - B_m, 0) = T (non-members carry B = +inf).
+
+        Candidate λ_j fills the j smallest bases; it is consistent iff the
+        LAST filled base is under water (λ_j >= Bs[j-1], the simplex-
+        projection rule), and the answer is the largest consistent j.
+        (A previous off-by-one compared λ_j to Bs[j-2], which over-fills:
+        with bases [0, 2, 10] and T=1 it returned λ=4.33 — allocating
+        weight to members ABOVE the true water level 1.0 — so the plan
+        could migrate weight onto already-loaded ranks; regression
+        test_waterfill_heterogeneous_bases.)"""
         Bs = jnp.sort(B)
         cum = jnp.cumsum(jnp.where(jnp.isfinite(Bs), Bs, 0.0))
         j = jnp.arange(1, R + 1, dtype=w_sr.dtype)
         lam_j = (T + cum) / j
-        prevB = jnp.concatenate([jnp.full((1,), -jnp.inf, Bs.dtype), Bs[:-1]])
-        valid = (lam_j >= prevB - 1e-6) & jnp.isfinite(Bs)
+        valid = (lam_j >= Bs - 1e-6) & jnp.isfinite(Bs)
         jstar = jnp.max(jnp.where(valid, jnp.arange(R), -1))
         return lam_j[jnp.maximum(jstar, 0)]
 

@@ -268,6 +268,10 @@ def _to_lanes(arr):
     # walk-state pack in ops/search.py:647).
     if arr.ndim == 1:
         arr = arr[:, None]
+    elif arr.ndim > 2:
+        # tensor-valued member fields ((N,)+shape, e.g. a (2,2) Jacobian)
+        # flatten to lane columns; _place_arrivals restores the shape
+        arr = arr.reshape(arr.shape[0], -1)
     if arr.dtype == jnp.float32:
         return jax.lax.bitcast_convert_type(arr, jnp.int32)
     if arr.dtype == jnp.int32:
@@ -289,7 +293,7 @@ def _pack_payload(state, leaving, gid):
             continue
         lanes = _to_lanes(state[name])
         field_slices[name] = (off, off + lanes.shape[1], state[name].dtype,
-                              state[name].ndim)
+                              state[name].shape[1:])
         off += lanes.shape[1]
         payload_parts.append(lanes)
     return jnp.concatenate(payload_parts, axis=1), field_slices
@@ -410,7 +414,7 @@ def _place_arrivals(state, staying, new_elem, recv, field_slices,
     for name in sorted(state.keys()):
         if name in ("elem", "active"):
             continue
-        lo, hi, dtype, ndim = field_slices[name]
+        lo, hi, dtype, inner = field_slices[name]
         lanes = recv[:, lo:hi]
         if dtype == jnp.int32:
             vals = lanes
@@ -418,10 +422,12 @@ def _place_arrivals(state, staying, new_elem, recv, field_slices,
             vals = lanes != 0
         else:
             vals = jax.lax.bitcast_convert_type(lanes, jnp.float32)
-        if ndim == 1:
+        if inner == ():
             vals = vals[:, 0]
+        elif len(inner) > 1:
+            vals = vals.reshape((vals.shape[0],) + inner)
         kept = jnp.where(
-            staying if state[name].ndim == 1 else staying[:, None],
+            staying.reshape((-1,) + (1,) * (state[name].ndim - 1)),
             state[name], jnp.zeros_like(state[name]),
         )
         new_state[name] = kept.at[arr_slot].set(vals, mode="drop")

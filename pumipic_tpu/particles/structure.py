@@ -1098,12 +1098,21 @@ def _grow(ps: ParticleStructure, growth: float) -> ParticleStructure:
                                    pad_strategy=ps.scs_pad_strategy),
                 name=ps.name,
             )
-    builder = {"dps": DPS, "csr": CSR, "cabm": CabM}[ps.layout]
-    kw = ({"soa_width": ps.soa_width,
-           "extra_padding": ps.cabm_extra_padding}
-          if ps.layout == "cabm" else {})
+    if ps.layout == "cabm":
+        try:
+            return CabM(ps.num_elems, elems, fields=fields,
+                        capacity=new_cap, soa_width=ps.soa_width,
+                        extra_padding=ps.cabm_extra_padding, name=ps.name)
+        except ValueError:
+            # spread populations SoA-pad past new_cap (ceil(ppe/soa_width)
+            # per element); size capacity from the padded layout instead —
+            # the same fallback the SCS branch takes for skewed layouts
+            return CabM(ps.num_elems, elems, fields=fields, capacity=None,
+                        padding_factor=growth, soa_width=ps.soa_width,
+                        extra_padding=ps.cabm_extra_padding, name=ps.name)
+    builder = {"dps": DPS, "csr": CSR}[ps.layout]
     return builder(ps.num_elems, elems, fields=fields, capacity=new_cap,
-                   name=ps.name, **kw)
+                   name=ps.name)
 
 
 def grow_if_overflowed(ps: ParticleStructure, growth: float = 1.5) -> ParticleStructure:

@@ -503,3 +503,46 @@ def test_lb_imbalance_curve_8_ranks():
     for a, b in zip(curve, curve[1:]):
         assert b <= a + 1e-3, curve
     assert curve[0] <= 1.15, curve
+
+
+def _synthetic_one_sbar_bt(R):
+    """One sbar whose members are all R ranks (all ordered pair edges)."""
+    src, dst = zip(*[(i, j) for i in range(R) for j in range(R) if i != j])
+    P_ = len(src)
+    return lbm.BalancerTables(
+        sbar_of_elem=jnp.zeros((R, 1), jnp.int32),
+        edge_sbar=jnp.zeros(P_, jnp.int32),
+        edge_src=jnp.asarray(src, jnp.int32),
+        edge_dst=jnp.asarray(dst, jnp.int32),
+        my_edge_idx=jnp.full((R, P_), -1, jnp.int32),
+        num_sbars=1,
+        num_edges=P_,
+    )
+
+
+@pytest.mark.quick
+def test_waterfill_heterogeneous_bases():
+    """REGRESSION (round-5 review): the water-fill validity rule compared
+    candidate levels to the PREVIOUS sorted base (off-by-one), over-filling
+    whenever some member's base load sits ABOVE the true water level — the
+    plan then migrated weight onto already-loaded ranks, violating the
+    documented 'max load never increases' invariant.  With fixed loads
+    [5, 10, 100] and 3 movable units on the least-loaded rank, the correct
+    level is 8 and NOTHING moves."""
+    bt = _synthetic_one_sbar_bt(3)
+    w_sr = jnp.asarray([[3.0], [0.0], [0.0]], jnp.float32)
+    w_fixed = jnp.asarray([5.0, 10.0, 100.0], jnp.float32)
+    flows = np.asarray(lbm.plan_flows(bt, w_sr, w_fixed, tol=1.001))
+    assert flows.sum() == 0, flows
+
+    # partial fill: bases [0, 2, 10], 5 movable on rank 0 -> level 3.5;
+    # rank 1 receives ~1.5, the heavy rank 2 must receive NOTHING
+    w_sr2 = jnp.asarray([[5.0], [0.0], [0.0]], jnp.float32)
+    w_fixed2 = jnp.asarray([0.0, 2.0, 10.0], jnp.float32)
+    flows2 = np.asarray(lbm.plan_flows(bt, w_sr2, w_fixed2, tol=1.001))
+    src = np.asarray(bt.edge_src)
+    dst = np.asarray(bt.edge_dst)
+    to_heavy = flows2[dst == 2].sum()
+    to_mid = flows2[(src == 0) & (dst == 1)].sum()
+    assert to_heavy == 0, flows2
+    assert 1 <= to_mid <= 2, flows2

@@ -213,15 +213,17 @@ def test_migrate_payload_pack_unpack_types():
         "pid": jnp.asarray([7, -8, 2**30, 0], jnp.int32),
         "flag": jnp.asarray([True, False, True, False]),
         "vec": jnp.arange(8, dtype=jnp.float32).reshape(4, 2),
+        "J": jnp.arange(16, dtype=jnp.float32).reshape(4, 2, 2),
     }
     leaving = jnp.ones((4,), bool)
     gid = jnp.asarray([3, 1, 0, 2], jnp.int32)
     payload, slices = mig._pack_payload(state, leaving, gid)
-    assert payload.shape == (4, 1 + 1 + 1 + 1 + 2)
+    assert payload.shape == (4, 1 + 1 + 1 + 1 + 2 + 4)
     assert payload.dtype == jnp.int32
     np.testing.assert_array_equal(np.asarray(payload[:, 0]), np.asarray(gid))
-    for name in ("x", "pid", "flag", "vec"):
-        lo, hi, dtype, ndim = slices[name]
+    for name in ("x", "pid", "flag", "vec", "J"):
+        lo, hi, dtype, inner = slices[name]
+        assert inner == state[name].shape[1:]
         lanes = payload[:, lo:hi]
         if dtype == jnp.int32:
             vals = lanes
@@ -229,8 +231,10 @@ def test_migrate_payload_pack_unpack_types():
             vals = lanes != 0
         else:
             vals = jax.lax.bitcast_convert_type(lanes, jnp.float32)
-        if ndim == 1:
+        if inner == ():
             vals = vals[:, 0]
+        elif len(inner) > 1:
+            vals = vals.reshape((vals.shape[0],) + inner)
         np.testing.assert_array_equal(np.asarray(vals), np.asarray(state[name]))
 
 

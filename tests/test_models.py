@@ -556,3 +556,35 @@ def test_kuhn_analytic_locator_matches_walk(wall):
                                np.asarray(pw.get("x"))[act])
     if wall == "periodic":
         assert act.all()
+
+
+def test_gyro_scatter_one_ring():
+    """REGRESSION (round-5 review): num_rings=1 hit two R>=2 assumptions in
+    accumulate_to_rings — the uniform path's rd=-1 wrapped `.at[:, -1]`
+    onto ring 0 (double count) and the per-particle path's clip(0, R-2=-1)
+    shifted keys to elem-1 (neighbor corruption, element 0's deposits
+    vanishing).  With one ring each active particle must deposit exactly
+    once into its own element's vertices."""
+    from pumipic_tpu.ops import scatter as sc
+
+    mesh = _small_mesh()
+    V = mesh.nverts
+    rng = np.random.default_rng(11)
+    n = 400
+    elem = rng.integers(0, mesh.nelems, n)
+    active = rng.uniform(size=n) > 0.3
+    radius = rng.uniform(0, 0.06, n).astype(np.float32)
+
+    e2v = np.asarray(mesh.elem2verts)
+    expect = np.zeros((V, 1), np.float32)
+    for i in range(n):
+        if active[i]:
+            for v in e2v[elem[i]]:
+                expect[v, 0] += 1.0
+
+    for rad in (None, radius):
+        got = np.asarray(sc.accumulate_to_rings(
+            jnp.asarray(elem, jnp.int32), jnp.asarray(active),
+            mesh.elem2verts, V, 1, 0.06,
+            ptcl_radius=None if rad is None else jnp.asarray(rad)))
+        np.testing.assert_array_equal(got, expect)

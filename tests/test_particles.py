@@ -570,3 +570,31 @@ def test_scs_extra_padding_checkpoint_roundtrip(tmp_path):
     assert ps2.scs_extra_padding == 0.25
     assert ps2.scs_pad_strategy == "evenly"
     assert _host_state(ps) == _host_state(ps2)
+
+
+def test_cabm_grow_spread_population():
+    """REGRESSION (round-5 review): grow_if_overflowed's CabM branch passed
+    a fixed capacity to the constructor, but a SPREAD population (few
+    particles in each of many elements) SoA-pads past any ~1.5x capacity
+    (ceil(ppe/soa_width) slots per element) — the recovery path raised
+    ValueError instead of growing.  It must fall back to layout-sized
+    capacity like the SCS branch does."""
+    from pumipic_tpu.particles.structure import CabM
+
+    E_many = 300
+    n = 200
+    elems = np.zeros(n, np.int64)          # dense: all in element 0
+    fields = {"pid": jnp.arange(n, dtype=jnp.int32)}
+    ps = CabM(E_many, elems, fields=fields, soa_width=8)
+    # spread survivors one per element -> SoA padding needs E_many*8 slots,
+    # far beyond capacity*1.5 (new_elem is capacity-wide, like rebuild takes)
+    h = ps.copy_to_host()
+    new_elem = np.where(h["active"],
+                        np.arange(len(h["elem"]), dtype=np.int64) % E_many,
+                        -1)
+    ps2 = ps.rebuild(jnp.asarray(new_elem))
+    assert bool(ps2.overflowed) or ps2.capacity >= n  # layout-dependent
+    forced = dataclasses.replace(ps2, overflowed=jnp.bool_(True))
+    grown = grow_if_overflowed(forced)     # must not raise
+    assert grown.capacity >= grown.n_ptcls()
+    assert not bool(grown.overflowed)

@@ -1519,3 +1519,73 @@ def test_picparts_banded_route_matches_gather_route():
         np.testing.assert_array_equal(
             np.asarray(st_b[k]), np.asarray(st_g[k]), err_msg=k)
     np.testing.assert_array_equal(np.asarray(fwd_b), np.asarray(fwd_g))
+
+
+def test_migrate_tensor_valued_field():
+    """REGRESSION (round-5 review): _pack_payload handled only scalar and
+    (N, k) member fields — a tensor-valued field ((N,)+shape, which the
+    containers accept via field_spec) produced a wrong lane count and a
+    trace-time concatenate error in distributed migrate.  Tensor fields
+    must ride the s32 carrier bit-exactly like the rest."""
+    coords, tris, owners, pp = _build()
+    mesh = make_device_mesh(R)
+    sharding = NamedSharding(mesh, P(RANK_AXIS))
+    pp_d = jax.device_put(pp, sharding)
+
+    eg = np.asarray(pp.elem_gid)
+    es = np.asarray(pp.elem_safe)
+    n_cap = 64
+    state_h = {
+        "J": np.zeros((R, n_cap, 2, 2), np.float32),
+        "pid": np.full((R, n_cap), -1, np.int32),
+        "elem": np.full((R, n_cap), -1, np.int32),
+        "active": np.zeros((R, n_cap), bool),
+    }
+    stamp = np.asarray([[1.0, 2.0], [3.0, 4.0]], np.float32)
+    pid = 0
+    for r in range(R):
+        safe_l = np.nonzero(es[r] & (eg[r] >= 0))[0]
+        unsafe_l = np.nonzero(~es[r] & (eg[r] >= 0))[0]
+        sl = np.concatenate([safe_l[:6], unsafe_l[:6]])
+        for i, le in enumerate(sl):
+            state_h["pid"][r, i] = pid
+            state_h["elem"][r, i] = le
+            state_h["active"][r, i] = True
+            state_h["J"][r, i] = (pid + 1) * stamp
+            pid += 1
+    total = pid
+    state = {k: jax.device_put(jnp.asarray(v), sharding)
+             for k, v in state_h.items()}
+
+    @jax.jit
+    @lambda f: jax.shard_map(
+        f, mesh=mesh, in_specs=(P(RANK_AXIS), P(RANK_AXIS)),
+        out_specs=(P(RANK_AXIS), P()), check_vma=False,
+    )
+    def run(pp_l, s):
+        lpp = ppm.local_view(pp_l)
+        s = ppm.local_view(s)
+        me = jax.lax.axis_index(RANK_AXIS).astype(jnp.int32)
+        dest = mig.set_unsafe_procs(
+            lpp.elem_safe, lpp.elem_owner, s["elem"], s["active"], me
+        )
+        res = mig.migrate(
+            s, s["elem"], dest, lpp.elem_gid, lpp.elem_gid_sorted,
+            lpp.elem_gid_perm, me, R, 32,
+        )
+        alive = jax.lax.psum(
+            jnp.sum(res.state["active"].astype(jnp.int32)), RANK_AXIS)
+        return jax.tree_util.tree_map(lambda a: a[None], res.state), alive
+
+    out, alive = run(pp_d, state)
+    assert int(alive) == total
+    out = {k: np.asarray(v) for k, v in out.items()}
+    assert out["J"].shape == (R, n_cap, 2, 2)
+    seen = 0
+    for r in range(R):
+        for s in range(n_cap):
+            if out["active"][r, s]:
+                p = int(out["pid"][r, s])
+                np.testing.assert_array_equal(out["J"][r, s], (p + 1) * stamp)
+                seen += 1
+    assert seen == total
