@@ -109,14 +109,15 @@ int64_t pp_sbar_map(int64_t R, int64_t Eg, const uint8_t* safe,
 int64_t pp_exchange_lists(int64_t R, int64_t Vmax, int64_t Vg,
                           const int64_t* vert_gid, const int64_t* vert_owner,
                           int64_t* out, int64_t cap) {
-  // owner-side gid -> local id maps
-  std::vector<int64_t> owner_l(Vg, -1);
-  std::vector<std::vector<int64_t>> owner_lookup(R);
+  // Each global entity has exactly ONE owner, so one Vg-sized gid -> local
+  // id table (filled from the owning rank's own copy) serves every lookup.
+  // (A per-rank R x Vg table here cost O(R*Vg) host RAM — 512 MB at 64
+  // ranks on a 1M-vertex mesh; round-5 review.)
+  std::vector<int64_t> owner_lid(Vg, -1);
   for (int64_t r = 0; r < R; ++r) {
-    owner_lookup[r].assign(Vg, -1);
     for (int64_t l = 0; l < Vmax; ++l) {
       int64_t g = vert_gid[r * Vmax + l];
-      if (g >= 0) owner_lookup[r][g] = l;
+      if (g >= 0 && vert_owner[r * Vmax + l] == r) owner_lid[g] = l;
     }
   }
   int64_t n = 0;
@@ -126,7 +127,7 @@ int64_t pp_exchange_lists(int64_t R, int64_t Vmax, int64_t Vg,
       if (g < 0) continue;
       int64_t o = vert_owner[r * Vmax + l];
       if (o == r || o < 0) continue;
-      int64_t lo = owner_lookup[o][g];
+      int64_t lo = owner_lid[g];
       if (lo < 0) return -3;  // owner must hold its vertex
       if (n >= cap) return -1;
       out[n * 4 + 0] = r;

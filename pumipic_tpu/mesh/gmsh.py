@@ -49,8 +49,16 @@ def read_msh(path: str, dim: Optional[int] = None
             break
         j += 1
 
-    if version >= 4.0:
+    if version >= 4.1:
         return _read_msh4(lines, dim)
+    if version >= 3.0:
+        # MSH 4.0 and 3.x block layouts differ from both the 2.2 and 4.1
+        # parsers (4.0 swaps the entity-header field order and inlines node
+        # coordinates); routing them into the 4.1 parser produced
+        # uninformative int() crashes or silently transposed blocks
+        raise ValueError(
+            f"unsupported MSH format version {version}: supported are "
+            f"2.x and 4.1 (re-export with 'gmsh -format msh41' or msh2)")
 
     if not seek("Nodes"):
         raise ValueError("no $Nodes section")
@@ -136,16 +144,35 @@ def _read_msh4(lines, dim):
     return _assemble(xyz, id2idx, tris, tri_cls, tets, tet_cls, dim)
 
 
+def _lookup_nodes(id2idx, conn):
+    """Element node ids -> vertex indices, validating every id (a node id
+    absent from $Nodes maps to -1, which numpy fancy indexing would
+    silently wrap to the LAST vertex — a geometrically corrupt but
+    structurally plausible mesh; round-5 review)."""
+    conn = np.asarray(conn, np.int64)
+    if conn.min() < 0 or conn.max() >= len(id2idx):
+        raise ValueError(
+            f"element references node id {conn.min() if conn.min() < 0 else conn.max()} "
+            f"outside the $Nodes id range")
+    ev = id2idx[conn]
+    if (ev < 0).any():
+        bad = conn[ev < 0]
+        raise ValueError(
+            f"element references node id(s) not listed in $Nodes "
+            f"(e.g. {bad.flat[0]}) — truncated or corrupt file")
+    return ev
+
+
 def _assemble(xyz, id2idx, tris, tri_cls, tets, tet_cls, dim):
     use_tets = (dim == 3) or (dim is None and len(tets) > 0)
     if use_tets:
         if not tets:
             raise ValueError("no tetrahedra in mesh")
-        ev = id2idx[np.asarray(tets, np.int64)]
+        ev = _lookup_nodes(id2idx, tets)
         return xyz, ev, np.asarray(tet_cls, np.int64)
     if not tris:
         raise ValueError("no triangles in mesh")
-    ev = id2idx[np.asarray(tris, np.int64)]
+    ev = _lookup_nodes(id2idx, tris)
     return xyz[:, :2], ev, np.asarray(tri_cls, np.int64)
 
 

@@ -1477,6 +1477,7 @@ def attach_cell_lines(grid: LocatorGrid2D, walk_geom,
     (docs/PERFORMANCE.md round-3).
     """
     geom = np.asarray(walk_geom)
+    _check_ids_f32_exact(geom)     # elemA/elemB ride f32 line columns
     ce = np.asarray(grid.cell_elem, dtype=np.int64)
     nx = int(np.asarray(grid.nx))
     ny = int(np.asarray(grid.ny))
@@ -1508,6 +1509,7 @@ def attach_cell_lines_3d(grid: LocatorGrid3D, walk_geom,
     """3D analog of :func:`attach_cell_lines`: slim separating-plane rows
     [gx gy gz gc | elemA | elemB] (6 f32 columns vs 26)."""
     geom = np.asarray(walk_geom)
+    _check_ids_f32_exact(geom)     # elemA/elemB ride f32 line columns
     ce = np.asarray(grid.cell_elem, dtype=np.int64)
     nx, ny, nz = grid.nx, grid.ny, grid.nz
     n_grid = nx * ny * nz
@@ -1652,8 +1654,19 @@ def build_locator_grid(coords: np.ndarray, elem2verts: np.ndarray,
     if walk_geom is not None:
         if peel == "auto":
             rows_bytes = out.cell_elem.shape[0] * 14 * 4
-            peel = "lines" if rows_bytes > PEEL_AUTO_LINES_BYTES else "rows"
-        if peel == "lines" and aux is None:
+            # aux channels only exist on the rows layout, so auto resolves
+            # to rows whenever an aux table is attached
+            peel = ("lines" if rows_bytes > PEEL_AUTO_LINES_BYTES
+                    and aux is None else "rows")
+        if peel == "lines":
+            if aux is not None:
+                # the 5-col lines layout has no aux channel; silently
+                # attaching the 14+2*aux-col rows table instead would give
+                # the caller ~4x the gathered bytes they asked to avoid
+                raise ValueError(
+                    "peel='lines' cannot carry an aux table (the slim "
+                    "separating-line rows have no aux columns); use "
+                    "peel='rows' with aux, or drop aux")
             out = attach_cell_lines(out, walk_geom)
         else:
             out = attach_cell_rows(out, walk_geom, aux=aux,

@@ -71,10 +71,19 @@ class GitrLike:
             "elem": jnp.asarray(elems, jnp.int32),
             "active": jnp.ones(cfg.num_ptcls, bool),
         }
+        # e_spacing is the grid CELL spacing, exactly the dx that
+        # interpolate_3d_grid takes (round-5 review: it was previously
+        # re-divided by (npts-1) inside the step, so only
+        # 'e_spacing = total extent' worked — an undocumented trap)
         if e_grid is None:
             e_grid = jnp.zeros((2, 2, 2, 3), jnp.float32)
             e_origin = jnp.asarray(cz.min(0), jnp.float32)
-            e_spacing = jnp.asarray(cz.max(0) - cz.min(0), jnp.float32)
+            ext = cz.max(0) - cz.min(0)
+            e_spacing = jnp.asarray(
+                ext / np.asarray([max(s - 1, 1)
+                                  for s in e_grid.shape[:3]]), jnp.float32)
+        elif e_spacing is None:
+            raise ValueError("e_grid without e_spacing (cell spacing)")
         self.e_grid = e_grid
         self.e_origin = jnp.asarray(e_origin, jnp.float32)
         self.e_spacing = jnp.asarray(e_spacing, jnp.float32)
@@ -92,12 +101,7 @@ class GitrLike:
             elem, active = state["elem"], state["active"]
 
             e_here = interp.interpolate_3d_grid(
-                self.e_grid, self.e_origin,
-                self.e_spacing / jnp.asarray(
-                    [max(s - 1, 1) for s in self.e_grid.shape[:3]],
-                    jnp.float32,
-                ),
-                x,
+                self.e_grid, self.e_origin, self.e_spacing, x,
             )
             b_here = jnp.broadcast_to(self.b_field, x.shape)
             x_new, v_new = push_ops.boris_push(
@@ -108,9 +112,27 @@ class GitrLike:
             res = search_ops.search_mesh_3d(
                 mesh, x, x_new, elem, active, cfg.max_search_iters,
                 boundary_handler=handler, method="intersection",
-                record_exit=cfg.count_wall_hits,
+                # reflect mode needs the recorded last hit point for the
+                # specular velocity update below, not just the flux tally
+                record_exit=cfg.count_wall_hits or cfg.wall == "reflect",
             )
             lost = active & (res.elem_ids < 0)
+            if cfg.wall == "reflect":
+                # specular wall: the walk mirrors the DESTINATION across
+                # each hit face; the velocity must follow (round-5 review:
+                # an unreflected v re-pushes into the wall every step,
+                # pinning particles at the surface).  Exact for any bounce
+                # count without face normals: the final leg runs from the
+                # LAST hit point to the mirrored destination, and specular
+                # reflection conserves speed — v' = |v| * (dest - hit)/|..|.
+                leg = jnp.stack(
+                    [d - h for d, h in zip(res.dest_c, res.hit_c)], axis=-1)
+                leg_n = jnp.linalg.norm(leg, axis=-1, keepdims=True)
+                v_spec = (jnp.linalg.norm(v_new, axis=-1, keepdims=True)
+                          * leg / jnp.maximum(leg_n, 1e-30))
+                bounced = (active & (res.elem_ids >= 0)
+                           & (res.num_hits > 0) & (leg_n[:, 0] > 1e-30))
+                v_new = jnp.where(bounced[:, None], v_spec, v_new)
             new_state = {
                 "x": jnp.where(lost[:, None], x, res.dest),
                 "v": jnp.where(active[:, None], v_new, v),
@@ -141,7 +163,8 @@ class GitrLike:
         return step
 
     def run(self, num_iterations: Optional[int] = None):
-        iters = num_iterations or self.cfg.num_iterations
+        iters = (num_iterations if num_iterations is not None
+                 else self.cfg.num_iterations)
         history = []
         for _ in range(iters):
             self.state, self.wall_hits = self._step(self.state, self.wall_hits)

@@ -156,6 +156,13 @@ class PseudoPushAndSearch:
         locator = None
         widths = None
         kuhn = None
+        if cfg.kuhn == "force" and cfg.wall not in ("periodic", "remove"):
+            # the analytic locate replaces the walk entirely, so it cannot
+            # service walls that need the walk's boundary interaction
+            # (reflect) — 'force' must error, not silently run the walk
+            raise ValueError(
+                f"kuhn='force' is incompatible with wall={cfg.wall!r} "
+                f"(the analytic locate supports 'periodic'/'remove' only)")
         if cfg.kuhn in ("auto", "force") and cfg.wall in ("periodic",
                                                           "remove"):
             from pumipic_tpu.mesh.locator import detect_box_kuhn
@@ -219,7 +226,8 @@ class PseudoPushAndSearch:
         return step
 
     def run(self, num_iterations: Optional[int] = None, verbose: bool = False):
-        iters = num_iterations or self.cfg.num_iterations
+        iters = (num_iterations if num_iterations is not None
+                 else self.cfg.num_iterations)
         history = []
         for i in range(iters):
             self.ptcls, walk_iters = self._step(self.ptcls)

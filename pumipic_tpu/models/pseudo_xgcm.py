@@ -433,7 +433,8 @@ class PseudoXGCm:
         from pumipic_tpu.utils.timing import prebarrier, record_time
         import time
 
-        iters = num_iterations or self.cfg.num_iterations
+        iters = (num_iterations if num_iterations is not None
+                 else self.cfg.num_iterations)
         fwd = bwd = None
         for i in range(iters):
             # fence first so queued async work is attributed as prebarrier
@@ -850,6 +851,13 @@ def make_picparts_setup(
     if analytic is not None:
         state_h["gelem"] = np.full((R, n_cap), -1, np.int32)
         g2l_h = np.full((R, gmesh.nelems), -1, np.int32)
+    if cfg.gyro.per_particle_radius:
+        # same global-seed radius stream as make_dp_setup so the picparts
+        # arm deposits identically for identical configs (round-5 review:
+        # per_particle_radius was silently ignored here)
+        state_h["rg"] = np.zeros((R, n_cap), np.float32)
+        rg_all = np.random.default_rng(PARTICLE_SEED + 1).uniform(
+            0.25 * cfg.gyro.rmax, cfg.gyro.rmax, cfg.num_ptcls)
     for r in range(R):
         sel = np.nonzero(own_of_ptcl == r)[0]
         n = len(sel)
@@ -864,6 +872,8 @@ def make_picparts_setup(
         state_h["pid"][r, :n] = sel
         state_h["elem"][r, :n] = g2l[g_elems[sel]]
         state_h["active"][r, :n] = True
+        if cfg.gyro.per_particle_radius:
+            state_h["rg"][r, :n] = rg_all[sel]
         if analytic is not None:
             state_h["gelem"][r, :n] = g_elems[sel]
             g2l_h[r] = g2l.astype(np.int32)
@@ -1129,6 +1139,8 @@ def make_picparts_setup(
             "elem": res.elem_ids,
             "active": active & (res.elem_ids >= 0),
         }
+        if gyro.per_particle_radius:
+            mid["rg"] = s["rg"]
         if analytic is not None:
             mid["gelem"] = gelem_new
         # one-gather routing: dest (setUnsafeProcs semantics), per-particle
@@ -1163,10 +1175,25 @@ def make_picparts_setup(
         # directions share one map, so the bwd pipeline is value-identical
         # to fwd and XLA CSEs it away — the step returns the shared field
         # once (build_gyro_mappings likewise builds one map for both).
-        fwd = scatter_ops.gyro_scatter(
-            s2["elem"], s2["active"], lmesh.elem2verts, gmap,
-            lmesh.nverts, gyro.num_rings, gyro.points_per_ring, gyro.rmax,
-        )
+        if gyro.per_particle_radius:
+            # bracket each particle's own gyro radius (same path as the
+            # dp/single-device arms — this config was silently ignored
+            # here before round 5)
+            ring_accum = scatter_ops.accumulate_to_rings(
+                s2["elem"], s2["active"], lmesh.elem2verts,
+                lmesh.nverts, gyro.num_rings, gyro.rmax,
+                ptcl_radius=s2["rg"],
+            )
+            fwd = scatter_ops.scatter_to_mapped_verts(
+                ring_accum, gmap, lmesh.nverts, gyro.num_rings,
+                gyro.points_per_ring,
+            )
+        else:
+            fwd = scatter_ops.gyro_scatter(
+                s2["elem"], s2["active"], lmesh.elem2verts, gmap,
+                lmesh.nverts, gyro.num_rings, gyro.points_per_ring,
+                gyro.rmax,
+            )
         # gyroSync: reduceCommArray(VERT, SUM) over buffered copies
         fwd = red.reduce_comm_array(
             lpp.vert_send_ids, lpp.vert_recv_ids, fwd, red.Op.SUM,

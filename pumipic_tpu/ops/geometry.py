@@ -129,9 +129,7 @@ def closest_point_on_triangle(
     vb_ = d5 * d2 - d1 * d6
     vc_ = d1 * d4 - d3 * d2
 
-    denom_v = jnp.where(d1 - d3 != 0, d1 - d3, 1.0)
     t_ab = jnp.clip(d1 / jnp.where(d1 - d3 == 0, 1.0, d1 - d3), 0.0, 1.0)
-    del denom_v
 
     # Default: interior projection
     denom = va_ + vb_ + vc_

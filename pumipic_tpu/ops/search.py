@@ -358,11 +358,26 @@ def _core_3d_hybrid(mesh: Mesh3D):
             wmin = jnp.where(take, ld[k], wmin)
             kmin_bcc = jnp.where(take, k, kmin_bcc)
 
-        # segment-clip choice: earliest crossing among exiting faces
+        # segment-clip choice: earliest crossing among exiting faces.
+        # The falling-coordinate rate is computed as the DIRECTIONAL
+        # DERIVATIVE -A_k·v (v = dest - orig), not as lo[k] - ld[k]: the
+        # two dot-product chains fuse differently under XLA and can differ
+        # by 1 ulp even when orig == dest exactly, turning denom into
+        # sign-noise — stationary peel-miss walkers then clipped against a
+        # noise-selected face and cycled to the loop limit (round-5
+        # review, reproduced: same walker converges eagerly but cycles
+        # compiled).  With v == 0 every lv is exactly 0 → seg_ok False →
+        # the BCC fallback runs, which is the correct stationary walk.
+        vx, vy, vz = dx - ox, dy - oy, dz - oz
+        lv = []
+        for k in range(3):
+            c = 4 * k
+            lv.append(g[:, c] * vx + g[:, c + 1] * vy + g[:, c + 2] * vz)
+        lv = [-lv[0] - lv[1] - lv[2]] + lv
         t_exit = jnp.full(e_safe.shape, jnp.inf, dx.dtype)
         kmin_seg = jnp.zeros(e_safe.shape, jnp.int32)
         for k in range(4):
-            denom = lo[k] - ld[k]                    # > 0: coordinate falls
+            denom = -lv[k]                           # > 0: coordinate falls
             t_k = lo[k] / jnp.where(denom == 0, 1.0, denom)
             valid = (denom > 0) & (t_k < t_exit)
             t_exit = jnp.where(valid, t_k, t_exit)
@@ -403,18 +418,36 @@ def _core_3d_mt(mesh: Mesh3D):
         inside = jnp.ones(e_safe.shape, bool)
         t_exit = jnp.full(e_safe.shape, jnp.inf, dx.dtype)
         exit_local = jnp.zeros(e_safe.shape, jnp.int32)
+        viol_best = jnp.full(e_safe.shape, -jnp.inf, dx.dtype)
+        viol_local = jnp.zeros(e_safe.shape, jnp.int32)
         for i in range(4):
             n_x, n_y, n_z, off = (g[:, 4 * i], g[:, 4 * i + 1],
                                   g[:, 4 * i + 2], g[:, 4 * i + 3])
             s_dest = n_x * dx + n_y * dy + n_z * dz
             # scale-aware slack (reference compute_tolerance_from_area)
             inside = inside & (s_dest <= off + MT_TOL * (1.0 + jnp.abs(off)))
+            # most-violated plane (signed distance, unit normals): the
+            # greedy stationary fallback below
+            viol = s_dest - off
+            vtake = viol > viol_best
+            viol_best = jnp.where(vtake, viol, viol_best)
+            viol_local = jnp.where(vtake, i, viol_local)
             n_dot_d = n_x * vx + n_y * vy + n_z * vz
             s_orig = n_x * ox + n_y * oy + n_z * oz
             t_i = (off - s_orig) / jnp.where(n_dot_d == 0, 1.0, n_dot_d)
             valid = (n_dot_d > 0) & (t_i < t_exit)
             t_exit = jnp.where(valid, t_i, t_exit)
             exit_local = jnp.where(valid, i, exit_local)
+
+        # a MOVING segment that never exits along its direction is at its
+        # parent; a STATIONARY one (v == 0 — every n·v is 0, t_exit inf)
+        # must NOT be declared inside (round-5 review: a stationary
+        # particle started at a wrong element — any accel peel miss —
+        # got that wrong parent back silently).  It walks by greedy
+        # most-violated-plane descent toward containment instead.
+        moving = (vx != 0.0) | (vy != 0.0) | (vz != 0.0)
+        exit_local = jnp.where(jnp.isfinite(t_exit), exit_local, viol_local)
+        inside = inside | (moving & ~jnp.isfinite(t_exit))
 
         next_elem = jnp.where(
             exit_local == 0, g[:, 16],
@@ -423,8 +456,6 @@ def _core_3d_mt(mesh: Mesh3D):
                 jnp.where(exit_local == 2, g[:, 18], g[:, 19]),
             ),
         ).astype(jnp.int32)
-        # a segment that never exits along its direction is at its parent
-        inside = inside | ~jnp.isfinite(t_exit)
 
         face4 = mesh.elem2faces[e_safe]
         side = jnp.take_along_axis(face4, exit_local[:, None], axis=1)[:, 0]
@@ -570,7 +601,12 @@ def _make_step(core, mesh, boundary_handler, use_guess: bool,
     captured AT WALK FINISH (e.g. the push's per-element rotation — kills a
     full-width particle-rate gather downstream), then the exit-recording
     entries (side, num_hits, hit components) when ``record_exit``."""
-    needs_hit = record_exit or getattr(boundary_handler, "needs_hit", False)
+    modifies = getattr(boundary_handler, "modifies_dest", True)
+    # dest-modifying handlers (reflection) need the crossing point even
+    # without record_exit: the continuation segment restarts AT THE WALL
+    # (round-5 fix below) and that requires t
+    needs_hit = (record_exit or modifies
+                 or getattr(boundary_handler, "needs_hit", False))
     n_aux = 0 if aux_table is None else aux_table.shape[1]
 
     def step(elem, dest, done, fbg, orig, rec):
@@ -625,6 +661,18 @@ def _make_step(core, mesh, boundary_handler, use_guess: bool,
             dest = tuple(
                 jnp.where(real_hit, bd, d) for bd, d in zip(bres.dest, dest)
             )
+            # the continuation segment starts AT the crossing point, not at
+            # the original origin: a ray-marching core (method=
+            # "intersection") otherwise keeps following the ORIGINAL
+            # orig→dest direction after the mirror, re-hits the same wall
+            # every iteration, and deletes the particle at the loop limit
+            # (round-5 review: gitr_like reflect oscillated 98 bounces and
+            # lost every walker).  Also makes multi-bounce recorded hit
+            # points exact: each hit is measured on its own wall-to-wall
+            # segment.
+            orig = tuple(
+                jnp.where(real_hit, h, o) for h, o in zip(hit, orig)
+            )
         if n_aux or record_exit:
             rec = list(rec)
         if n_aux:
@@ -642,7 +690,7 @@ def _make_step(core, mesh, boundary_handler, use_guess: bool,
             ]
         if n_aux or record_exit:
             rec = tuple(rec)
-        return new_elem, dest, new_done, new_fbg, rec
+        return new_elem, dest, new_done, new_fbg, orig, rec
 
     # handlers that never move the destination (e.g. remove-on-exit) let the
     # walk treat dest as a per-level constant: no dest in the loop carry, no
@@ -709,16 +757,18 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
 
     def make_body(dest_arr, orig_arr):
         if carry_dest:
+            # orig rides the carry too: dest-modifying handlers restart
+            # the segment at the wall crossing (see _make_step)
             def body(s):
-                elem, dest, done, fbg, rec, it = s
-                elem, dest, done, fbg, rec = step(
-                    elem, dest, done, fbg, orig_arr, rec
+                elem, dest, orig_c, done, fbg, rec, it = s
+                elem, dest, done, fbg, orig_c, rec = step(
+                    elem, dest, done, fbg, orig_c, rec
                 )
-                return elem, dest, done, fbg, rec, it + 1
+                return elem, dest, orig_c, done, fbg, rec, it + 1
         else:
             def body(s):
                 elem, done, fbg, rec, it = s
-                elem, _, done, fbg, rec = step(
+                elem, _, done, fbg, _, rec = step(
                     elem, dest_arr, done, fbg, orig_arr, rec
                 )
                 return elem, done, fbg, rec, it + 1
@@ -729,11 +779,11 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
         elem, done, fbg, rec, it = state
         if carry_dest:
             def cond(s):
-                return (s[-1] < max_iters) & (jnp.sum(~s[2]) > thresh)
+                return (s[-1] < max_iters) & (jnp.sum(~s[3]) > thresh)
 
-            elem, dest_arr, done, fbg, rec, it = jax.lax.while_loop(
+            elem, dest_arr, orig_arr, done, fbg, rec, it = jax.lax.while_loop(
                 cond, make_body(dest_arr, orig_arr),
-                (elem, dest_arr, done, fbg, rec, it),
+                (elem, dest_arr, orig_arr, done, fbg, rec, it),
             )
         else:
             def cond(s):
@@ -743,11 +793,11 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
                 cond, make_body(dest_arr, orig_arr),
                 (elem, done, fbg, rec, it),
             )
-        return elem, dest_arr, done, fbg, rec, it
+        return elem, dest_arr, orig_arr, done, fbg, rec, it
 
     # level 0: full width until survivors fit the first compacted width
     thresh0 = widths[0] if widths else 0
-    elem, dest, done, fbg, rec, it = run_level(
+    elem, dest, orig, done, fbg, rec, it = run_level(
         dest0, orig, thresh0,
         (elem0, done0, fbg0, rec0, jnp.int32(it0)),
     )
@@ -798,7 +848,7 @@ def _run_walk(step, elem0, dest0, done0, orig, max_iters: int,
             prev_gidx = levels[-1][0]
             gidx = jnp.where(in_range, prev_gidx[sidx], n)
 
-        s_elem, s_dest, s_done, s_fbg, s_rec, it = run_level(
+        s_elem, s_dest, s_orig, s_done, s_fbg, s_rec, it = run_level(
             s_dest, s_orig, next_thresh,
             (s_elem, s_done, s_fbg, s_rec, it),
         )
@@ -1111,13 +1161,12 @@ def search_mesh_2d_accel(
             active, jnp.where(inside_a | ~inside, elem_a, elem_b), INVALID)
         fg0 = active & ~inside
         done0 = ~active | (active & inside)
-        aux0 = tuple(jnp.zeros((n,), jnp.float32) for _ in range(n_aux))
         if n_aux:
             raise ValueError("aux_capture unsupported with split rows")
         return _run_walk(
             step, elem0, dest, done0=done0, orig=_components(x_orig),
             max_iters=max_iters, fallback=fallback, fg0=fg0,
-            record_exit=record_exit, widths=widths, it0=1, aux0=aux0,
+            record_exit=record_exit, widths=widths, it0=1, aux0=(),
         )
     if grid.cell_rows is not None and grid.rows_layout == "rows_ab":
         # rows_ab peel: candidate A's full row + candidate B's id only

@@ -207,16 +207,19 @@ def derive_banded_route(pp, owners: np.ndarray, analytic, bt,
         if not np.array_equal(lid_formula, lids):
             return None
         # safe: sector-constant on the window, single circular interval
-        sf = np.zeros(Ns, np.int8)  # 0 unseen, 1 safe, 2 unsafe, 3 mixed
-        for s, flag in zip(sec[g], es[r][valid]):
-            v = 1 if flag else 2
-            sf[s] = v if sf[s] in (0, v) else 3
-        if (sf == 3).any():
+        # (vectorized — the zip loop here was O(E) interpreter time per
+        # rank at setup, seconds on 120k-element meshes; round-5 review)
+        fl = es[r][valid].astype(bool)
+        seen_safe = np.zeros(Ns, bool)
+        seen_unsafe = np.zeros(Ns, bool)
+        seen_safe[sec[g][fl]] = True
+        seen_unsafe[sec[g][~fl]] = True
+        if (seen_safe & seen_unsafe).any():   # mixed sector
             return None
-        iv_s = _circular_interval(sf == 1)
+        iv_s = _circular_interval(seen_safe)
         if iv_s is None:
             # no safe elements at all is representable (len 0)
-            if (sf == 1).any():
+            if seen_safe.any():
                 return None
             sa_r, sl_r = 0, 0
         else:
@@ -229,15 +232,20 @@ def derive_banded_route(pp, owners: np.ndarray, analytic, bt,
     sbar_runs: tuple = ()
     if bt is not None:
         sb = np.asarray(bt.sbar_of_elem)
-        sb_sec = np.full(Ns, -2, np.int64)
+        # globally sector-constant check via per-sector min/max scatter
+        # (vectorized; was an O(R*E) interpreter loop — round-5 review)
+        mn = np.full(Ns, np.iinfo(np.int64).max)
+        mx = np.full(Ns, np.iinfo(np.int64).min)
         for r in range(R):
             valid = eg[r] >= 0
-            for s, v in zip(sec[eg[r][valid]], sb[r][valid]):
-                if sb_sec[s] == -2:
-                    sb_sec[s] = v
-                elif sb_sec[s] != v:
-                    return None
-        sb_sec[sb_sec == -2] = -1
+            ss = sec[eg[r][valid]]
+            vv = sb[r][valid].astype(np.int64)
+            np.minimum.at(mn, ss, vv)
+            np.maximum.at(mx, ss, vv)
+        seen = mx >= mn
+        if (seen & (mn != mx)).any():
+            return None
+        sb_sec = np.where(seen, mn, -1)
         runs = []
         s = 0
         while s < Ns:

@@ -13,10 +13,16 @@ _logger = logging.getLogger("pumipic_tpu")
 if not _logger.handlers:
     _h = logging.StreamHandler(sys.stdout)
     _h.setFormatter(logging.Formatter("%(message)s"))
+    # cap the stdout handler below ERROR: errors go ONLY to the stderr
+    # handler (round-5 review: _err was built but never added, so errors
+    # went to stdout unprefixed; adding it without the cap would print
+    # every error twice)
+    _h.addFilter(lambda rec: rec.levelno < logging.ERROR)
     _logger.addHandler(_h)
     _err = logging.StreamHandler(sys.stderr)
     _err.setFormatter(logging.Formatter("ERROR: %(message)s"))
     _err.setLevel(logging.ERROR)
+    _logger.addHandler(_err)
     _logger.setLevel(logging.INFO)
 
 _enabled = True

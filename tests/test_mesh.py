@@ -206,3 +206,36 @@ def test_xgc_120k_mesh_loads_and_search_oracle():
           + np.abs(g[got, 5]))
     tol = 4.0 * search_ops.BCC_REL_TOL * (m1 + m2) + 1e-4
     assert (np.minimum(np.minimum(l1, l2), w0) > -tol).all()
+
+
+@pytest.mark.quick
+def test_gmsh_rejects_corrupt_and_unsupported(tmp_path):
+    """REGRESSION (round-5 review): (a) elements referencing node ids
+    absent from $Nodes mapped to -1 and numpy fancy indexing silently
+    wrapped them to the LAST vertex — a geometrically corrupt but
+    structurally plausible mesh; must raise.  (b) MSH 3.x/4.0 block
+    layouts differ from both the 2.2 and 4.1 parsers; routing them into
+    the 4.1 parser crashed uninformatively — must report the version."""
+    from pumipic_tpu.mesh.gmsh import read_msh
+
+    # (a) a 2.2 file whose triangle references node 99 (never listed)
+    msh = "\n".join([
+        "$MeshFormat", "2.2 0 8", "$EndMeshFormat",
+        "$Nodes", "4",
+        "1 0 0 0", "2 1 0 0", "3 0 1 0", "4 1 1 0",
+        "$EndNodes",
+        "$Elements", "2",
+        "1 2 2 1 1 1 2 3",
+        "2 2 2 1 1 2 99 3",
+        "$EndElements", "",
+    ])
+    p = tmp_path / "bad_node.msh"
+    p.write_text(msh)
+    with pytest.raises(ValueError, match="Nodes"):
+        read_msh(str(p))
+
+    # (b) MSH 4.0 must be rejected by version, not by a parse crash
+    p2 = tmp_path / "v40.msh"
+    p2.write_text("$MeshFormat\n4 0 8\n$EndMeshFormat\n")
+    with pytest.raises(ValueError, match="4.0|version"):
+        read_msh(str(p2))

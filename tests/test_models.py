@@ -588,3 +588,65 @@ def test_gyro_scatter_one_ring():
             mesh.elem2verts, V, 1, 0.06,
             ptcl_radius=None if rad is None else jnp.asarray(rad)))
         np.testing.assert_array_equal(got, expect)
+
+
+def test_gitr_reflect_reflects_velocity():
+    """REGRESSION (round-5 review): wall='reflect' mirrored the position
+    but kept the wall-ward velocity, so reflected particles re-entered the
+    wall every step (pinned at the surface, inflating the flux tally).
+    Specular reflection must flip the normal velocity component and
+    conserve speed: a zero-field particle aimed at the +x wall of the unit
+    box must come back with v_x < 0 and |v| unchanged."""
+    from pumipic_tpu.models.gitr_like import GitrConfig, GitrLike
+
+    coords, tets = gen.box_tet_mesh(3, 3, 3)
+    mesh = Mesh3D.from_arrays(coords, tets)
+    cfg = GitrConfig(num_ptcls=4, num_iterations=1, dt=5e-4,
+                     b_field=(0.0, 0.0, 0.0), wall="reflect")
+    app = GitrLike(mesh, cfg, seed=1)
+
+    # place all 4 particles near the +x wall, aimed straight at it
+    start = np.array([0.7, 0.52, 0.47], np.float32)
+    cz, ev = np.asarray(mesh.coords), np.asarray(mesh.elem2verts)
+    # host locate: containing tet by barycentric solve
+    vv = cz[ev]
+    T = np.stack([vv[:, 1] - vv[:, 0], vv[:, 2] - vv[:, 0],
+                  vv[:, 3] - vv[:, 0]], axis=-1)
+    lam = np.linalg.solve(T, np.broadcast_to(
+        start - vv[:, 0], (len(ev), 3))[..., None])[..., 0]
+    bc = np.concatenate([1 - lam.sum(-1, keepdims=True), lam], axis=-1)
+    e0 = int(np.argmax(bc.min(axis=-1)))
+    assert bc[e0].min() > -1e-6
+
+    v0 = np.array([1000.0, 0.0, 0.0], np.float32)   # hits x=1 mid-step
+    app.state = {
+        "x": jnp.broadcast_to(jnp.asarray(start), (4, 3)),
+        "v": jnp.broadcast_to(jnp.asarray(v0), (4, 3)),
+        "elem": jnp.full((4,), e0, jnp.int32),
+        "active": jnp.ones((4,), bool),
+    }
+    history = app.run()
+    assert history == [4]                            # nobody deleted
+    v1 = np.asarray(app.state["v"])
+    x1 = np.asarray(app.state["x"])
+    assert (v1[:, 0] < 0).all(), v1                  # normal component flipped
+    np.testing.assert_allclose(np.linalg.norm(v1, axis=1),
+                               np.linalg.norm(v0), rtol=1e-5)
+    assert (x1[:, 0] <= 1.0 + 1e-5).all()            # back inside
+    # and the next step moves AWAY from the wall instead of re-reflecting
+    app.run(1)
+    x2 = np.asarray(app.state["x"])
+    assert (x2[:, 0] < x1[:, 0]).all()
+
+
+def test_kuhn_force_incompatible_wall_raises():
+    """REGRESSION (round-5 review): kuhn='force' with wall='reflect' was
+    silently ignored (the analytic locate only services periodic/remove) —
+    a benchmark believed to be on the analytic path silently measured the
+    walk.  'force' must error for unsupported walls."""
+    coords, tets = gen.box_tet_mesh(3, 3, 3)
+    mesh = Mesh3D.from_arrays(coords, tets)
+    cfg = PushSearchConfig(num_ptcls=64, num_iterations=1, distance=0.05,
+                           structure="dps", wall="reflect", kuhn="force")
+    with pytest.raises(ValueError, match="reflect"):
+        PseudoPushAndSearch(mesh, cfg)

@@ -1589,3 +1589,56 @@ def test_migrate_tensor_valued_field():
                 np.testing.assert_array_equal(out["J"][r, s], (p + 1) * stamp)
                 seen += 1
     assert seen == total
+
+
+def test_picparts_per_particle_radius_engages():
+    """REGRESSION (round-5 review): make_picparts_setup silently ignored
+    GyroConfig.per_particle_radius — no 'rg' field was seeded and the
+    deposition always used the uniform placeholder radius, so the
+    distributed arm disagreed with the dp/single-device arms for identical
+    configs.  The per-particle radius must ride the state (incl. through
+    migration) and change the deposition."""
+    import dataclasses
+
+    from pumipic_tpu.models.pseudo_xgcm import (
+        GyroConfig, XGCmConfig, make_picparts_setup,
+    )
+
+    coords, tris, cls = _full_mesh()
+    mesh = make_device_mesh(R)
+    cfg = XGCmConfig(
+        num_ptcls=1200,
+        mdl_face=4,
+        deg_per_push=15.0,
+        # rmax spans element size (~0.1 on this mesh) so different bracket
+        # rings genuinely map to different vertices — at small rmax all
+        # ring points share the vertex's element and the per-particle
+        # bracketing is (correctly) invisible in the deposition
+        gyro=GyroConfig(rmax=0.12, num_rings=3, points_per_ring=4,
+                        per_particle_radius=True),
+        max_search_iters=64,
+    )
+    pp_p, st_p, _, step_p = make_picparts_setup(
+        coords, tris, cls, cfg, mesh, use_lb=True, migrate_cap=1200)
+    assert "rg" in st_p
+    rg0 = np.sort(np.asarray(st_p["rg"])[np.asarray(st_p["active"])])
+    cfg_u = dataclasses.replace(
+        cfg, gyro=dataclasses.replace(cfg.gyro, per_particle_radius=False))
+    pp_u, st_u, _, step_u = make_picparts_setup(
+        coords, tris, cls, cfg_u, mesh, use_lb=True,
+        migrate_cap=1200)
+    for _ in range(3):
+        st_p, fwd_p, stats_p = step_p(st_p)
+        st_u, fwd_u, stats_u = step_u(st_u)
+    assert int(stats_p["alive"]) == int(stats_u["alive"])
+    # the radius multiset is conserved through migration
+    act = np.asarray(st_p["active"])
+    rg3 = np.sort(np.asarray(st_p["rg"])[act])
+    np.testing.assert_allclose(rg3, rg0)
+    # and the per-particle bracketing actually changes the deposition
+    assert not np.allclose(np.asarray(fwd_p), np.asarray(fwd_u))
+    # total deposited weight is radius-independent (each particle deposits
+    # into exactly two bracket rings before the ring-point mapping): compare
+    # against the uniform arm at matched survivor counts
+    np.testing.assert_allclose(float(np.asarray(fwd_p).sum()),
+                               float(np.asarray(fwd_u).sum()), rtol=0.2)

@@ -1138,3 +1138,46 @@ def test_strict_detection_still_identity():
     c3, t3 = gen.box_tet_mesh(4, 4, 4)
     k3 = detect_box_kuhn(c3, t3)
     assert k3 is not None and k3.perm is None
+
+
+def test_stationary_walkers_from_wrong_parent_3d():
+    """REGRESSION (round-5 review): zero-displacement walkers (x_orig ==
+    x_tgt) started at a WRONG element — any accel peel miss of a particle
+    that didn't move — were (a) silently accepted at the wrong parent by
+    method='intersection' (v == 0 makes every n·v zero, t_exit stays inf,
+    and the never-exits disjunct forced inside=True) and (b) cycled to the
+    loop limit and deleted by method='hybrid' (the lo-ld denominator is
+    1-ulp fusion noise at v == 0).  Both must walk to the true containing
+    element like method='bcc' does."""
+    from pumipic_tpu.mesh.generate import box_tet_mesh
+
+    coords, tets = gen.box_tet_mesh(5, 5, 5)
+    mesh = Mesh3D.from_arrays(coords, tets)
+    rng = np.random.default_rng(23)
+    n = 1024
+    e_true = rng.integers(0, mesh.nelems, n)
+    w = rng.dirichlet([2, 2, 2, 2], n)
+    pts = np.einsum("nk,nkd->nd", w,
+                    np.asarray(mesh.coords)[np.asarray(mesh.elem2verts)[e_true]])
+    pts = jnp.asarray(pts, jnp.float32)
+    e_wrong = jnp.asarray((e_true + 137) % mesh.nelems, jnp.int32)
+    active = jnp.ones(n, bool)
+    x = (pts[:, 0], pts[:, 1], pts[:, 2])
+
+    ref = search.search_mesh_3d(mesh, x, x, e_wrong, active, 300,
+                                    method="bcc")
+    assert bool(ref.all_found)
+    for method in ("intersection", "hybrid"):
+        res = search.search_mesh_3d(mesh, x, x, e_wrong, active, 300,
+                                        method=method)
+        assert bool(res.all_found), method
+        # every answer must CONTAIN the point (shared-face tolerance ties
+        # may pick either adjacent tet, so compare by containment not id)
+        vv = np.asarray(mesh.coords)[
+            np.asarray(mesh.elem2verts)[np.asarray(res.elem_ids)]]
+        T = np.stack([vv[:, 1] - vv[:, 0], vv[:, 2] - vv[:, 0],
+                      vv[:, 3] - vv[:, 0]], axis=-1).astype(np.float64)
+        lam = np.linalg.solve(T, (np.asarray(pts) - vv[:, 0]).astype(
+            np.float64)[..., None])[..., 0]
+        bc = np.concatenate([1 - lam.sum(-1, keepdims=True), lam], axis=-1)
+        assert bc.min(axis=-1).min() > -1e-4, method
